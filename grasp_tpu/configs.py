@@ -1,0 +1,174 @@
+"""Configuration dataclasses.
+
+Replaces the reference's two-stage env-var + argparse config system
+(reference: scripts/params_script.sh:1-53 expanded into grasp.py:155-244 flags)
+with typed dataclasses. Defaults encode the paper's published config
+(NUM_PRUNE_LAYERS=7, COMPRESSION_RATIO=0.9, METRIC=taylor, NUM_SAMPLES=512,
+SEQ_LEN=512 — reference scripts/params_script.sh:10-27).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of a LLaMA-family causal LM (GQA supported for Mistral).
+
+    Field semantics follow HF LlamaConfig so weights can be imported 1:1.
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32          # < num_attention_heads => GQA (Mistral)
+    head_dim: Optional[int] = None          # default hidden_size // num_attention_heads
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False            # qkvo projection bias (Qwen-style)
+    mlp_bias: bool = False
+    dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_key_value_heads * self.head_dim_
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_attention_heads * self.head_dim_
+
+    @staticmethod
+    def tiny(**overrides) -> "ModelConfig":
+        """A small config for tests — exercises GQA & non-square projections."""
+        base = dict(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=176,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=256,
+        )
+        base.update(overrides)
+        return ModelConfig(**base)
+
+    @staticmethod
+    def tinyllama_1_1b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=32000,
+            hidden_size=2048,
+            intermediate_size=5632,
+            num_hidden_layers=22,
+            num_attention_heads=32,
+            num_key_value_heads=4,
+            max_position_embeddings=2048,
+        )
+
+    @staticmethod
+    def llama2_7b() -> "ModelConfig":
+        return ModelConfig()
+
+    @staticmethod
+    def mistral_7b() -> "ModelConfig":
+        return ModelConfig(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=32768,
+            rope_theta=10000.0,
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "ModelConfig":
+        return ModelConfig(**json.loads(s))
+
+
+# Default projection targets (reference modeling_grasp.py:248, grasp.py:34-35).
+ATTN_TARGETS: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+MLP_TARGETS: Tuple[str, ...] = ("down_proj", "up_proj", "gate_proj")
+
+
+@dataclass
+class GraspConfig:
+    """Full compression-pipeline configuration (reference grasp.py:29-49 args)."""
+
+    model_name_or_path: str = ""
+    dataset_name: str = "wikitext2"
+
+    # which layers to compress
+    layers_id: Optional[List[int]] = None
+    num_prune_layers: Optional[int] = 7
+    angular: bool = False
+
+    # per-block projection targets
+    mlp_target_layer_types: Tuple[str, ...] = MLP_TARGETS
+    attn_target_layer_types: Tuple[str, ...] = ATTN_TARGETS
+
+    # rank selection
+    metric: str = "taylor"                  # "gradient" | "taylor"
+    compression_ratio: Optional[float] = 0.9
+    threshold_ratio: Optional[float] = None  # adaptive selection if set
+    merge: bool = False                      # re-materialize dense instead of low-rank
+    sigma_fuse: str = "UV"                   # "UV" | "U"  (ref "V" branch is buggy; rejected)
+
+    # calibration data
+    num_samples: int = 512
+    batch_size: int = 1
+    seq_len: int = 512
+    seed: int = 42
+
+    # sweep strategy: "sequential" reproduces the reference's per-(layer, block)
+    # calibration re-sweeps (grasp.py:79-126); "parallel" SVD-ifies every target
+    # projection of every redundant layer at once and collects all S-gradients in
+    # ONE calibration sweep (TPU-friendly fast path).
+    sweep: str = "sequential"
+
+    # recovery (GRASP*)
+    recovery: bool = False
+    data_path: str = "yahma/alpaca-cleaned"
+    train_batch_size: int = 32
+    micro_batch_size: int = 4
+    num_epochs: int = 1
+    learning_rate: float = 3e-4
+    max_length: int = 256
+    val_set_size: int = 2000
+    train_on_inputs: bool = True
+    add_eos_token: bool = False
+    prompt_template_name: str = "alpaca"
+
+    # evaluation
+    evaluate: bool = False
+    eval_ppl: str = "wikitext2,ptb,c4"
+    eval_tasks: str = "boolq,piqa,hellaswag,winogrande,arc_easy,arc_challenge,openbookqa,mathqa"
+    num_fewshot: int = 0
+    limit: int = -1
+
+    # runtime
+    save_path: Optional[str] = None
+    verbose: bool = False
+    log_file: Optional[str] = None
+
+    # mesh / sharding
+    mesh_shape: Optional[Tuple[int, int]] = None   # (data, model); None => single device
+    param_dtype: str = "float32"
+    remat: bool = False                            # jax.checkpoint per transformer layer
+
+    extra: dict = field(default_factory=dict)

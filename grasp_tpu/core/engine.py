@@ -1,0 +1,489 @@
+"""The GRASP compression engine — TPU-native re-design of the reference's
+GRASPModel (modeling_grasp.py:82-469).
+
+The reference mutates an nn.Module in place; here the engine owns an immutable
+params pytree plus a static per-projection *plan* (see grasp_tpu.models.llama)
+and every stage is a pure, jit-compiled function:
+
+  - :meth:`compute_bi`              — block-influence layer scoring in ONE fused
+                                      pass over all layers per batch
+                                      (vs reference per-pair loop, modeling_grasp.py:150-167)
+  - :meth:`compress_block`          — swap dense kernels for full-SVD factors
+                                      (reference replace_with_GRASPLayer, :225-242),
+                                      batched: same-shape weights SVD'd in one call
+  - :meth:`get_svdlayer_gradients`  — dL/dS for all current SVD modules via a single
+                                      jax.value_and_grad over the S-subtree
+                                      (reference loss.backward() loop, :331-370)
+  - :meth:`dynamic_svd_selection`   — gradient/taylor saliency + top-k or adaptive
+                                      rank selection (:372-421)
+  - :meth:`compile_grasp_model`     — truncate + fuse into two-matmul low-rank
+                                      kernels or merged dense (:423-469)
+  - :meth:`run`                     — the full pipeline (reference grasp.py:29-152),
+                                      sequential-faithful by default with a
+                                      `parallel` one-sweep fast mode.
+
+Gradients: the reference *sums* S-gradients across calibration batches
+(modeling_grasp.py:356-363) — we match. Because grads are taken only w.r.t.
+S leaves, XLA dead-code-eliminates the backward pass below the earliest SVD
+layer automatically.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grasp_tpu.configs import GraspConfig, ModelConfig
+from grasp_tpu.models.llama import (
+    ATTN_PROJS,
+    MLP_PROJS,
+    ModelPlan,
+    Params,
+    default_plan,
+    forward,
+    hf_causal_lm_loss,
+    plan_set,
+)
+from grasp_tpu.ops.saliency import (
+    adaptive_rank_selection,
+    bi_from_hiddens,
+    choose_prune_layers,
+    preserve_rank,
+    select_topk,
+    svd_saliency,
+)
+from grasp_tpu.ops.svd import lowrank_factors, merge_svd, svd, truncate_svd
+
+logger = logging.getLogger("grasp_tpu")
+
+Batch = Dict[str, jax.Array]
+
+
+def module_name(layer_id: int, proj: str) -> str:
+    """Reference-compatible module path, e.g. 'model.layers.3.self_attn.q_proj'."""
+    group = "self_attn" if proj in ATTN_PROJS else "mlp"
+    return f"model.layers.{layer_id}.{group}.{proj}"
+
+
+def parse_module_name(name: str) -> Tuple[int, str, str]:
+    parts = name.split(".")
+    return int(parts[2]), parts[3], parts[4]
+
+
+class GraspEngine:
+    """Holds (params, plan, config) and runs the compression stages."""
+
+    def __init__(
+        self,
+        params: Params,
+        config: ModelConfig,
+        plan: Optional[ModelPlan] = None,
+        svd_method: str = "auto",
+        remat: bool = False,
+    ):
+        self.params = params
+        self.config = config
+        self.plan = plan or default_plan(config)
+        self.svd_method = svd_method
+        self.remat = remat
+
+        self.redundant_layers: List[int] = []
+        self.layer_importances: List[float] = []
+        self.indices_dict: Dict[str, np.ndarray] = {}
+        self.indices_log: Dict[str, np.ndarray] = {}   # accumulated across run() rounds
+        self.rank_dict: Dict[str, int] = {}
+        self.grasp_values_dict: Dict[str, Dict[str, list]] = {}
+        self.grasp_layer_grads: Dict[str, jax.Array] = {}
+
+        self._bi_fns: Dict[Tuple, Any] = {}
+        self._grad_fns: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    # param-tree helpers
+    # ------------------------------------------------------------------
+
+    def _get_proj(self, name: str) -> Params:
+        layer_id, group, proj = parse_module_name(name)
+        return self.params["layers"][layer_id][group][proj]
+
+    def _set_proj(self, name: str, new_params: Params, kind: str) -> None:
+        layer_id, group, proj = parse_module_name(name)
+        self.params["layers"][layer_id][group][proj] = new_params
+        self.plan = plan_set(self.plan, layer_id, proj, kind)
+
+    def svd_module_names(self) -> List[str]:
+        """All module paths currently in full-SVD (trainable-S) form.
+
+        Reference check_exists_grasp_layer (modeling_grasp.py:319-329).
+        """
+        names = []
+        for li, layer_plan in enumerate(self.plan):
+            for proj, kind in zip(ATTN_PROJS + MLP_PROJS, layer_plan):
+                if kind == "svd":
+                    names.append(module_name(li, proj))
+        return names
+
+    def param_counts(self) -> Tuple[int, int]:
+        """(total, trainable) — trainable = S leaves of svd modules."""
+        total = sum(x.size for x in jax.tree.leaves(self.params))
+        trainable = sum(self._get_proj(n)["s"].size for n in self.svd_module_names())
+        return total, trainable
+
+    # ------------------------------------------------------------------
+    # Stage 1 — block influence
+    # ------------------------------------------------------------------
+
+    def compute_bi(
+        self,
+        num_prune_layers: int = 1,
+        calibration_batches: Optional[Iterable[Batch]] = None,
+        hiddens: Optional[Sequence[jax.Array]] = None,
+        angular: bool = False,
+    ) -> Tuple[List[float], List[int]]:
+        """Score layers by block influence; pick the `num_prune_layers` least important.
+
+        Reference modeling_grasp.py:135-193, vectorized: one jitted forward per
+        batch emits all per-layer scores at once.
+        """
+        logger.info("=======> Compute Block Influence")
+        n_layers = self.config.num_hidden_layers
+        importances = np.zeros(n_layers, dtype=np.float64)
+
+        if hiddens is not None:
+            scores = np.asarray(bi_from_hiddens(hiddens, num_prune_layers, angular))
+            importances[: len(scores)] += scores
+        else:
+            assert calibration_batches is not None, (
+                "please provide hidden_states or calibration batches to compute block influence"
+            )
+            key = ("bi", angular, num_prune_layers, self.plan)
+            if key not in self._bi_fns:
+
+                @partial(jax.jit, static_argnames=("plan",))
+                def bi_step(params, input_ids, attention_mask, *, plan):
+                    out = forward(
+                        params,
+                        input_ids,
+                        config=self.config,
+                        plan=plan,
+                        attention_mask=attention_mask,
+                        output_hidden_states=True,
+                        remat=self.remat,
+                    )
+                    return bi_from_hiddens(out["hidden_states"], num_prune_layers, angular)
+
+                self._bi_fns[key] = bi_step
+            bi_step = self._bi_fns[key]
+            for batch in calibration_batches:
+                scores = np.asarray(
+                    bi_step(self.params, batch["input_ids"], batch.get("attention_mask"), plan=self.plan)
+                )
+                importances[: len(scores)] += scores
+
+        # scores exist for indices [0, L+1-n); the reference keeps a fixed-size
+        # list with zeros beyond that (modeling_grasp.py:146)
+        self.layer_importances = importances.tolist()
+        layers_to_remove = choose_prune_layers(importances, num_prune_layers, angular)
+        self.redundant_layers = layers_to_remove
+        return self.layer_importances, layers_to_remove
+
+    # ------------------------------------------------------------------
+    # Stage 2 — SVD-ify a block
+    # ------------------------------------------------------------------
+
+    def compress_block(
+        self,
+        layer_id: int,
+        block_type: str,
+        target_layer_types: Optional[Union[List[str], str]] = None,
+    ) -> bool:
+        """Replace each target projection of one block with its full SVD.
+
+        Reference compress_block + replace_with_GRASPLayer
+        (modeling_grasp.py:244-309, 225-242). Weights are factored in torch
+        layout W=[out,in] so U/S/Vh match the reference bit-for-bit; same-shape
+        weights are stacked and SVD'd in one batched call.
+
+        Returns True ("skip") when target_layer_types is None, mirroring the
+        reference's skip-flag contract (modeling_grasp.py:261-262).
+        """
+        if layer_id is None:
+            raise ValueError("Layer id should be given, but got None")
+        if target_layer_types is None:
+            return True
+
+        if block_type == "attention":
+            defaults = list(ATTN_PROJS)
+        elif block_type == "mlp":
+            defaults = list(MLP_PROJS)
+        else:
+            raise NotImplementedError(f"block type {block_type} not supported")
+
+        targets = list(target_layer_types) if target_layer_types else defaults
+        if not all(t in defaults for t in targets):
+            raise ValueError(f"values in target layer types not valid, should be one of {defaults}")
+
+        # group same-shape kernels for one batched SVD per shape
+        by_shape: Dict[Tuple[int, int], List[str]] = {}
+        for proj in targets:
+            name = module_name(layer_id, proj)
+            kernel = self._get_proj(name)["kernel"]  # [in, out]
+            by_shape.setdefault(tuple(kernel.shape), []).append(name)
+
+        for shape, names in by_shape.items():
+            stack = jnp.stack([self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in names])
+            u, s, vh = svd(stack, method=self.svd_method)
+            u, s, vh = jax.device_get((u, s, vh))
+            for i, n in enumerate(names):
+                old = self._get_proj(n)
+                new: Params = {
+                    "u": jnp.asarray(u[i]),
+                    "s": jnp.asarray(s[i]),
+                    "vh": jnp.asarray(vh[i]),
+                }
+                if "bias" in old:
+                    new["bias"] = old["bias"]
+                self._set_proj(n, new, "svd")
+        return False
+
+    # ------------------------------------------------------------------
+    # Stage 3 — gradient collection
+    # ------------------------------------------------------------------
+
+    def _make_grad_fn(self, plan: ModelPlan):
+        config, remat = self.config, self.remat
+
+        def loss_from_s(s_dict: Dict[str, jax.Array], params: Params, input_ids, attention_mask, labels):
+            # graft trainable S leaves into the frozen tree
+            layers = list(params["layers"])
+            for name, s in s_dict.items():
+                li, group, proj = parse_module_name(name)
+                layer = dict(layers[li])
+                grp = dict(layer[group])
+                mod = dict(grp[proj])
+                mod["s"] = s
+                grp[proj] = mod
+                layer[group] = grp
+                layers[li] = layer
+            params = {**params, "layers": layers}
+            logits = forward(
+                params, input_ids, config=config, plan=plan,
+                attention_mask=attention_mask, remat=remat,
+            )["logits"]
+            return hf_causal_lm_loss(logits, labels)
+
+        return jax.jit(jax.value_and_grad(loss_from_s))
+
+    def get_svdlayer_gradients(
+        self, calibration_batches: Iterable[Batch]
+    ) -> Dict[str, jax.Array]:
+        """Sum of dL/dS over all calibration batches for every SVD module.
+
+        Reference get_svdlayer_gradients (modeling_grasp.py:331-370): full
+        forward+backward per batch, grads summed not averaged. Here one jitted
+        value_and_grad handles every SVD module simultaneously, and XLA prunes
+        backward work below the earliest SVD layer (only S leaves are
+        differentiated).
+        """
+        names = self.svd_module_names()
+        if not names:
+            raise RuntimeError(
+                "no SVD modules found — call compress_block first (reference "
+                "modeling_grasp.py:334-335 contract)"
+            )
+        key = ("grad", self.plan)
+        if key not in self._grad_fns:
+            self._grad_fns[key] = self._make_grad_fn(self.plan)
+        grad_fn = self._grad_fns[key]
+
+        s_dict = {n: self._get_proj(n)["s"] for n in names}
+        # strip S leaves from the frozen tree? not needed: grafted values shadow
+        totals: Dict[str, jax.Array] = {}
+        total_loss = 0.0
+        nbatches = 0
+        for batch in calibration_batches:
+            loss, grads = grad_fn(
+                s_dict, self.params, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
+            )
+            total_loss += float(loss)
+            nbatches += 1
+            for n, g in grads.items():
+                totals[n] = g if n not in totals else totals[n] + g
+        logger.info("gradient sweep: %d batches, mean loss %.4f", nbatches, total_loss / max(nbatches, 1))
+        self.grasp_layer_grads = totals
+        return totals
+
+    # ------------------------------------------------------------------
+    # Stage 4 — rank selection
+    # ------------------------------------------------------------------
+
+    def dynamic_svd_selection(
+        self,
+        grasp_layer_grads: Optional[Dict[str, jax.Array]] = None,
+        metric: str = "taylor",
+        compression_ratio: Optional[float] = None,
+        threshold_ratio: Optional[float] = None,
+        verbose: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Pick which singular triplets to keep per module.
+
+        Reference dynamic_svd_selection (modeling_grasp.py:372-421). Index
+        order matches torch.topk (descending importance, lower index on ties).
+        """
+        if not grasp_layer_grads:
+            grasp_layer_grads = self.grasp_layer_grads
+        if not grasp_layer_grads:
+            raise ValueError("gradients of svd layers should be given, but got None")
+
+        indices_dict: Dict[str, np.ndarray] = {}
+        for name, grad in grasp_layer_grads.items():
+            mod = self._get_proj(name)
+            s = mod["s"]
+            importance = svd_saliency(grad, s, metric)
+
+            if compression_ratio is not None:
+                in_f, out_f = mod["vh"].shape[1], mod["u"].shape[0]
+                k = preserve_rank(in_f, out_f, compression_ratio)
+                indices = np.asarray(select_topk(importance, k))
+            else:
+                assert threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
+                indices = np.asarray(adaptive_rank_selection(np.asarray(importance), threshold_ratio))
+
+            indices_dict[name] = indices
+            self.grasp_values_dict[name] = {
+                "svd_importance": np.round(np.asarray(importance), 3).tolist(),
+                "svd_value": np.round(np.asarray(s), 3).tolist(),
+            }
+
+        if verbose:
+            logger.info("+" * 100)
+            for name, idx in indices_dict.items():
+                logger.info("%s", name)
+                logger.info("%s", idx[:128].tolist())
+            logger.info("+" * 100)
+
+        self.indices_dict = indices_dict
+        self.indices_log.update(indices_dict)
+        return indices_dict
+
+    # ------------------------------------------------------------------
+    # Stage 5 — compile
+    # ------------------------------------------------------------------
+
+    def compile_grasp_model(
+        self,
+        indices_dict: Optional[Dict[str, np.ndarray]] = None,
+        merge: bool = False,
+        sigma_fuse: str = "UV",
+    ) -> None:
+        """Truncate kept triplets and materialize the compiled module.
+
+        Reference compile_grasp_model (modeling_grasp.py:423-469): low-rank
+        two-matmul module with sqrt(S) fused into both factors ("UV"), or a
+        merged dense kernel when merge=True.
+        """
+        if indices_dict is None:
+            indices_dict = self.indices_dict
+
+        for name, indices in indices_dict.items():
+            mod = self._get_proj(name)
+            u, s, vh = truncate_svd(mod["u"], mod["s"], mod["vh"], jnp.asarray(indices))
+            self.rank_dict[name] = int(s.shape[0])
+            bias = mod.get("bias")
+
+            if merge:
+                w = merge_svd(u, s, vh)  # [out, in]
+                new: Params = {"kernel": w.T}
+                if bias is not None:
+                    new["bias"] = bias
+                self._set_proj(name, new, "dense")
+            else:
+                in_kernel, out_kernel = lowrank_factors(u, s, vh, sigma_fuse)
+                new = {"in_kernel": in_kernel, "out_kernel": out_kernel}
+                if bias is not None:
+                    new["bias"] = bias
+                self._set_proj(name, new, "lowrank")
+
+    # ------------------------------------------------------------------
+    # Full pipeline
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        calibration_batches: Sequence[Batch],
+        cfg: GraspConfig,
+    ) -> Dict[str, Any]:
+        """End-to-end compression (reference grasp.py main(), :29-152).
+
+        Sequential mode replays the reference exactly: per redundant layer
+        (descending id), MLP block then attention block, each with its own
+        calibration grad sweep. Parallel mode SVD-ifies every target first and
+        does ONE sweep (TPU fast path; documented divergence — later layers
+        see uncompressed earlier layers during gradient collection).
+        """
+        t0 = time.time()
+        layers_id = cfg.layers_id
+        if layers_id is None:
+            importances, layers_id = self.compute_bi(
+                num_prune_layers=cfg.num_prune_layers,
+                calibration_batches=calibration_batches,
+                angular=cfg.angular,
+            )
+            logger.info("Layer importance measure by BI:\n%s", importances)
+        if isinstance(layers_id, int):
+            layers_id = [layers_id]
+        self.redundant_layers = list(layers_id)
+
+        layers_id = sorted(layers_id, reverse=True)
+        logger.info("=======> Start Compressing model with GRASP")
+
+        blocks = (
+            ("mlp", tuple(cfg.mlp_target_layer_types)),
+            ("attention", tuple(cfg.attn_target_layer_types)),
+        )
+
+        if cfg.sweep == "parallel":
+            skipped_all = True
+            for layer_id in layers_id:
+                for block_type, targets in blocks:
+                    skip = self.compress_block(layer_id, block_type, targets)
+                    skipped_all = skipped_all and bool(skip)
+            if not skipped_all:
+                grads = self.get_svdlayer_gradients(calibration_batches)
+                indices = self.dynamic_svd_selection(
+                    grads, metric=cfg.metric,
+                    compression_ratio=cfg.compression_ratio,
+                    threshold_ratio=cfg.threshold_ratio,
+                    verbose=cfg.verbose,
+                )
+                self.compile_grasp_model(indices, merge=cfg.merge, sigma_fuse=cfg.sigma_fuse)
+        else:
+            for layer_id in layers_id:
+                for block_type, targets in blocks:
+                    skip = self.compress_block(layer_id, block_type, targets)
+                    if skip:
+                        logger.info("=======> Skip Compressing This Block")
+                        continue
+                    grads = self.get_svdlayer_gradients(calibration_batches)
+                    indices = self.dynamic_svd_selection(
+                        grads, metric=cfg.metric,
+                        compression_ratio=cfg.compression_ratio,
+                        threshold_ratio=cfg.threshold_ratio,
+                        verbose=cfg.verbose,
+                    )
+                    self.compile_grasp_model(indices, merge=cfg.merge, sigma_fuse=cfg.sigma_fuse)
+
+        wall = time.time() - t0
+        logger.info("=======> Done! (%.1fs)", wall)
+        return {
+            "redundant_layers": self.redundant_layers,
+            "rank_dict": dict(self.rank_dict),
+            "layer_importances": list(self.layer_importances),
+            "wall_clock_s": wall,
+        }

@@ -1,0 +1,125 @@
+"""HF checkpoint interop: torch LlamaForCausalLM state_dict <-> param pytrees.
+
+Replaces the reference's reliance on ``AutoModelForCausalLM.from_pretrained``
+(grasp.py:54) for weight ingestion. Weights can come from:
+
+  - an in-memory torch model / state_dict (used by the golden parity tests),
+  - a local HF checkpoint directory (pytorch_model.bin / *.safetensors),
+
+and are converted to this framework's JAX pytree layout (kernels transposed to
+[in, out]). No network access is required or attempted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import ATTN_PROJS, MLP_PROJS
+
+
+def config_from_hf(hf_config: Any) -> ModelConfig:
+    """Build a ModelConfig from an HF LlamaConfig/MistralConfig-like object."""
+    get = lambda k, d=None: getattr(hf_config, k, d)
+    return ModelConfig(
+        vocab_size=get("vocab_size"),
+        hidden_size=get("hidden_size"),
+        intermediate_size=get("intermediate_size"),
+        num_hidden_layers=get("num_hidden_layers"),
+        num_attention_heads=get("num_attention_heads"),
+        num_key_value_heads=get("num_key_value_heads", get("num_attention_heads")),
+        head_dim=get("head_dim", None),
+        max_position_embeddings=get("max_position_embeddings", 4096),
+        rope_theta=float(get("rope_theta", 10000.0)),
+        rms_norm_eps=float(get("rms_norm_eps", 1e-5)),
+        tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+        attention_bias=bool(get("attention_bias", False)),
+        mlp_bias=bool(get("mlp_bias", False)),
+    )
+
+
+def config_from_dir(path: str) -> ModelConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+
+    class _NS:
+        def __init__(self, d):
+            self.__dict__.update(d)
+
+    return config_from_hf(_NS(cfg))
+
+
+def _to_np(t) -> np.ndarray:
+    try:  # torch tensor
+        return t.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(t, dtype=np.float32)
+
+
+def params_from_state_dict(state_dict: Dict[str, Any], config: ModelConfig, dtype=np.float32) -> Dict[str, Any]:
+    """Convert an HF Llama state_dict to this framework's pytree.
+
+    HF stores projection weights [out, in] (y = x W^T); we store JAX-layout
+    kernels [in, out], so each projection weight is transposed once here.
+    """
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+
+    def kernel(name):
+        p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T.astype(dtype))}
+        if f"{name}.bias" in sd:
+            p["bias"] = sd[f"{name}.bias"].astype(dtype)
+        return p
+
+    layers = []
+    for li in range(config.num_hidden_layers):
+        base = f"model.layers.{li}"
+        layers.append(
+            {
+                "input_layernorm": {"weight": sd[f"{base}.input_layernorm.weight"].astype(dtype)},
+                "post_attention_layernorm": {
+                    "weight": sd[f"{base}.post_attention_layernorm.weight"].astype(dtype)
+                },
+                "self_attn": {p: kernel(f"{base}.self_attn.{p}") for p in ATTN_PROJS},
+                "mlp": {p: kernel(f"{base}.mlp.{p}") for p in MLP_PROJS},
+            }
+        )
+
+    params = {
+        "embed_tokens": {"weight": sd["model.embed_tokens.weight"].astype(dtype)},
+        "layers": layers,
+        "norm": {"weight": sd["model.norm.weight"].astype(dtype)},
+    }
+    if not config.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": np.ascontiguousarray(sd["lm_head.weight"].T.astype(dtype))}
+    return params
+
+
+def load_hf_checkpoint(path: str, dtype=np.float32):
+    """Load (config, params) from a local HF checkpoint directory."""
+    config = config_from_dir(path)
+    state_dict: Dict[str, Any] = {}
+
+    st_files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    bin_files = sorted(
+        f for f in os.listdir(path) if f.startswith("pytorch_model") and f.endswith(".bin")
+    )
+    if st_files:
+        from safetensors import safe_open  # available via transformers dep
+
+        for fname in st_files:
+            with safe_open(os.path.join(path, fname), framework="np") as f:
+                for k in f.keys():
+                    state_dict[k] = f.get_tensor(k)
+    elif bin_files:
+        import torch
+
+        for fname in bin_files:
+            state_dict.update(torch.load(os.path.join(path, fname), map_location="cpu", weights_only=True))
+    else:
+        raise FileNotFoundError(f"no safetensors/bin weights found under {path}")
+
+    return config, params_from_state_dict(state_dict, config, dtype=dtype)

@@ -1,0 +1,412 @@
+"""LLaMA-family causal LM in pure functional JAX with projection overrides.
+
+TPU-native re-design of the compute substrate the reference gets from
+HF transformers (LlamaForCausalLM): immutable parameter pytrees + a static
+per-layer *plan* that says, for each of the seven projections
+(q/k/v/o, gate/up/down), whether it is
+
+  - ``dense``   — ordinary [in, out] kernel,
+  - ``svd``     — full SVD factors (U, S, Vh) with *S* the only trainable
+                  leaf (reference GRASPLayer, modeling_grasp.py:62-79), or
+  - ``lowrank`` — compiled two-matmul low-rank module (reference SVDLinear,
+                  modeling_grasp.py:25-59).
+
+"Replacing a layer" (reference ``_set_module`` swap, modeling_grasp.py:218-236)
+becomes swapping a leaf subtree in the params pytree plus flipping the plan
+entry — the forward function is pure and jit-compiles per unique plan.
+
+Numerics follow HF LlamaForCausalLM exactly (RMSNorm in fp32, rotary embedding
+with rotate_half, GQA via KV repeat, fp32 softmax) so fp32 parity against the
+torch reference is testable on CPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.ops.lowrank import dense_apply, lowrank_apply, svd_apply
+
+Params = Dict[str, Any]
+
+ATTN_PROJS: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
+MLP_PROJS: Tuple[str, ...] = ("gate_proj", "up_proj", "down_proj")
+PROJ_ORDER: Tuple[str, ...] = ATTN_PROJS + MLP_PROJS
+
+# A layer plan is a 7-tuple of kinds in PROJ_ORDER; a model plan is a tuple of
+# layer plans. Both are hashable => usable as jit static arguments.
+LayerPlan = Tuple[str, ...]
+ModelPlan = Tuple[LayerPlan, ...]
+
+DENSE, SVD, LOWRANK = "dense", "svd", "lowrank"
+
+
+def default_plan(config: ModelConfig) -> ModelPlan:
+    return tuple(tuple(DENSE for _ in PROJ_ORDER) for _ in range(config.num_hidden_layers))
+
+
+def plan_set(plan: ModelPlan, layer_id: int, proj: str, kind: str) -> ModelPlan:
+    """Return a new plan with one projection's kind changed."""
+    i = PROJ_ORDER.index(proj)
+    layer = list(plan[layer_id])
+    layer[i] = kind
+    return plan[:layer_id] + (tuple(layer),) + plan[layer_id + 1 :]
+
+
+def plan_kind(plan: ModelPlan, layer_id: int, proj: str) -> str:
+    return plan[layer_id][PROJ_ORDER.index(proj)]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _proj_shapes(config: ModelConfig) -> Dict[str, Tuple[int, int]]:
+    d, f = config.hidden_size, config.intermediate_size
+    return {
+        "q_proj": (d, config.q_dim),
+        "k_proj": (d, config.kv_dim),
+        "v_proj": (d, config.kv_dim),
+        "o_proj": (config.q_dim, d),
+        "gate_proj": (d, f),
+        "up_proj": (d, f),
+        "down_proj": (f, d),
+    }
+
+
+def init_params(rng: jax.Array, config: ModelConfig, scale: float = 0.02) -> Params:
+    """Random-normal init (HF default std 0.02); all projections dense."""
+    dtype = jnp.dtype(config.dtype)
+    shapes = _proj_shapes(config)
+    keys = jax.random.split(rng, config.num_hidden_layers + 2)
+
+    def proj(key, name, with_bias):
+        in_f, out_f = shapes[name]
+        p = {"kernel": (jax.random.normal(key, (in_f, out_f), jnp.float32) * scale).astype(dtype)}
+        if with_bias:
+            p["bias"] = jnp.zeros((out_f,), dtype)
+        return p
+
+    layers = []
+    for li in range(config.num_hidden_layers):
+        lk = jax.random.split(keys[li], 7)
+        layers.append(
+            {
+                "input_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
+                "post_attention_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
+                "self_attn": {
+                    name: proj(lk[j], name, config.attention_bias)
+                    for j, name in enumerate(ATTN_PROJS)
+                },
+                "mlp": {
+                    name: proj(lk[4 + j], name, config.mlp_bias)
+                    for j, name in enumerate(MLP_PROJS)
+                },
+            }
+        )
+
+    embed = (jax.random.normal(keys[-2], (config.vocab_size, config.hidden_size), jnp.float32) * scale).astype(dtype)
+    params: Params = {
+        "embed_tokens": {"weight": embed},
+        "layers": layers,
+        "norm": {"weight": jnp.ones((config.hidden_size,), dtype)},
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {
+            "kernel": (
+                jax.random.normal(keys[-1], (config.hidden_size, config.vocab_size), jnp.float32) * scale
+            ).astype(dtype)
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """HF LlamaRMSNorm: fp32 variance, scale applied after cast-back."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (weight.astype(jnp.float32) * xf).astype(dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for rotary embedding, HF convention (duplicated freqs)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., S, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """q, k: [B, n_heads, S, hd]; cos/sin: [B, S, hd] (or broadcastable)."""
+    cos = cos[:, None, :, :].astype(q.dtype)
+    sin = sin[:, None, :, :].astype(q.dtype)
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q, k
+
+
+def proj_apply(x: jax.Array, p: Params, kind: str) -> jax.Array:
+    bias = p.get("bias")
+    if kind == DENSE:
+        return dense_apply(x, p["kernel"], bias)
+    if kind == SVD:
+        return svd_apply(x, p["u"], p["s"], p["vh"], bias)
+    if kind == LOWRANK:
+        return lowrank_apply(x, p["in_kernel"], p["out_kernel"], bias)
+    raise ValueError(f"unknown projection kind {kind!r}")
+
+
+def _attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    num_kv_groups: int,
+) -> jax.Array:
+    """Scaled-dot-product attention with GQA KV repeat and fp32 softmax.
+
+    q: [B, nh, S, hd], k/v: [B, nkv, T, hd], mask: [B, 1, S, T] additive.
+    """
+    if num_kv_groups > 1:
+        k = jnp.repeat(k, num_kv_groups, axis=1)
+        v = jnp.repeat(v, num_kv_groups, axis=1)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=q.dtype)
+
+
+def _layer_forward(
+    lp: Params,
+    layer_plan: LayerPlan,
+    h: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    config: ModelConfig,
+    kv: Optional[Dict[str, jax.Array]] = None,
+    cache_index: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    b, s, d = h.shape
+    nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
+
+    kinds = dict(zip(PROJ_ORDER, layer_plan))
+
+    # --- self attention ---
+    x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+    ap = lp["self_attn"]
+    q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = proj_apply(x, ap["v_proj"], kinds["v_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if kv is not None:
+        # decode/prefill with cache: write current k/v at cache_index
+        k_cache = jax.lax.dynamic_update_slice(kv["k"], k.astype(kv["k"].dtype), (0, 0, cache_index, 0))
+        v_cache = jax.lax.dynamic_update_slice(kv["v"], v.astype(kv["v"].dtype), (0, 0, cache_index, 0))
+        kv = {"k": k_cache, "v": v_cache}
+        k, v = k_cache, v_cache
+
+    attn = _attention(q, k, v, mask, nh // nkv)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+    h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+
+    # --- mlp ---
+    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    mp = lp["mlp"]
+    gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
+    up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
+    h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+    return h, kv
+
+
+def _causal_mask(s: int, t: int, offset: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask [1, 1, s, t]; query i attends keys <= i + offset."""
+    qi = jnp.arange(s)[:, None] + offset
+    ki = jnp.arange(t)[None, :]
+    allow = ki <= qi
+    return jnp.where(allow, 0.0, jnp.finfo(dtype).min).astype(dtype)[None, None]
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    input_ids: jax.Array,
+    *,
+    config: ModelConfig,
+    plan: Optional[ModelPlan] = None,
+    attention_mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    output_hidden_states: bool = False,
+    remat: bool = False,
+) -> Dict[str, Any]:
+    """Full-sequence forward pass.
+
+    Returns dict with "logits" [B, S, V] and, if requested, "hidden_states":
+    a list of L+1 arrays matching HF semantics exactly — entries 0..L-1 are the
+    inputs to each decoder layer (entry 0 = embedding output) and the final
+    entry is the *final-norm applied* output of the last layer. The reference's
+    block-influence consumes this exact tuple (modeling_grasp.py:180-183).
+    """
+    if plan is None:
+        plan = default_plan(config)
+    b, s = input_ids.shape
+    h = params["embed_tokens"]["weight"][input_ids]
+
+    if positions is None:
+        positions = jnp.arange(s)[None, :].repeat(b, axis=0)
+    cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+
+    mask = _causal_mask(s, s, 0)
+    if attention_mask is not None:
+        pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min)
+        mask = mask + pad
+
+    hidden_states: List[jax.Array] = []
+
+    for li in range(config.num_hidden_layers):
+        if output_hidden_states:
+            hidden_states.append(h)
+        layer_fn = lambda lp, h_, cos_, sin_, mask_, _plan=plan[li]: _layer_forward(
+            lp, _plan, h_, cos_, sin_, mask_, config
+        )[0]
+        if remat:
+            layer_fn = jax.checkpoint(layer_fn)
+        h = layer_fn(params["layers"][li], h, cos, sin, mask)
+
+    h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+    if output_hidden_states:
+        hidden_states.append(h)
+
+    if config.tie_word_embeddings:
+        logits = jnp.dot(h, params["embed_tokens"]["weight"].T, preferred_element_type=h.dtype)
+    else:
+        logits = dense_apply(h, params["lm_head"]["kernel"])
+
+    out: Dict[str, Any] = {"logits": logits}
+    if output_hidden_states:
+        out["hidden_states"] = hidden_states
+    return out
+
+
+def hf_causal_lm_loss(logits: jax.Array, labels: jax.Array, ignore_index: int = -100) -> jax.Array:
+    """HF CausalLM loss: internally shift logits[:-1] vs labels[1:], mean CE.
+
+    NOTE the calibration loader *pre-shifts* labels one step (reference
+    dataset/loader.py:33-36, 54-56) and HF shifts again here — the effective
+    "predict t+2" objective is a reference quirk we replicate faithfully for
+    parity (SURVEY.md §2 component 7).
+    """
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache generation
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(config: ModelConfig, batch: int, max_len: int, dtype=None) -> List[Dict[str, jax.Array]]:
+    dtype = dtype or jnp.dtype(config.dtype)
+    nkv, hd = config.num_key_value_heads, config.head_dim_
+    return [
+        {
+            "k": jnp.zeros((batch, nkv, max_len, hd), dtype),
+            "v": jnp.zeros((batch, nkv, max_len, hd), dtype),
+        }
+        for _ in range(config.num_hidden_layers)
+    ]
+
+
+def _forward_with_cache(
+    params: Params,
+    input_ids: jax.Array,
+    cache: List[Dict[str, jax.Array]],
+    cache_index: jax.Array,
+    *,
+    config: ModelConfig,
+    plan: ModelPlan,
+    length_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+    """Run `s` tokens through the model, writing KV at [cache_index, ...).
+
+    length_mask: optional [B, T] validity of cache slots (for left-padded
+    prompts); combined with causality against absolute positions.
+    """
+    b, s = input_ids.shape
+    t = cache[0]["k"].shape[2]
+    h = params["embed_tokens"]["weight"][input_ids]
+
+    positions = (jnp.arange(s)[None, :] + cache_index).repeat(b, axis=0)
+    cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+
+    mask = _causal_mask(s, t, 0)
+    # queries sit at absolute positions cache_index + arange(s)
+    qi = jnp.arange(s)[:, None] + cache_index
+    ki = jnp.arange(t)[None, :]
+    allow = ki <= qi
+    mask = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    if length_mask is not None:
+        pad = jnp.where(length_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min)
+        mask = mask + pad
+
+    new_cache = []
+    for li in range(config.num_hidden_layers):
+        h, kv = _layer_forward(
+            params["layers"][li], plan[li], h, cos, sin, mask, config,
+            kv=cache[li], cache_index=cache_index,
+        )
+        new_cache.append(kv)
+
+    h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+    if config.tie_word_embeddings:
+        logits = jnp.dot(h, params["embed_tokens"]["weight"].T, preferred_element_type=h.dtype)
+    else:
+        logits = dense_apply(h, params["lm_head"]["kernel"])
+    return logits, new_cache
+
+
+def prefill(params, input_ids, cache, *, config, plan, length_mask=None):
+    """Process the whole prompt at cache position 0. Returns (logits, cache)."""
+    return _forward_with_cache(
+        params, input_ids, cache, jnp.asarray(0, jnp.int32),
+        config=config, plan=plan, length_mask=length_mask,
+    )
+
+
+def decode_step(params, token_ids, cache, cache_index, *, config, plan, length_mask=None):
+    """One-token decode: token_ids [B, 1], cache_index scalar int32."""
+    return _forward_with_cache(
+        params, token_ids, cache, cache_index,
+        config=config, plan=plan, length_mask=length_mask,
+    )

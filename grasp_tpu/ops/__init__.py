@@ -1,0 +1,10 @@
+from grasp_tpu.ops.saliency import (  # noqa: F401
+    block_influence,
+    bi_from_hiddens,
+    adaptive_rank_selection,
+    preserve_rank,
+    svd_saliency,
+    select_topk,
+)
+from grasp_tpu.ops.svd import svd, truncate_svd, lowrank_factors, merge_svd  # noqa: F401
+from grasp_tpu.ops.lowrank import lowrank_apply, svd_apply  # noqa: F401

@@ -1,0 +1,133 @@
+"""SVD / low-rank compilation tests: exactness, fusion parity vs reference."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+import jax.numpy as jnp
+import torch
+
+from grasp_tpu.ops.lowrank import lowrank_apply, svd_apply
+from grasp_tpu.ops.svd import lowrank_factors, merge_svd, svd, truncate_svd
+
+
+def test_full_rank_reconstruction_exact(rng):
+    w = rng.standard_normal((48, 32)).astype(np.float32)
+    u, s, vh = svd(jnp.asarray(w), method="device")
+    rec = np.asarray(merge_svd(u, s, vh))
+    np.testing.assert_allclose(rec, w, rtol=1e-4, atol=1e-5)
+
+
+def test_host_and_device_svd_agree_on_singular_values(rng):
+    w = rng.standard_normal((32, 48)).astype(np.float32)
+    _, s_dev, _ = svd(jnp.asarray(w), method="device")
+    _, s_host, _ = svd(jnp.asarray(w), method="host")
+    np.testing.assert_allclose(np.asarray(s_dev), np.asarray(s_host), rtol=1e-4, atol=1e-5)
+
+
+def test_batched_svd_nonsquare_gqa_shapes(rng):
+    # k_proj of a GQA model: [kv_dim, hidden] non-square (SURVEY.md §2 table)
+    ws = rng.standard_normal((4, 16, 64)).astype(np.float32)
+    u, s, vh = svd(jnp.asarray(ws), method="device")
+    rec = np.asarray(merge_svd(u, s, vh))
+    np.testing.assert_allclose(rec, ws, rtol=1e-4, atol=1e-5)
+    assert u.shape == (4, 16, 16) and s.shape == (4, 16) and vh.shape == (4, 16, 64)
+
+
+def test_singular_values_match_torch(rng):
+    w = rng.standard_normal((40, 24)).astype(np.float32)
+    _, s_ours, _ = svd(jnp.asarray(w), method="host")
+    _, s_torch, _ = torch.linalg.svd(torch.from_numpy(w), full_matrices=False)
+    np.testing.assert_allclose(np.asarray(s_ours), s_torch.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_truncate_preserves_index_order(rng):
+    w = rng.standard_normal((16, 16)).astype(np.float32)
+    u, s, vh = svd(jnp.asarray(w), method="host")
+    idx = jnp.asarray([5, 2, 9])
+    ut, st, vht = truncate_svd(u, s, vh, idx)
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(s)[[5, 2, 9]])
+    np.testing.assert_array_equal(np.asarray(ut), np.asarray(u)[:, [5, 2, 9]])
+    np.testing.assert_array_equal(np.asarray(vht), np.asarray(vh)[[5, 2, 9], :])
+
+
+def test_lowrank_factors_match_reference_svdlinear(rng):
+    """sigma_fuse='UV' fusion must match reference SVDLinear weight init."""
+    import modeling_grasp as ref_mod
+
+    w = rng.standard_normal((24, 40)).astype(np.float32)
+    u, s, vh = torch.linalg.svd(torch.from_numpy(w), full_matrices=False)
+    keep = [0, 3, 7, 1]
+    u_k, s_k, vh_k = u[:, keep], s[keep], vh[keep, :]
+
+    ref_layer = ref_mod.SVDLinear(U=u_k, S=s_k, Vh=vh_k, bias=None, sigma_fuse="UV")
+    in_kernel, out_kernel = lowrank_factors(
+        jnp.asarray(u_k.numpy()), jnp.asarray(s_k.numpy()), jnp.asarray(vh_k.numpy()), "UV"
+    )
+    # reference InLinear.weight = sqrt(S) * Vh  ([r, in]); ours is its transpose
+    np.testing.assert_allclose(
+        np.asarray(in_kernel), ref_layer.InLinear.weight.detach().numpy().T, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_kernel), ref_layer.OutLinear.weight.detach().numpy().T, rtol=1e-5, atol=1e-6
+    )
+
+    # end-to-end forward parity
+    x = rng.standard_normal((2, 3, 40)).astype(np.float32)
+    y_ref = ref_layer(torch.from_numpy(x)).detach().numpy()
+    y_ours = np.asarray(lowrank_apply(jnp.asarray(x), in_kernel, out_kernel))
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_svd_apply_matches_reference_grasplayer(rng):
+    """Trainable-S forward (no W materialization) == reference GRASPLayer."""
+    import modeling_grasp as ref_mod
+
+    w = rng.standard_normal((24, 40)).astype(np.float32)
+    u, s, vh = torch.linalg.svd(torch.from_numpy(w), full_matrices=False)
+    ref_layer = ref_mod.GRASPLayer(U=u, S=s, Vh=vh, bias=None, compression_ratio=None)
+
+    x = rng.standard_normal((2, 3, 40)).astype(np.float32)
+    y_ref = ref_layer(torch.from_numpy(x)).detach().numpy()
+    y_ours = np.asarray(
+        svd_apply(jnp.asarray(x), jnp.asarray(u.numpy()), jnp.asarray(s.numpy()), jnp.asarray(vh.numpy()))
+    )
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_svd_apply_gradient_wrt_s_matches_torch(rng):
+    """dL/dS of our factored forward == torch autograd through W = U diag(S) Vh."""
+    import jax
+
+    w = rng.standard_normal((16, 20)).astype(np.float32)
+    u_t, s_t, vh_t = torch.linalg.svd(torch.from_numpy(w), full_matrices=False)
+    x = rng.standard_normal((2, 4, 20)).astype(np.float32)
+
+    # torch: reconstruct W and take loss = sum(y^2)
+    s_param = s_t.clone().requires_grad_(True)
+    w_rec = u_t @ torch.diag(s_param) @ vh_t
+    y = torch.from_numpy(x).reshape(-1, 20) @ w_rec.t()
+    loss = (y ** 2).sum()
+    loss.backward()
+    grad_torch = s_param.grad.numpy()
+
+    def loss_fn(s):
+        y = svd_apply(jnp.asarray(x), jnp.asarray(u_t.numpy()), s, jnp.asarray(vh_t.numpy()))
+        return jnp.sum(y ** 2)
+
+    grad_ours = np.asarray(jax.grad(loss_fn)(jnp.asarray(s_t.numpy())))
+    np.testing.assert_allclose(grad_ours, grad_torch, rtol=1e-3, atol=1e-3)
+
+
+def test_merge_mode_matches_reference_compile(rng):
+    w = rng.standard_normal((16, 16)).astype(np.float32)
+    u, s, vh = torch.linalg.svd(torch.from_numpy(w), full_matrices=False)
+    keep = [0, 1, 2, 5]
+    w_ref = (u[:, keep] @ torch.diag(s[keep]) @ vh[keep, :]).numpy()
+    w_ours = np.asarray(
+        merge_svd(jnp.asarray(u[:, keep].numpy()), jnp.asarray(s[keep].numpy()), jnp.asarray(vh[keep, :].numpy()))
+    )
+    np.testing.assert_allclose(w_ours, w_ref, rtol=1e-5, atol=1e-6)
