@@ -26,7 +26,20 @@ import numpy as np
 
 
 def _host_svd(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    u, s, vh = np.linalg.svd(w, full_matrices=False)
+    """Batched LAPACK SVD on host, thread-parallel across the batch dim
+    (gesdd releases the GIL, so a pool overlaps the per-matrix factorizations)."""
+    if w.ndim == 2:
+        u, s, vh = np.linalg.svd(w, full_matrices=False)
+        return u.astype(w.dtype), s.astype(w.dtype), vh.astype(w.dtype)
+    from concurrent.futures import ThreadPoolExecutor
+
+    mats = w.reshape((-1,) + w.shape[-2:])
+    with ThreadPoolExecutor(max_workers=min(len(mats), 8)) as pool:
+        results = list(pool.map(lambda m: np.linalg.svd(m, full_matrices=False), mats))
+    k = min(w.shape[-2], w.shape[-1])
+    u = np.stack([r[0] for r in results]).reshape(w.shape[:-2] + (w.shape[-2], k))
+    s = np.stack([r[1] for r in results]).reshape(w.shape[:-2] + (k,))
+    vh = np.stack([r[2] for r in results]).reshape(w.shape[:-2] + (k, w.shape[-1]))
     return u.astype(w.dtype), s.astype(w.dtype), vh.astype(w.dtype)
 
 
@@ -56,12 +69,19 @@ def svd(
         return u, s, vh
 
     if method == "host":
-        result_shape = (
-            jax.ShapeDtypeStruct(w.shape[:-2] + (out_f, k), jnp.float32),
-            jax.ShapeDtypeStruct(w.shape[:-2] + (k,), jnp.float32),
-            jax.ShapeDtypeStruct(w.shape[:-2] + (k, in_f), jnp.float32),
-        )
-        return jax.pure_callback(_host_svd, result_shape, w, vmap_method="sequential")
+        if isinstance(w, jax.core.Tracer):
+            # inside a jit trace: must go through the callback mechanism.
+            # NOTE: unsupported on the axon TPU runtime — call svd eagerly
+            # (compress_block does) so this path stays CPU-only.
+            result_shape = (
+                jax.ShapeDtypeStruct(w.shape[:-2] + (out_f, k), jnp.float32),
+                jax.ShapeDtypeStruct(w.shape[:-2] + (k,), jnp.float32),
+                jax.ShapeDtypeStruct(w.shape[:-2] + (k, in_f), jnp.float32),
+            )
+            return jax.pure_callback(_host_svd, result_shape, w, vmap_method="sequential")
+        # eager: fetch to host, LAPACK (thread-parallel over the batch), return
+        u, s, vh = _host_svd(np.asarray(jax.device_get(w)))
+        return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vh)
 
     raise ValueError(f"unknown svd method {method!r}")
 

@@ -1,0 +1,8 @@
+from grasp_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    param_specs,
+    batch_spec,
+    shard_params,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,133 @@
+"""Device mesh + sharding rules — a first-class NEW component.
+
+The reference has **no** parallelism (SURVEY.md §2: single-GPU pinning only,
+no NCCL/MPI/Gloo anywhere). On TPU, scale comes from `jax.sharding.Mesh` over
+ICI with XLA-inserted collectives, not from a comms library:
+
+  - mesh axes ``("data", "model")``: calibration/recovery batches shard over
+    ``data``; the transformer's dense projections shard Megatron-style over
+    ``model`` (column-parallel q/k/v/gate/up, row-parallel o/down) so each
+    attention+MLP pair needs exactly one psum, which XLA inserts from the
+    NamedShardings — no hand-written collectives.
+  - vocab embedding and lm_head shard over ``model`` (vocab-parallel).
+  - SVD / low-rank modules are replicated: after compression they are small by
+    construction (rank k ~= in*out*(1-ratio)/(in+out)), and replication keeps
+    rank dimensions free of divisibility constraints.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh` (DCN across
+slices, ICI within — standard JAX; nothing framework-specific needed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import ATTN_PROJS, MLP_PROJS, ModelPlan, Params, default_plan
+
+DATA_AXIS, MODEL_AXIS = "data", "model"
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
+    """Build a ("data", "model") mesh.
+
+    shape=None uses all visible devices as (n_devices, 1) — pure data parallel.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices), 1)
+    d, m = shape
+    if d * m != len(devices):
+        raise ValueError(f"mesh shape {shape} incompatible with {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(d, m)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Sharding rules
+# ---------------------------------------------------------------------------
+
+_DENSE_SPECS = {
+    # column-parallel (output dim sharded)
+    "q_proj": P(None, MODEL_AXIS),
+    "k_proj": P(None, MODEL_AXIS),
+    "v_proj": P(None, MODEL_AXIS),
+    "gate_proj": P(None, MODEL_AXIS),
+    "up_proj": P(None, MODEL_AXIS),
+    # row-parallel (input dim sharded -> psum on output)
+    "o_proj": P(MODEL_AXIS, None),
+    "down_proj": P(MODEL_AXIS, None),
+}
+
+_BIAS_SPECS = {
+    "q_proj": P(MODEL_AXIS),
+    "k_proj": P(MODEL_AXIS),
+    "v_proj": P(MODEL_AXIS),
+    "gate_proj": P(MODEL_AXIS),
+    "up_proj": P(MODEL_AXIS),
+    "o_proj": P(None),
+    "down_proj": P(None),
+}
+
+
+def _proj_spec(proj_name: str, proj_params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpecs for one projection's params, keyed like the params."""
+    specs: Dict[str, Any] = {}
+    for key in proj_params:
+        if key == "kernel":
+            specs[key] = _DENSE_SPECS[proj_name]
+        elif key == "bias":
+            specs[key] = _BIAS_SPECS[proj_name]
+        else:
+            # svd (u/s/vh) and lowrank (in_kernel/out_kernel) factors: replicate
+            # (small post-compression; avoids rank-dim divisibility issues)
+            specs[key] = P()
+    return specs
+
+
+def param_specs(params: Params, config: ModelConfig) -> Params:
+    """A pytree of PartitionSpec congruent to `params`."""
+    layers = []
+    for layer in params["layers"]:
+        lspec: Dict[str, Any] = {
+            "input_layernorm": {"weight": P()},
+            "post_attention_layernorm": {"weight": P()},
+            "self_attn": {p: _proj_spec(p, layer["self_attn"][p]) for p in ATTN_PROJS},
+            "mlp": {p: _proj_spec(p, layer["mlp"][p]) for p in MLP_PROJS},
+        }
+        layers.append(lspec)
+    specs: Params = {
+        "embed_tokens": {"weight": P(MODEL_AXIS, None)},
+        "layers": layers,
+        "norm": {"weight": P()},
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = {"kernel": P(None, MODEL_AXIS)}
+    return specs
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS, None)
+
+
+def shard_params(params: Params, mesh: Mesh, config: ModelConfig) -> Params:
+    """Place a params pytree on the mesh per the TP/replication rules."""
+    specs = param_specs(params, config)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
+    sharding = NamedSharding(mesh, batch_spec())
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
