@@ -141,6 +141,14 @@ class GraspConfig:
     # ONE calibration sweep (TPU-friendly fast path).
     sweep: str = "sequential"
 
+    # gradient collection: "dense" differentiates w.r.t. the dense kernels and
+    # projects onto singular directions (dL/ds_i = u_i^T dL/dW v_i) — the host
+    # SVD overlaps the TPU sweep and the model is untouched during gradient
+    # collection (fewer recompiles). "svd" is the reference-literal path
+    # (swap in full-SVD modules with trainable S first). Selected indices are
+    # identical (validated in tests/test_engine_golden.py).
+    grad_mode: str = "dense"
+
     # recovery (GRASP*)
     recovery: bool = False
     data_path: str = "yahma/alpaca-cleaned"

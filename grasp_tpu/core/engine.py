@@ -58,7 +58,13 @@ from grasp_tpu.ops.saliency import (
     select_topk,
     svd_saliency,
 )
-from grasp_tpu.ops.svd import lowrank_factors, merge_svd, svd, truncate_svd
+from grasp_tpu.ops.svd import (
+    lowrank_factors,
+    merge_svd,
+    sigma_gradients,
+    svd,
+    truncate_svd,
+)
 
 logger = logging.getLogger("grasp_tpu")
 
@@ -320,6 +326,167 @@ class GraspEngine:
         return totals
 
     # ------------------------------------------------------------------
+    # Stage 3b — dense-gradient fast path (TPU-native)
+    # ------------------------------------------------------------------
+    #
+    # Mathematically identical alternative to compress_block +
+    # get_svdlayer_gradients: with W = U diag(S) Vh the chain rule gives
+    # dL/dsigma_i = u_i^T (dL/dW) vh_i, so the sweep can differentiate w.r.t.
+    # the *dense* kernels (model untouched -> no plan change during the sweep)
+    # while the host SVD runs concurrently in a worker thread; sigma-gradients
+    # are then projected on the MXU (ops.svd.sigma_gradients). Validated
+    # bit-for-bit on selected indices against the reference path in
+    # tests/test_engine_golden.py.
+
+    def _make_dense_grad_fn(self, plan: ModelPlan):
+        config, remat = self.config, self.remat
+
+        def loss_from_kernels(k_dict: Dict[str, jax.Array], params: Params, input_ids, attention_mask, labels):
+            layers = list(params["layers"])
+            for name, kern in k_dict.items():
+                li, group, proj = parse_module_name(name)
+                layer = dict(layers[li])
+                grp = dict(layer[group])
+                mod = dict(grp[proj])
+                mod["kernel"] = kern
+                grp[proj] = mod
+                layer[group] = grp
+                layers[li] = layer
+            params = {**params, "layers": layers}
+            logits = forward(
+                params, input_ids, config=config, plan=plan,
+                attention_mask=attention_mask, remat=remat,
+            )["logits"]
+            return hf_causal_lm_loss(logits, labels)
+
+        return jax.jit(jax.value_and_grad(loss_from_kernels))
+
+    def get_dense_gradients(
+        self, names: List[str], calibration_batches: Iterable[Batch]
+    ) -> Dict[str, jax.Array]:
+        """Sum over batches of dL/d(kernel) for the named dense projections."""
+        for n in names:
+            if "kernel" not in self._get_proj(n):
+                raise ValueError(f"{n} is not a dense projection")
+        key = ("dgrad", self.plan)
+        if key not in self._grad_fns:
+            self._grad_fns[key] = self._make_dense_grad_fn(self.plan)
+        grad_fn = self._grad_fns[key]
+
+        k_dict = {n: self._get_proj(n)["kernel"] for n in names}
+        totals: Dict[str, jax.Array] = {}
+        for batch in calibration_batches:
+            _, grads = grad_fn(
+                k_dict, self.params, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
+            )
+            for n, g in grads.items():
+                totals[n] = g if n not in totals else totals[n] + g
+        return totals
+
+    def _svd_of_dense(self, names: List[str]) -> Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]:
+        """Host SVD of the named dense kernels (torch [out,in] layout), grouped
+        by shape for batched factorization."""
+        by_shape: Dict[Tuple[int, int], List[str]] = {}
+        for n in names:
+            kernel = self._get_proj(n)["kernel"]
+            by_shape.setdefault(tuple(kernel.shape), []).append(n)
+        out: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
+        for shape, group in by_shape.items():
+            stack = jnp.stack([self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in group])
+            u, s, vh = svd(stack, method=self.svd_method)
+            for i, n in enumerate(group):
+                out[n] = (u[i], s[i], vh[i])
+        return out
+
+    def compress_round(
+        self,
+        layer_id: int,
+        block_type: str,
+        target_layer_types: Optional[Union[List[str], str]],
+        calibration_batches: Sequence[Batch],
+        cfg: GraspConfig,
+        svd_future=None,
+    ) -> bool:
+        """One (layer, block) compression round via the dense-gradient path,
+        with the host SVD overlapped with the TPU gradient sweep.
+
+        svd_future: optional concurrent.futures.Future resolving to
+        {name: (u, s, vh)} — supplied by run()'s cross-round prefetcher (every
+        SVD factors *original* dense weights, so they can all start at t=0)."""
+        import threading
+
+        if target_layer_types is None:
+            return True
+        defaults = list(ATTN_PROJS) if block_type == "attention" else list(MLP_PROJS)
+        if block_type not in ("attention", "mlp"):
+            raise NotImplementedError(f"block type {block_type} not supported")
+        targets = list(target_layer_types) if target_layer_types else defaults
+        if not all(t in defaults for t in targets):
+            raise ValueError(f"values in target layer types not valid, should be one of {defaults}")
+
+        names = [module_name(layer_id, p) for p in targets]
+
+        if svd_future is not None:
+            grads = self.get_dense_gradients(names, calibration_batches)
+            svd_out = svd_future.result()
+        else:
+            svd_out = {}
+            err: List[BaseException] = []
+
+            def _worker():
+                try:
+                    svd_out.update(self._svd_of_dense(names))
+                except BaseException as e:  # surfaced after join
+                    err.append(e)
+
+            th = threading.Thread(target=_worker)
+            th.start()
+            grads = self.get_dense_gradients(names, calibration_batches)
+            th.join()
+            if err:
+                raise err[0]
+
+        indices_dict: Dict[str, np.ndarray] = {}
+        for n in names:
+            u, s, vh = svd_out[n]
+            grad_w = grads[n].T  # dL/dkernel [in,out] -> torch-layout dL/dW [out,in]
+            sg = sigma_gradients(u, vh, grad_w)
+            importance = svd_saliency(sg, s, cfg.metric)
+            if cfg.compression_ratio is not None:
+                k = preserve_rank(vh.shape[1], u.shape[0], cfg.compression_ratio)
+                indices = np.asarray(select_topk(importance, k))
+            else:
+                assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
+                indices = np.asarray(adaptive_rank_selection(np.asarray(importance), cfg.threshold_ratio))
+            indices_dict[n] = indices
+            self.grasp_values_dict[n] = {
+                "svd_importance": np.round(np.asarray(importance), 3).tolist(),
+                "svd_value": np.round(np.asarray(s), 3).tolist(),
+            }
+
+            ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
+            self.rank_dict[n] = int(st.shape[0])
+            bias = self._get_proj(n).get("bias")
+            if cfg.merge:
+                new: Params = {"kernel": merge_svd(ut, st, vht).T}
+                if bias is not None:
+                    new["bias"] = bias
+                self._set_proj(n, new, "dense")
+            else:
+                in_kernel, out_kernel = lowrank_factors(ut, st, vht, cfg.sigma_fuse)
+                new = {"in_kernel": in_kernel, "out_kernel": out_kernel}
+                if bias is not None:
+                    new["bias"] = bias
+                self._set_proj(n, new, "lowrank")
+
+        self.indices_dict = indices_dict
+        self.indices_log.update(indices_dict)
+        if cfg.verbose:
+            for n, idx in indices_dict.items():
+                logger.info("%s: %s", n, idx[:128].tolist())
+        return False
+
+    # ------------------------------------------------------------------
     # Stage 4 — rank selection
     # ------------------------------------------------------------------
 
@@ -448,7 +615,9 @@ class GraspEngine:
             ("attention", tuple(cfg.attn_target_layer_types)),
         )
 
-        if cfg.sweep == "parallel":
+        if cfg.grad_mode == "dense":
+            self._run_dense(layers_id, blocks, calibration_batches, cfg)
+        elif cfg.sweep == "parallel":
             skipped_all = True
             for layer_id in layers_id:
                 for block_type, targets in blocks:
@@ -487,3 +656,101 @@ class GraspEngine:
             "layer_importances": list(self.layer_importances),
             "wall_clock_s": wall,
         }
+
+    def _run_dense(self, layers_id, blocks, calibration_batches, cfg: GraspConfig) -> None:
+        """Dense-gradient pipeline body (see compress_round).
+
+        sequential: per (layer, block) round in the reference's order — each
+        round's sweep sees all previously compiled truncations, exactly like
+        the reference (grasp.py:79-126).
+        parallel:   ONE sweep collects dense grads for every target at once
+        while every SVD factorizes host-side; then select+compile everything.
+        """
+        import threading
+
+        if cfg.sweep == "parallel":
+            names: List[str] = []
+            for layer_id in layers_id:
+                for block_type, targets in blocks:
+                    if targets is None:
+                        continue
+                    defaults = list(ATTN_PROJS) if block_type == "attention" else list(MLP_PROJS)
+                    tg = list(targets) if targets else defaults
+                    if not all(t in defaults for t in tg):
+                        raise ValueError(f"invalid targets {tg} for {block_type}")
+                    names += [module_name(layer_id, p) for p in tg]
+            if not names:
+                return
+
+            svd_out: Dict[str, Any] = {}
+            err: List[BaseException] = []
+
+            def _worker():
+                try:
+                    svd_out.update(self._svd_of_dense(names))
+                except BaseException as e:
+                    err.append(e)
+
+            th = threading.Thread(target=_worker)
+            th.start()
+            grads = self.get_dense_gradients(names, calibration_batches)
+            th.join()
+            if err:
+                raise err[0]
+
+            indices_dict: Dict[str, np.ndarray] = {}
+            for n in names:
+                u, s, vh = svd_out[n]
+                sg = sigma_gradients(u, vh, grads[n].T)
+                importance = svd_saliency(sg, s, cfg.metric)
+                if cfg.compression_ratio is not None:
+                    k = preserve_rank(vh.shape[1], u.shape[0], cfg.compression_ratio)
+                    indices = np.asarray(select_topk(importance, k))
+                else:
+                    assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
+                    indices = np.asarray(adaptive_rank_selection(np.asarray(importance), cfg.threshold_ratio))
+                indices_dict[n] = indices
+                self.grasp_values_dict[n] = {
+                    "svd_importance": np.round(np.asarray(importance), 3).tolist(),
+                    "svd_value": np.round(np.asarray(s), 3).tolist(),
+                }
+                ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
+                self.rank_dict[n] = int(st.shape[0])
+                bias = self._get_proj(n).get("bias")
+                if cfg.merge:
+                    new: Params = {"kernel": merge_svd(ut, st, vht).T}
+                else:
+                    in_kernel, out_kernel = lowrank_factors(ut, st, vht, cfg.sigma_fuse)
+                    new = {"in_kernel": in_kernel, "out_kernel": out_kernel}
+                if bias is not None:
+                    new["bias"] = bias
+                self._set_proj(n, new, "dense" if cfg.merge else "lowrank")
+            self.indices_dict = indices_dict
+            self.indices_log.update(indices_dict)
+        else:
+            # sequential with cross-round SVD prefetch: every SVD factors the
+            # ORIGINAL dense weights, so all rounds' factorizations start at
+            # t=0 on a single host worker while the TPU runs the sweeps in
+            # reference order. Gradient sweeps still see previously-compiled
+            # truncations exactly like the reference.
+            from concurrent.futures import ThreadPoolExecutor
+
+            rounds = []
+            for layer_id in layers_id:
+                for block_type, targets in blocks:
+                    if targets is None:
+                        logger.info("=======> Skip Compressing This Block")
+                        continue
+                    defaults = list(ATTN_PROJS) if block_type == "attention" else list(MLP_PROJS)
+                    tg = list(targets) if targets else defaults
+                    rounds.append((layer_id, block_type, tg))
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                futures = [
+                    pool.submit(self._svd_of_dense, [module_name(lid, p) for p in tg])
+                    for lid, bt, tg in rounds
+                ]
+                for (layer_id, block_type, tg), fut in zip(rounds, futures):
+                    self.compress_round(
+                        layer_id, block_type, tg, calibration_batches, cfg, svd_future=fut
+                    )

@@ -1,0 +1,338 @@
+"""Zero/few-shot evaluation harness (lm-eval-harness equivalent).
+
+The reference adapts its model to lm-eval 0.3.0's BaseLM and calls
+``evaluator.simple_evaluate`` (evaluate_grasp.py:24-96, 222-235). lm-eval is
+not available in this environment, so the harness is implemented natively with
+the same request semantics:
+
+  - multiple-choice tasks are scored by summed token log-likelihood of each
+    continuation given its context (lm-eval `loglikelihood`), prediction =
+    argmax, metric = accuracy ("acc");
+  - context+continuation is tokenized as one sequence, continuation tokens
+    identified by tokenizing the context alone (lm-eval 0.3.0's behavior);
+  - inputs longer than max_length are left-truncated to the last
+    max_length tokens.
+
+Task formats follow lm-eval 0.3.0 for the reference's default task list
+(grasp.py:237): boolq, piqa, hellaswag, winogrande, arc_easy, arc_challenge,
+openbookqa, mathqa. Datasets load from local disk (datasets/<name>/<split>);
+there is no network in this environment.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import ModelPlan, Params, default_plan, forward
+
+logger = logging.getLogger("grasp_tpu")
+
+_BUCKET = 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class EvalLM:
+    """Log-likelihood scorer over (context, continuation) requests.
+
+    Equivalent of the reference EvalLM(BaseLM) adapter
+    (evaluate_grasp.py:24-96) for our functional model.
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        config: ModelConfig,
+        tokenizer,
+        plan: Optional[ModelPlan] = None,
+        batch_size: int = 8,
+        max_length: Optional[int] = None,
+    ):
+        self.params = params
+        self.config = config
+        self.plan = plan or default_plan(config)
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length or config.max_position_embeddings
+        self.seqlen = 2048  # reference evaluate_grasp.py:49
+        self._logp_fns: Dict[int, Callable] = {}
+
+    # -- tokenization ------------------------------------------------------
+    def tok_encode(self, s: str) -> List[int]:
+        return self.tokenizer.encode(s, add_special_tokens=False)
+
+    # -- scoring -----------------------------------------------------------
+    def _get_logp_fn(self, s_pad: int) -> Callable:
+        if s_pad not in self._logp_fns:
+            config, plan = self.config, self.plan
+
+            @jax.jit
+            def fn(params, input_ids):
+                logits = forward(params, input_ids, config=config, plan=plan)["logits"]
+                return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+            self._logp_fns[s_pad] = fn
+        return self._logp_fns[s_pad]
+
+    def loglikelihood(self, requests: Sequence[Tuple[str, str]]) -> List[Tuple[float, bool]]:
+        """[(context, continuation)] -> [(sum logp of continuation, is_greedy)]."""
+        results: List[Optional[Tuple[float, bool]]] = [None] * len(requests)
+        prepared = []
+        for i, (context, continuation) in enumerate(requests):
+            ctx_ids = self.tok_encode(context)
+            full_ids = self.tok_encode(context + continuation)
+            cont_ids = full_ids[len(ctx_ids):]
+            if not cont_ids:  # tokenizer merged the boundary; fall back
+                cont_ids = self.tok_encode(continuation)
+                full_ids = ctx_ids + cont_ids
+            # BOS like lm-eval: prepend eot/bos so an empty context still scores
+            bos = getattr(self.tokenizer, "bos_token_id", None)
+            if bos is None:
+                bos = getattr(self.tokenizer, "eos_token_id", 0)
+            full_ids = [bos] + full_ids
+            full_ids = full_ids[-self.max_length:]
+            prepared.append((i, full_ids, len(cont_ids)))
+
+        # bucket by padded length, batch within buckets
+        prepared.sort(key=lambda t: len(t[1]))
+        for start in range(0, len(prepared), self.batch_size):
+            chunk = prepared[start : start + self.batch_size]
+            s_pad = _round_up(max(len(ids) for _, ids, _ in chunk), _BUCKET)
+            batch = np.zeros((len(chunk), s_pad), np.int32)
+            for row, (_, ids, _) in enumerate(chunk):
+                batch[row, : len(ids)] = ids
+            logp = np.asarray(self._get_logp_fn(s_pad)(self.params, jnp.asarray(batch)))
+            for row, (i, ids, n_cont) in enumerate(chunk):
+                L = len(ids)
+                tgt = np.asarray(ids[L - n_cont :])
+                pos = np.arange(L - n_cont - 1, L - 1)
+                token_logp = logp[row, pos, tgt]
+                greedy_tok = logp[row, pos].argmax(-1)
+                results[i] = (float(token_logp.sum()), bool((greedy_tok == tgt).all()))
+        return results  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# Task registry (lm-eval 0.3.0 formats)
+# ---------------------------------------------------------------------------
+
+
+class Task:
+    name: str = ""
+    split_candidates = ("validation", "test")
+
+    def docs(self, data_root: str = ".") -> List[dict]:
+        from datasets import load_from_disk
+
+        for split in self.split_candidates:
+            path = os.path.join(data_root, "datasets", self.name, split)
+            if os.path.isdir(path):
+                return list(load_from_disk(path))
+        raise FileNotFoundError(
+            f"task {self.name!r}: no local dataset under datasets/{self.name}/"
+            f"{{{','.join(self.split_candidates)}}} (no network in this environment)"
+        )
+
+    def context(self, doc: dict) -> str:
+        raise NotImplementedError
+
+    def choices(self, doc: dict) -> List[str]:
+        raise NotImplementedError
+
+    def gold(self, doc: dict) -> int:
+        raise NotImplementedError
+
+    def fewshot_context(self, doc: dict, shots: List[dict]) -> str:
+        parts = [self.context(s) + self.choices(s)[self.gold(s)] for s in shots]
+        parts.append(self.context(doc))
+        return "\n\n".join(parts)
+
+
+class BoolQ(Task):
+    name = "boolq"
+
+    def context(self, doc):
+        return f"{doc['passage']}\nQuestion: {doc['question']}?\nAnswer:"
+
+    def choices(self, doc):
+        return [" no", " yes"]
+
+    def gold(self, doc):
+        return int(bool(doc["answer"]))
+
+
+class PIQA(Task):
+    name = "piqa"
+
+    def context(self, doc):
+        return f"Question: {doc['goal']}\nAnswer:"
+
+    def choices(self, doc):
+        return [" " + doc["sol1"], " " + doc["sol2"]]
+
+    def gold(self, doc):
+        return int(doc["label"])
+
+
+def _hellaswag_preprocess(text: str) -> str:
+    text = text.strip().replace(" [title]", ". ")
+    text = re.sub(r"\[.*?\]", "", text)
+    return text.replace("  ", " ")
+
+
+class HellaSwag(Task):
+    name = "hellaswag"
+
+    def context(self, doc):
+        ctx = doc["ctx_a"] + " " + doc["ctx_b"].capitalize()
+        return _hellaswag_preprocess(doc["activity_label"] + ": " + ctx)
+
+    def choices(self, doc):
+        return [" " + _hellaswag_preprocess(e) for e in doc["endings"]]
+
+    def gold(self, doc):
+        return int(doc["label"])
+
+
+class Winogrande(Task):
+    """Partial-evaluation format: the option fills the blank; the continuation
+    is the sentence suffix after the blank (lm-eval 0.3.0 winogrande)."""
+
+    name = "winogrande"
+
+    def _pieces(self, doc):
+        idx = doc["sentence"].index("_")
+        return doc["sentence"][:idx], doc["sentence"][idx + 1 :]
+
+    def context(self, doc):  # varies per option; handled in requests()
+        prefix, _ = self._pieces(doc)
+        return prefix
+
+    def choices(self, doc):
+        return [doc["option1"], doc["option2"]]
+
+    def gold(self, doc):
+        return int(doc["answer"]) - 1
+
+    def requests(self, ctx_prefix: str, doc: dict) -> List[Tuple[str, str]]:
+        prefix, suffix = self._pieces(doc)
+        base = ctx_prefix[: len(ctx_prefix) - len(prefix)] if ctx_prefix.endswith(prefix) else ""
+        return [(base + prefix.strip() + " " + opt.strip(), suffix) for opt in self.choices(doc)]
+
+
+class ARCEasy(Task):
+    name = "arc_easy"
+
+    def context(self, doc):
+        return f"Question: {doc['question']}\nAnswer:"
+
+    def choices(self, doc):
+        return [" " + t for t in doc["choices"]["text"]]
+
+    def gold(self, doc):
+        return doc["choices"]["label"].index(doc["answerKey"])
+
+
+class ARCChallenge(ARCEasy):
+    name = "arc_challenge"
+
+
+class OpenBookQA(Task):
+    name = "openbookqa"
+
+    def context(self, doc):
+        return doc["question_stem"]
+
+    def choices(self, doc):
+        return [" " + t for t in doc["choices"]["text"]]
+
+    def gold(self, doc):
+        return doc["choices"]["label"].index(doc["answerKey"])
+
+
+class MathQA(Task):
+    name = "mathqa"
+
+    def context(self, doc):
+        return f"Question: {doc['Problem']}\nAnswer:"
+
+    def choices(self, doc):
+        opts = [
+            c[4:].rstrip(" ,")
+            for c in re.findall(r"[abcd] \) .*?, |e \) .*?$", doc["options"])
+        ]
+        return [" " + o for o in opts]
+
+    def gold(self, doc):
+        return ["a", "b", "c", "d", "e"].index(doc["correct"])
+
+
+TASK_REGISTRY: Dict[str, Task] = {
+    t.name: t
+    for t in [BoolQ(), PIQA(), HellaSwag(), Winogrande(), ARCEasy(), ARCChallenge(), OpenBookQA(), MathQA()]
+}
+
+
+def evaluate_tasks(
+    lm: EvalLM,
+    tasks: Sequence[str],
+    num_fewshot: int = 0,
+    limit: Optional[int] = None,
+    data_root: str = ".",
+    docs_override: Optional[Dict[str, List[dict]]] = None,
+    seed: int = 1234,
+) -> Dict[str, Dict[str, float]]:
+    """simple_evaluate equivalent: {"<task>": {"acc": ...}, "mean": ...}.
+
+    docs_override lets tests inject documents without local datasets.
+    """
+    results: Dict[str, Any] = {}
+    rng = np.random.default_rng(seed)
+    for task_name in tasks:
+        if task_name not in TASK_REGISTRY:
+            raise KeyError(f"unknown task {task_name!r}; available: {sorted(TASK_REGISTRY)}")
+        task = TASK_REGISTRY[task_name]
+        docs = docs_override[task_name] if docs_override else task.docs(data_root)
+        if limit and limit > 0:
+            docs = docs[:limit]
+
+        requests: List[Tuple[str, str]] = []
+        spans: List[Tuple[int, int, int]] = []  # (start, n_choices, gold)
+        for doc in docs:
+            if num_fewshot > 0:
+                pool = [d for d in docs if d is not doc]
+                shots = list(rng.choice(len(pool), size=min(num_fewshot, len(pool)), replace=False))
+                ctx = task.fewshot_context(doc, [pool[i] for i in shots])
+            else:
+                ctx = task.context(doc)
+            if isinstance(task, Winogrande):
+                reqs = task.requests(ctx, doc)
+            else:
+                reqs = [(ctx, cont) for cont in task.choices(doc)]
+            spans.append((len(requests), len(reqs), task.gold(doc)))
+            requests.extend(reqs)
+
+        lls = lm.loglikelihood(requests)
+        correct = 0
+        for start, n, gold in spans:
+            scores = [lls[start + j][0] for j in range(n)]
+            if int(np.argmax(scores)) == gold:
+                correct += 1
+        acc = correct / max(len(spans), 1)
+        results[task_name] = {"acc": acc}
+        logger.info("%s acc: %.4f (%d docs)", task_name, acc, len(spans))
+
+    accs = [v["acc"] for v in results.values() if isinstance(v, dict)]
+    results["mean"] = float(np.mean(accs)) if accs else 0.0
+    return results

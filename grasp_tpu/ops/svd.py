@@ -124,6 +124,28 @@ def lowrank_factors(
     return in_kernel, out_kernel
 
 
+@jax.jit
+def sigma_gradients(u: jax.Array, vh: jax.Array, grad_w: jax.Array) -> jax.Array:
+    """Project a dense weight gradient onto the singular directions.
+
+    With W = U diag(S) Vh, the chain rule gives
+        dL/dsigma_i = u_i^T (dL/dW) vh_i
+    — identical to what torch autograd computes through the reference
+    GRASPLayer's explicit reconstruction (modeling_grasp.py:75-79), but
+    obtained from ONE dense-weight gradient. This decouples gradient
+    collection from the SVD: the calibration sweep differentiates w.r.t. the
+    dense kernel (no model surgery, no plan recompile), the SVD runs on host
+    concurrently, and this einsum projects on the MXU afterwards.
+
+    Shapes (torch layout): u [out, r], vh [r, in], grad_w [out, in].
+    """
+    return jnp.einsum(
+        "or,oi,ri->r",
+        u.astype(jnp.float32), grad_w.astype(jnp.float32), vh.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def merge_svd(u: jax.Array, s: jax.Array, vh: jax.Array) -> jax.Array:
     """Re-materialize the dense low-rank product W = U diag(S) Vh ([out, in]).
 

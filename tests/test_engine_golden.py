@@ -111,7 +111,7 @@ def run_reference(hf_model, batches, num_prune=2, ratio=0.2, metric="taylor", me
 
 
 def run_ours(config, params, batches, num_prune=2, ratio=0.2, metric="taylor", merge=False,
-             threshold_ratio=None, sweep="sequential"):
+             threshold_ratio=None, sweep="sequential", grad_mode="svd"):
     import copy
 
     engine = GraspEngine(jax.tree.map(jnp.asarray, copy.deepcopy(jax.tree.map(np.asarray, params))), config)
@@ -119,6 +119,7 @@ def run_ours(config, params, batches, num_prune=2, ratio=0.2, metric="taylor", m
     cfg = GraspConfig(
         layers_id=None, num_prune_layers=num_prune, metric=metric,
         compression_ratio=ratio, threshold_ratio=threshold_ratio, merge=merge, sweep=sweep,
+        grad_mode=grad_mode,
     )
     summary = engine.run(jbatches, cfg)
     return engine, summary
@@ -130,6 +131,30 @@ def golden(setup):
     ref = run_reference(hf_model, batches)
     ours = run_ours(config, params, batches)
     return ref, ours
+
+
+def test_dense_grad_mode_indices_match_reference(setup, golden):
+    """The dense-gradient fast path (dL/ds_i = u_i^T dL/dW v_i, SVD overlapped
+    with the sweep) must select the same indices as the reference pipeline."""
+    hf_model, config, params, batches = setup
+    (_, _, _, ref_idx), _ = golden
+    engine, _ = run_ours(config, params, batches, grad_mode="dense")
+    assert set(ref_idx) == set(engine.indices_log)
+    for name in ref_idx:
+        np.testing.assert_array_equal(engine.indices_log[name], ref_idx[name], err_msg=name)
+
+
+def test_dense_parallel_sweep_selects_sane_ranks(setup):
+    """Parallel one-sweep mode: documented divergence from sequential order,
+    but ranks and structure must be identical and the model must stay sound."""
+    hf_model, config, params, batches = setup
+    eng_seq, _ = run_ours(config, params, batches, grad_mode="dense")
+    eng_par, _ = run_ours(config, params, batches, grad_mode="dense", sweep="parallel")
+    assert eng_seq.rank_dict == eng_par.rank_dict
+    assert set(eng_seq.indices_log) == set(eng_par.indices_log)
+    ids = np.arange(10)[None, :] % config.vocab_size
+    out = forward(eng_par.params, jnp.asarray(ids), config=config, plan=eng_par.plan)
+    assert bool(jnp.isfinite(out["logits"]).all())
 
 
 def test_bi_importances_match(golden):
