@@ -36,6 +36,7 @@ class ModelConfig:
     attention_bias: bool = False            # qkvo projection bias (Qwen-style)
     mlp_bias: bool = False
     dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
+    use_pallas_lowrank: bool = False        # fused VMEM low-rank kernel for big-batch calls
 
     @property
     def head_dim_(self) -> int:

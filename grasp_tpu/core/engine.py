@@ -199,6 +199,41 @@ class GraspEngine:
         self.redundant_layers = layers_to_remove
         return self.layer_importances, layers_to_remove
 
+    def remove_layers(
+        self,
+        layers_to_remove: Optional[List[int]] = None,
+        angular: bool = False,
+        num_prune_layers: Optional[int] = None,
+    ) -> List[int]:
+        """Physically delete whole transformer layers (ShortGPT-style).
+
+        Reference public API modeling_grasp.py:195-216 (never called from its
+        pipelines but part of the surface). Functional version: rebuilds
+        params/plan/config without the removed layers and updates the engine
+        in place. Returns the removed layer ids.
+        """
+        import dataclasses
+
+        if not layers_to_remove:
+            if angular:
+                assert self.layer_importances, "Need to compute importances with compute_bi()"
+                assert num_prune_layers, "Need number of layers to prune"
+                layers_to_remove = choose_prune_layers(
+                    np.asarray(self.layer_importances), num_prune_layers, angular=True
+                )
+            else:
+                layers_to_remove = choose_prune_layers(
+                    np.asarray(self.layer_importances), num_prune_layers
+                )
+
+        keep = [i for i in range(self.config.num_hidden_layers) if i not in set(layers_to_remove)]
+        self.params = {**self.params, "layers": [self.params["layers"][i] for i in keep]}
+        self.plan = tuple(self.plan[i] for i in keep)
+        self.config = dataclasses.replace(self.config, num_hidden_layers=len(keep))
+        self._bi_fns.clear()
+        self._grad_fns.clear()
+        return list(layers_to_remove)
+
     # ------------------------------------------------------------------
     # Stage 2 — SVD-ify a block
     # ------------------------------------------------------------------

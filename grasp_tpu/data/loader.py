@@ -104,6 +104,34 @@ def get_calibration_batches(
     return batches
 
 
+def get_mix_calibration_batches(
+    dataset_names: List[str],
+    tokenizer,
+    num_samples: int = 128,
+    dataset_proportion: Optional[List[float]] = None,
+    seq_len: int = 2048,
+    batch_size: int = 1,
+    seed: int = 42,
+    data_root: str = ".",
+) -> List[Batch]:
+    """Mixture of calibration corpora (reference get_mix_calibration_dataloader,
+    loader.py:110-148 — whose task-dataset branch raises NotImplementedError;
+    only pretrain corpora are mixable, same as the reference in practice)."""
+    if not dataset_proportion:
+        dataset_proportion = [1.0 / len(dataset_names)] * len(dataset_names)
+    batches: List[Batch] = []
+    for name, prop in zip(dataset_names, dataset_proportion):
+        batches.extend(
+            get_calibration_batches(
+                name, tokenizer,
+                num_samples=int(num_samples * prop), seq_len=seq_len,
+                batch_size=batch_size, seed=seed, data_root=data_root, shuffle=False,
+            )
+        )
+    order = np.random.default_rng(seed).permutation(len(batches))
+    return [batches[i] for i in order]
+
+
 def get_evaluation_corpus(
     dataset_name: str,
     tokenizer,

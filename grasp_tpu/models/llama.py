@@ -163,14 +163,14 @@ def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array) -> Tu
     return q, k
 
 
-def proj_apply(x: jax.Array, p: Params, kind: str) -> jax.Array:
+def proj_apply(x: jax.Array, p: Params, kind: str, use_pallas: bool = False) -> jax.Array:
     bias = p.get("bias")
     if kind == DENSE:
         return dense_apply(x, p["kernel"], bias)
     if kind == SVD:
         return svd_apply(x, p["u"], p["s"], p["vh"], bias)
     if kind == LOWRANK:
-        return lowrank_apply(x, p["in_kernel"], p["out_kernel"], bias)
+        return lowrank_apply(x, p["in_kernel"], p["out_kernel"], bias, use_pallas=use_pallas)
     raise ValueError(f"unknown projection kind {kind!r}")
 
 
@@ -211,13 +211,14 @@ def _layer_forward(
     nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
 
     kinds = dict(zip(PROJ_ORDER, layer_plan))
+    up = config.use_pallas_lowrank
 
     # --- self attention ---
     x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
     ap = lp["self_attn"]
-    q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-    k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    v = proj_apply(x, ap["v_proj"], kinds["v_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    q = proj_apply(x, ap["q_proj"], kinds["q_proj"], up).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = proj_apply(x, ap["k_proj"], kinds["k_proj"], up).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = proj_apply(x, ap["v_proj"], kinds["v_proj"], up).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
 
     if kv is not None:
@@ -229,14 +230,14 @@ def _layer_forward(
 
     attn = _attention(q, k, v, mask, nh // nkv)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
-    h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+    h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"], up)
 
     # --- mlp ---
     x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
     mp = lp["mlp"]
-    gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
-    up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-    h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+    gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"], up)
+    up_h = proj_apply(x, mp["up_proj"], kinds["up_proj"], up)
+    h = h + proj_apply(jax.nn.silu(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
     return h, kv
 
 

@@ -32,6 +32,30 @@ from grasp_tpu.models.llama import ATTN_PROJS, MLP_PROJS, ModelPlan, Params, def
 DATA_AXIS, MODEL_AXIS = "data", "model"
 
 
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: ICI within a slice, DCN across hosts.
+
+    Thin wrapper over jax.distributed.initialize — on TPU pods the arguments
+    auto-detect from the environment; pass them explicitly elsewhere. Call once
+    per process before make_mesh. No-ops if already initialized.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(shape: Optional[Tuple[int, int]] = None, devices=None) -> Mesh:
     """Build a ("data", "model") mesh.
 

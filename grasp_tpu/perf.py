@@ -1,0 +1,140 @@
+"""Performance measurement: params / FLOPs / throughput / memory / profiling.
+
+Replaces the reference's tools/time_func.py (which is broken as shipped — its
+relative import and zero-arg __main__ call fail, time_func.py:8,77):
+
+  - :func:`count_params` / :func:`estimate_forward_flops` — analytic counts
+    per projection kind (dense vs low-rank), replacing calflops;
+  - :func:`generation_benchmark` — tokens/sec + device memory for prefill and
+    decode through the jitted KV-cache generator (reference eff_eval,
+    time_func.py:32-68);
+  - :func:`device_memory` — live/peak HBM bytes (replaces
+    torch.cuda.memory_allocated / max_memory_allocated);
+  - :func:`trace` — context manager around jax.profiler for TPU traces
+    (the reference has no tracer at all, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import ATTN_PROJS, MLP_PROJS, ModelPlan, Params, default_plan
+
+logger = logging.getLogger("grasp_tpu")
+
+
+def count_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def estimate_forward_flops(
+    params: Params, config: ModelConfig, plan: Optional[ModelPlan] = None, seq_len: int = 1
+) -> Dict[str, float]:
+    """Analytic forward FLOPs/MACs per token-position times seq_len.
+
+    Dense projection: 2*in*out per token; low-rank: 2*r*(in+out); attention
+    score+value matmuls: 4*S*hd per head per query token (full causal window).
+    """
+    plan = plan or default_plan(config)
+    d = config.hidden_size
+    macs = 0.0
+    for li, layer in enumerate(params["layers"]):
+        for group, names in (("self_attn", ATTN_PROJS), ("mlp", MLP_PROJS)):
+            for name in names:
+                mod = layer[group][name]
+                if "kernel" in mod:
+                    in_f, out_f = mod["kernel"].shape
+                    macs += in_f * out_f
+                else:
+                    in_f, r = mod["in_kernel"].shape if "in_kernel" in mod else (None, None)
+                    if in_f is None:  # svd form
+                        out_f, r = mod["u"].shape
+                        in_f = mod["vh"].shape[1]
+                        macs += r * (in_f + out_f) + r  # two matmuls + scale
+                    else:
+                        out_f = mod["out_kernel"].shape[1]
+                        macs += r * (in_f + out_f)
+        # attention: q@k^T and probs@v, averaged causal window S/2
+        macs += 2 * config.num_attention_heads * config.head_dim_ * (seq_len / 2)
+    # embeddings out / lm head
+    macs += d * config.vocab_size
+    macs_total = macs * seq_len
+    return {
+        "params": count_params(params),
+        "macs": macs_total,
+        "flops": 2 * macs_total,
+        "seq_len": seq_len,
+    }
+
+
+def device_memory(device=None) -> Dict[str, int]:
+    """Live/peak HBM bytes for a device (0 on backends without stats)."""
+    device = device or jax.devices()[0]
+    stats = getattr(device, "memory_stats", lambda: None)() or {}
+    return {
+        "bytes_in_use": int(stats.get("bytes_in_use", 0)),
+        "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", 0)),
+        "bytes_limit": int(stats.get("bytes_limit", 0)),
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/grasp_tpu_trace"):
+    """jax.profiler trace context — view with tensorboard/xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", log_dir)
+
+
+def generation_benchmark(
+    params: Params,
+    config: ModelConfig,
+    plan: Optional[ModelPlan] = None,
+    prompt_len: int = 128,
+    gen_len: int = 128,
+    warmup: int = 1,
+    iters: int = 3,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Prefill + decode throughput and memory on the current default device.
+
+    Reference counterpart: eff_eval's token/sec + CUDA memory probe
+    (time_func.py:32-68).
+    """
+    from grasp_tpu.eval.generate import Generator
+
+    rng = np.random.default_rng(seed)
+    prompt = rng.integers(0, config.vocab_size, size=(prompt_len,))
+    gen = Generator(params, config, plan)
+
+    for _ in range(warmup):
+        gen.greedy(prompt, 4)
+
+    t0 = time.time()
+    n_tokens = 0
+    for _ in range(iters):
+        out = gen.greedy(prompt, gen_len)
+        n_tokens += len(out)
+    dt = time.time() - t0
+
+    mem = device_memory()
+    result = {
+        "decode_tokens_per_s": n_tokens / dt,
+        "total_time_s": dt,
+        "tokens_generated": n_tokens,
+        "prompt_len": prompt_len,
+        "peak_hbm_gib": mem["peak_bytes_in_use"] / 2**30,
+        "hbm_in_use_gib": mem["bytes_in_use"] / 2**30,
+    }
+    logger.info("generation benchmark: %s", result)
+    return result
