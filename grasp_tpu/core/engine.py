@@ -71,6 +71,22 @@ logger = logging.getLogger("grasp_tpu")
 Batch = Dict[str, jax.Array]
 
 
+def _scan_in_grads() -> bool:
+    """Whether gradient graphs may scan over stacked layers.
+
+    Forward-only graphs always scan (big compile-time win). The axon TPU
+    remote-compile helper crashes on large scan-*backward* graphs (HTTP 500,
+    observed on the 1.1B bench), so gradient graphs unroll on that backend
+    unless GRASP_SCAN_GRAD=1 overrides (for standard TPU toolchains where
+    scanned grads are the norm).
+    """
+    import os
+
+    if os.environ.get("GRASP_SCAN_GRAD") == "1":
+        return True
+    return jax.default_backend() == "cpu"
+
+
 def module_name(layer_id: int, proj: str) -> str:
     """Reference-compatible module path, e.g. 'model.layers.3.self_attn.q_proj'."""
     group = "self_attn" if proj in ATTN_PROJS else "mlp"
@@ -316,6 +332,7 @@ class GraspEngine:
             logits = forward(
                 params, input_ids, config=config, plan=plan,
                 attention_mask=attention_mask, remat=remat,
+                scan_layers=_scan_in_grads(),
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 
@@ -391,6 +408,7 @@ class GraspEngine:
             logits = forward(
                 params, input_ids, config=config, plan=plan,
                 attention_mask=attention_mask, remat=remat,
+                scan_layers=_scan_in_grads(),
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 

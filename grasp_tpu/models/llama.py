@@ -264,6 +264,7 @@ def forward(
     positions: Optional[jax.Array] = None,
     output_hidden_states: bool = False,
     remat: bool = False,
+    scan_layers: bool = True,
 ) -> Dict[str, Any]:
     """Full-sequence forward pass.
 
@@ -289,15 +290,43 @@ def forward(
 
     hidden_states: List[jax.Array] = []
 
+    # Group consecutive layers with identical plans and scan over the stacked
+    # group: the layer body compiles ONCE per group instead of once per layer —
+    # on a 22-layer 1.1B model this cuts trace+compile time by an order of
+    # magnitude, which dominates wall-clock on the compression pipeline.
+    # Heterogeneous (compressed) layers fall out into their own groups and
+    # stay unrolled.
+    groups: List[Tuple[LayerPlan, List[int]]] = []
     for li in range(config.num_hidden_layers):
-        if output_hidden_states:
-            hidden_states.append(h)
-        layer_fn = lambda lp, h_, cos_, sin_, mask_, _plan=plan[li]: _layer_forward(
-            lp, _plan, h_, cos_, sin_, mask_, config
-        )[0]
-        if remat:
-            layer_fn = jax.checkpoint(layer_fn)
-        h = layer_fn(params["layers"][li], h, cos, sin, mask)
+        if groups and groups[-1][0] == plan[li]:
+            groups[-1][1].append(li)
+        else:
+            groups.append((plan[li], [li]))
+
+    for layer_plan, idxs in groups:
+        def one_layer(lp, h_, _plan=layer_plan):
+            return _layer_forward(lp, _plan, h_, cos, sin, mask, config)[0]
+
+        body = jax.checkpoint(one_layer) if remat else one_layer
+
+        if scan_layers and len(idxs) >= 2:
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[params["layers"][i] for i in idxs]
+            )
+
+            def scan_body(h_, lp):
+                h_out = body(lp, h_)
+                return h_out, (h_ if output_hidden_states else 0)
+
+            h_final, h_ins = jax.lax.scan(scan_body, h, stacked)
+            if output_hidden_states:
+                hidden_states.extend(h_ins[i] for i in range(len(idxs)))
+            h = h_final
+        else:
+            for i in idxs:
+                if output_hidden_states:
+                    hidden_states.append(h)
+                h = body(params["layers"][i], h)
 
     h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
     if output_hidden_states:

@@ -83,6 +83,9 @@ def svd(
         u, s, vh = _host_svd(np.asarray(jax.device_get(w)))
         return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vh)
 
+    if method == "gram":
+        return _gram_svd(w)
+
     raise ValueError(f"unknown svd method {method!r}")
 
 
@@ -122,6 +125,46 @@ def lowrank_factors(
     else:
         raise ValueError(f"sigma_fuse {sigma_fuse!r} not supported (use 'UV' or 'U')")
     return in_kernel, out_kernel
+
+
+def _gram_svd(w: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fast thin SVD via the Gram matrix of the smaller side.
+
+    The Gram matmul (and the recovery of the second factor) runs on the TPU
+    MXU at HIGHEST precision; only a small symmetric eigendecomposition
+    (min(m,n)^2, fp64 LAPACK) runs on host — ~10x cheaper than a full gesdd of
+    the rectangular matrix on this 1-core host.
+
+    Accuracy: sigma_i relative error ~ eps_f32 * (sigma_max/sigma_i)^2 from
+    squaring the spectrum — excellent for the large singular values GRASP
+    keeps, degraded for the smallest ones. Exposed as svd(method="gram");
+    the LAPACK path remains the parity-exact default.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    wf = w.astype(jnp.float32)
+    out_f, in_f = wf.shape[-2:]
+    batched = wf.ndim > 2
+
+    if out_f <= in_f:
+        g = jnp.matmul(wf, jnp.swapaxes(wf, -1, -2), precision=hi)  # [.., out, out]
+        lam, u = np.linalg.eigh(np.asarray(jax.device_get(g), np.float64))
+        lam, u = lam[..., ::-1], u[..., :, ::-1]  # descending
+        s = np.sqrt(np.clip(lam, 0.0, None))
+        s_safe = np.maximum(s, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
+        u_j = jnp.asarray(u, jnp.float32)
+        vh = jnp.matmul(jnp.swapaxes(u_j, -1, -2), wf, precision=hi) / jnp.asarray(
+            s_safe, jnp.float32
+        )[..., :, None]
+        return u_j, jnp.asarray(s, jnp.float32), vh
+
+    g = jnp.matmul(jnp.swapaxes(wf, -1, -2), wf, precision=hi)  # [.., in, in]
+    lam, v = np.linalg.eigh(np.asarray(jax.device_get(g), np.float64))
+    lam, v = lam[..., ::-1], v[..., :, ::-1]
+    s = np.sqrt(np.clip(lam, 0.0, None))
+    s_safe = np.maximum(s, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
+    v_j = jnp.asarray(v, jnp.float32)
+    u = jnp.matmul(wf, v_j, precision=hi) / jnp.asarray(s_safe, jnp.float32)[..., None, :]
+    return u, jnp.asarray(s, jnp.float32), jnp.swapaxes(v_j, -1, -2)
 
 
 @jax.jit

@@ -95,9 +95,12 @@ def make_train_step(
 
     def step(params, opt_state, input_ids, labels, attention_mask):
         def loss_fn(p):
+            from grasp_tpu.core.engine import _scan_in_grads
+
             logits = forward(
                 p, input_ids, config=config, plan=plan,
                 attention_mask=attention_mask, remat=remat,
+                scan_layers=_scan_in_grads(),
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 

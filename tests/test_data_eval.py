@@ -178,13 +178,27 @@ def test_greedy_generate_matches_hf(model_pair, rng):
 
 def test_greedy_eos_stopping(model_pair, rng):
     hf_model, config, params = model_pair
-    prompt = rng.integers(0, HF_CFG["vocab_size"], size=(16,))
     gen = Generator(params, config)
-    full = gen.greedy(prompt, 10)
-    # force the 3rd generated token to be "eos": rerun with that id as eos
-    eos = full[2]
-    stopped = gen.greedy(prompt, 10, eos_token_id=eos)
-    assert stopped == full[:2]
+    # find a prompt whose generation has a token not present earlier (random
+    # tiny models often repeat one token, which would make eos == token 0)
+    for seed in range(20):
+        prompt = np.random.default_rng(seed).integers(0, HF_CFG["vocab_size"], size=(16,))
+        full = gen.greedy(prompt, 10)
+        idx = next((i for i in range(1, len(full)) if full[i] not in full[:i]), None)
+        if idx is not None:
+            break
+    else:
+        pytest.skip("degenerate tiny model: generation repeats a single token")
+    stopped = gen.greedy(prompt, 10, eos_token_id=full[idx])
+    assert stopped == full[:idx]
+
+
+def test_greedy_device_loop_matches_python_loop(model_pair, rng):
+    _, config, params = model_pair
+    prompt = rng.integers(0, HF_CFG["vocab_size"], size=(24,))
+    dev = Generator(params, config, device_loop=True).greedy(prompt, 9)
+    py = Generator(params, config, device_loop=False).greedy(prompt, 9)
+    assert dev == py
 
 
 # ---------------------------------------------------------------------------
