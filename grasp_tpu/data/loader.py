@@ -104,6 +104,23 @@ def get_calibration_batches(
     return batches
 
 
+def calibration_batches_from_token_file(
+    token_file: str,
+    seq_len: int = 2048,
+    batch_size: int = 1,
+    seed: int = 42,
+    shuffle: bool = True,
+):
+    """Stream pre-shifted calibration batches from a binary token file via the
+    native (C++) tokenstore pipeline (mmap + background prefetch); returns a
+    re-iterable BatchServer. Tokenize once with
+    grasp_tpu.native.write_token_file, then reuse across runs."""
+    from grasp_tpu.native import BatchServer, TokenStore
+
+    store = TokenStore(token_file)
+    return BatchServer(store, seq_len, batch_size, seed=seed, shuffle=shuffle)
+
+
 def get_mix_calibration_batches(
     dataset_names: List[str],
     tokenizer,

@@ -239,6 +239,71 @@ def test_merge_mode_matches_reference(setup):
         np.testing.assert_allclose(ours_w, ref_w, rtol=1e-3, atol=1e-4, err_msg=name)
 
 
+def test_reference_angular_bi_is_broken():
+    """Document a reference bug: compute_bi(angular=True) ALWAYS crashes with
+    UnboundLocalError — `num_prune_layers = 1` inside compute_bi_hiddens
+    (modeling_grasp.py:151-152) makes the name function-local, so the angular
+    branch reads it unassigned (:154). Angular mode is therefore unusable in
+    the reference; we implement the *intended* ShortGPT semantics instead
+    (validated below and in test_saliency.py)."""
+    import copy
+
+    hf_model = LlamaForCausalLM(LlamaConfig(**HF_CFG)).eval().float()
+    gm = ref_mod.GRASPModel(model=copy.deepcopy(hf_model))
+    loader = _ListLoader(make_batches(np.random.default_rng(0)), to_torch=True)
+    with pytest.raises(UnboundLocalError):
+        gm.compute_bi(num_prune_layers=2, calibration_dataloader=loader,
+                      angular=True, device="cpu")
+
+
+def test_angular_bi_intended_semantics(setup):
+    """Angular BI vs a faithful inline fix of the reference loop
+    (modeling_grasp.py:150-193 with the scoping bug corrected): last-token-only
+    angular distance between h[i] and h[i+n], contiguous-window argmin."""
+    hf_model, config, params, batches = setup
+    import tools.utils_func as ref_utils
+    import torch as _torch
+
+    n = 2
+    n_layers = config.num_hidden_layers
+    ref_imp = [0.0] * n_layers
+    with _torch.no_grad():
+        for b in batches:
+            out = hf_model(_torch.from_numpy(np.asarray(b["input_ids"])), output_hidden_states=True)
+            hiddens = out.hidden_states
+            for i in range(len(hiddens) - n):
+                ref_imp[i] += ref_utils.block_influence(
+                    hiddens[i][:, -1:], hiddens[i + n][:, -1:], angular=True
+                ).mean().item()
+    start = int(np.argsort(np.array(ref_imp[: -n + 1]))[0])
+    ref_layers = list(range(start, start + n))
+
+    engine = GraspEngine(jax.tree.map(jnp.asarray, params), config)
+    jbatches = [{k: jnp.asarray(v) for k, v in b.items()} for b in batches]
+    imp, layers = engine.compute_bi(n, jbatches, angular=True)
+    np.testing.assert_allclose(np.asarray(imp)[: len(ref_imp) - n], ref_imp[:-n], rtol=1e-4, atol=1e-5)
+    assert list(layers) == ref_layers
+
+
+def test_mistral_gqa_shapes_end_to_end(rng):
+    """GQA (num_kv_heads < num_heads) exercises non-square batched SVD shapes
+    (BASELINE.json config 3) — full pipeline parity vs the reference."""
+    hf_cfg = dict(HF_CFG)
+    hf_cfg.update(hidden_size=64, num_attention_heads=8, num_key_value_heads=2,
+                  intermediate_size=96, num_hidden_layers=3)
+    hf_model = LlamaForCausalLM(LlamaConfig(**hf_cfg)).eval().float()
+    config = config_from_hf(hf_model.config)
+    assert config.kv_dim != config.hidden_size  # genuinely non-square k/v
+    params = jax.tree.map(jnp.asarray, params_from_state_dict(hf_model.state_dict(), config))
+    batches = make_batches(rng)
+
+    _, _, ref_layers, ref_idx = run_reference(hf_model, batches, num_prune=1, ratio=0.3)
+    engine, _ = run_ours(config, params, batches, num_prune=1, ratio=0.3, grad_mode="dense")
+    assert sorted(engine.redundant_layers) == sorted(ref_layers)
+    for name in ref_idx:
+        np.testing.assert_array_equal(engine.indices_log[name], ref_idx[name], err_msg=name)
+
+
 def test_adaptive_threshold_mode_matches_reference(setup):
     hf_model, config, params, batches = setup
     _, _, _, ref_idx = run_reference(hf_model, batches, ratio=None, threshold_ratio=0.6)
