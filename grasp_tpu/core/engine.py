@@ -157,6 +157,14 @@ class GraspEngine:
         trainable = sum(self._get_proj(n)["s"].size for n in self.svd_module_names())
         return total, trainable
 
+    def print_trainable_params(self) -> None:
+        """Reference GRASPModel.print_trainable_params (modeling_grasp.py:128-133)."""
+        total, trainable = self.param_counts()
+        logger.info(
+            "trainable params: %d || all params: %d || trainable: %.2f%%",
+            trainable, total, 100.0 * trainable / max(total, 1),
+        )
+
     # ------------------------------------------------------------------
     # Stage 1 — block influence
     # ------------------------------------------------------------------
@@ -663,9 +671,11 @@ class GraspEngine:
         layers_id = sorted(layers_id, reverse=True)
         logger.info("=======> Start Compressing model with GRASP")
 
+        # None targets = skip that block entirely (reference skip-flag contract,
+        # modeling_grasp.py:261-262)
         blocks = (
-            ("mlp", tuple(cfg.mlp_target_layer_types)),
-            ("attention", tuple(cfg.attn_target_layer_types)),
+            ("mlp", tuple(cfg.mlp_target_layer_types) if cfg.mlp_target_layer_types is not None else None),
+            ("attention", tuple(cfg.attn_target_layer_types) if cfg.attn_target_layer_types is not None else None),
         )
 
         if cfg.grad_mode == "dense":

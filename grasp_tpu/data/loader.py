@@ -104,6 +104,22 @@ def get_calibration_batches(
     return batches
 
 
+def get_test_batches(
+    dataset_name: str,
+    tokenizer,
+    seq_len: int = 2048,
+    batch_size: int = 4,
+    data_root: str = ".",
+    synthetic_tokens: int = 65536,
+) -> List[np.ndarray]:
+    """Chunked eval rows for throughput testing (reference get_test_data,
+    loader.py:183-223): [batch, seq_len] blocks of the test corpus, unshuffled."""
+    ids = get_evaluation_corpus(dataset_name, tokenizer, data_root=data_root,
+                                synthetic_tokens=synthetic_tokens)
+    chunks = chunk_corpus(ids, seq_len)
+    return [chunks[i : i + batch_size] for i in range(0, len(chunks) - batch_size + 1, batch_size)]
+
+
 def calibration_batches_from_token_file(
     token_file: str,
     seq_len: int = 2048,

@@ -117,8 +117,11 @@ def generation_benchmark(
     prompt = rng.integers(0, config.vocab_size, size=(prompt_len,))
     gen = Generator(params, config, plan)
 
+    # warmup MUST use the same gen_len: the decode while_loop compiles per
+    # (cache_len, max_new) and a mismatched warmup leaves the compile inside
+    # the timed region
     for _ in range(warmup):
-        gen.greedy(prompt, 4)
+        gen.greedy(prompt, gen_len)
 
     t0 = time.time()
     n_tokens = 0
