@@ -40,6 +40,7 @@ _PRESETS = {
     "tinyllama-1.1b": "tinyllama_1_1b",
     "llama2-7b": "llama2_7b",
     "mistral-7b": "mistral_7b",
+    "qwen2-7b": "qwen2_7b",
 }
 
 

@@ -37,6 +37,7 @@ class ModelConfig:
     mlp_bias: bool = False
     dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
     use_pallas_lowrank: bool = False        # fused VMEM low-rank kernel for big-batch calls
+    use_flash_attention: bool = False       # Pallas flash attention on full-sequence causal paths
 
     @property
     def head_dim_(self) -> int:
@@ -80,6 +81,22 @@ class ModelConfig:
     @staticmethod
     def llama2_7b() -> "ModelConfig":
         return ModelConfig()
+
+    @staticmethod
+    def qwen2_7b() -> "ModelConfig":
+        """Qwen2-style: GQA + qkv projection biases (attention_bias=True)."""
+        return ModelConfig(
+            vocab_size=152064,
+            hidden_size=3584,
+            intermediate_size=18944,
+            num_hidden_layers=28,
+            num_attention_heads=28,
+            num_key_value_heads=4,
+            max_position_embeddings=32768,
+            rope_theta=1000000.0,
+            rms_norm_eps=1e-6,
+            attention_bias=True,
+        )
 
     @staticmethod
     def mistral_7b() -> "ModelConfig":

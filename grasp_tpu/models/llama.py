@@ -206,6 +206,7 @@ def _layer_forward(
     config: ModelConfig,
     kv: Optional[Dict[str, jax.Array]] = None,
     cache_index: Optional[jax.Array] = None,
+    flash_ok: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     b, s, d = h.shape
     nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
@@ -228,7 +229,14 @@ def _layer_forward(
         kv = {"k": k_cache, "v": v_cache}
         k, v = k_cache, v_cache
 
-    attn = _attention(q, k, v, mask, nh // nkv)
+    if flash_ok and kv is None and config.use_flash_attention and jax.default_backend() != "cpu":
+        # pure-causal full-sequence path: fused Pallas flash attention
+        # (no [S,S] scores materialization, GQA via index maps)
+        from grasp_tpu.ops.pallas_attention import flash_attention
+
+        attn = flash_attention(q, k, v, nh // nkv)
+    else:
+        attn = _attention(q, k, v, mask, nh // nkv)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"], up)
 
@@ -303,9 +311,11 @@ def forward(
         else:
             groups.append((plan[li], [li]))
 
+    flash_ok = attention_mask is None  # flash kernel handles pure-causal masks only
+
     for layer_plan, idxs in groups:
         def one_layer(lp, h_, _plan=layer_plan):
-            return _layer_forward(lp, _plan, h_, cos, sin, mask, config)[0]
+            return _layer_forward(lp, _plan, h_, cos, sin, mask, config, flash_ok=flash_ok)[0]
 
         body = jax.checkpoint(one_layer) if remat else one_layer
 
