@@ -157,8 +157,12 @@ class Generator:
             n = int(n)
             return np.asarray(out)[:n].tolist()
 
-        # python-loop fallback (debugging / reference semantics)
-        stops = set([eos_token_id] if eos_token_id is not None else []) | set(extra_stop_ids or [])
+        return self._python_loop(s, cache_len, next_tok, cache,
+                                 set([eos_token_id] if eos_token_id is not None else []) | set(extra_stop_ids or []),
+                                 max_new_tokens, min_new_tokens)
+
+    def _python_loop(self, s, cache_len, next_tok, cache, stops, max_new_tokens, min_new_tokens):
+        """python-loop fallback (debugging / reference semantics)."""
         out = [next_tok]
         decode = self._get_decode(cache_len)
         tok = jnp.asarray([[next_tok]], jnp.int32)
@@ -173,6 +177,114 @@ class Generator:
         if out and out[-1] in stops:
             out.pop()
         return out
+
+
+    # ------------------------------------------------------------------
+    # batched generation (left-padded prompts, per-row stop tracking)
+    # ------------------------------------------------------------------
+
+    def _get_batch_loop(self, batch: int, s_pad: int, cache_len: int, max_new: int):
+        key = ("batch", batch, s_pad, cache_len, max_new)
+        if key not in self._loop_fns:
+            config, plan = self.config, self.plan
+
+            @jax.jit
+            def fn(params, first_toks, lens, cache, length_mask, stop_ids, min_new):
+                """first_toks: [B], lens: [B] real prompt lengths.
+
+                Generated tokens occupy cache slots s_pad + t; RoPE position of
+                row b at step t is lens[b] + t (rows are right-aligned)."""
+                out0 = jnp.full((batch, max_new), -1, jnp.int32)
+
+                def is_stop(toks, n_emitted):
+                    return jnp.any(toks[:, None] == stop_ids[None, :], axis=1) & (n_emitted >= min_new)
+
+                def cond(state):
+                    t, toks, cache, out, done = state
+                    return (t < max_new) & (~jnp.all(done))
+
+                def body(state):
+                    t, toks, cache, out, done = state
+                    out = out.at[:, t].set(jnp.where(done, -1, toks))
+                    positions = (lens + t)[:, None]
+                    logits, cache = decode_step(
+                        params, toks[:, None], cache, jnp.asarray(s_pad, jnp.int32) + t,
+                        config=config, plan=plan, length_mask=length_mask,
+                        positions=positions,
+                    )
+                    nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                    done_next = done | is_stop(nxt, t + 1)
+                    return t + 1, nxt, cache, out, done_next
+
+                init_done = is_stop(first_toks, 0)
+                _, _, _, out, _ = jax.lax.while_loop(
+                    cond, body, (jnp.asarray(0, jnp.int32), first_toks, cache, out0, init_done)
+                )
+                return out
+
+            self._loop_fns[key] = fn
+        return self._loop_fns[key]
+
+    def greedy_batch(
+        self,
+        prompts: List[np.ndarray],
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+        min_new_tokens: int = 0,
+        pad_token_id: int = 0,
+    ) -> List[List[int]]:
+        """Batched greedy generation over variable-length prompts.
+
+        Prompts are LEFT-padded to a common bucket so every row's last real
+        token sits in the same slot; per-row RoPE positions start at 0 at each
+        row's first real token, and pad slots are masked out of attention.
+        The whole continuation decodes in one on-device while_loop.
+        """
+        b = len(prompts)
+        lens = np.asarray([len(np.asarray(p).reshape(-1)) for p in prompts], np.int32)
+        max_len = int(lens.max())
+        s_pad = _round_up(max_len, _PREFILL_BUCKET)
+        cache_len = _round_up(s_pad + max_new_tokens, _PREFILL_BUCKET)
+
+        padded = np.full((b, s_pad), pad_token_id, np.int32)
+        positions = np.zeros((b, s_pad), np.int32)
+        length_mask = np.zeros((b, cache_len), np.int32)
+        length_mask[:, s_pad:] = 1  # generated slots (causality guards the future)
+        for i, p in enumerate(prompts):
+            ids = np.asarray(p).reshape(-1).astype(np.int32)
+            padded[i, s_pad - lens[i]:] = ids
+            positions[i, s_pad - lens[i]:] = np.arange(lens[i])
+            length_mask[i, s_pad - lens[i]: s_pad] = 1
+
+        cache = init_kv_cache(self.config, batch=b, max_len=cache_len)
+        key = ("bprefill", b, s_pad, cache_len)
+        if key not in self._prefill_fns:
+            config, plan = self.config, self.plan
+
+            @jax.jit
+            def pf(params, ids, cache, length_mask, positions):
+                return prefill(params, ids, cache, config=config, plan=plan,
+                               length_mask=length_mask, positions=positions)
+
+            self._prefill_fns[key] = pf
+        logits, cache = self._prefill_fns[key](
+            self.params, jnp.asarray(padded), cache, jnp.asarray(length_mask), jnp.asarray(positions)
+        )
+        first_toks = jnp.argmax(logits[:, s_pad - 1], axis=-1).astype(jnp.int32)
+
+        stop = ([eos_token_id] if eos_token_id is not None else []) + [-1] * 4
+        out = self._get_batch_loop(b, s_pad, cache_len, max_new_tokens)(
+            self.params, first_toks, jnp.asarray(lens), cache,
+            jnp.asarray(length_mask), jnp.asarray(stop[:4], jnp.int32),
+            jnp.asarray(min_new_tokens, jnp.int32),
+        )
+        out = np.asarray(out)
+        results = []
+        for i in range(b):
+            row = out[i]
+            stop_at = np.where(row < 0)[0]
+            results.append(row[: stop_at[0]].tolist() if len(stop_at) else row.tolist())
+        return results
 
 
 def greedy_generate(

@@ -397,21 +397,24 @@ def _forward_with_cache(
     config: ModelConfig,
     plan: ModelPlan,
     length_mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
     """Run `s` tokens through the model, writing KV at [cache_index, ...).
 
     length_mask: optional [B, T] validity of cache slots (for left-padded
     prompts); combined with causality against absolute positions.
+    positions: optional [B, s] RoPE positions override (left-padded batches
+    need per-row positions starting at 0 at each row's first real token).
     """
     b, s = input_ids.shape
     t = cache[0]["k"].shape[2]
     h = params["embed_tokens"]["weight"][input_ids]
 
-    positions = (jnp.arange(s)[None, :] + cache_index).repeat(b, axis=0)
+    if positions is None:
+        positions = (jnp.arange(s)[None, :] + cache_index).repeat(b, axis=0)
     cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
 
-    mask = _causal_mask(s, t, 0)
-    # queries sit at absolute positions cache_index + arange(s)
+    # queries sit at absolute cache slots cache_index + arange(s)
     qi = jnp.arange(s)[:, None] + cache_index
     ki = jnp.arange(t)[None, :]
     allow = ki <= qi
@@ -436,17 +439,18 @@ def _forward_with_cache(
     return logits, new_cache
 
 
-def prefill(params, input_ids, cache, *, config, plan, length_mask=None):
+def prefill(params, input_ids, cache, *, config, plan, length_mask=None, positions=None):
     """Process the whole prompt at cache position 0. Returns (logits, cache)."""
     return _forward_with_cache(
         params, input_ids, cache, jnp.asarray(0, jnp.int32),
-        config=config, plan=plan, length_mask=length_mask,
+        config=config, plan=plan, length_mask=length_mask, positions=positions,
     )
 
 
-def decode_step(params, token_ids, cache, cache_index, *, config, plan, length_mask=None):
+def decode_step(params, token_ids, cache, cache_index, *, config, plan, length_mask=None,
+                positions=None):
     """One-token decode: token_ids [B, 1], cache_index scalar int32."""
     return _forward_with_cache(
         params, token_ids, cache, cache_index,
-        config=config, plan=plan, length_mask=length_mask,
+        config=config, plan=plan, length_mask=length_mask, positions=positions,
     )

@@ -193,6 +193,33 @@ def test_greedy_eos_stopping(model_pair, rng):
     assert stopped == full[:idx]
 
 
+def test_greedy_batch_matches_single(model_pair, rng):
+    """Left-padded batched generation must equal per-prompt generation."""
+    _, config, params = model_pair
+    gen = Generator(params, config)
+    prompts = [
+        rng.integers(0, HF_CFG["vocab_size"], size=(n,)) for n in (9, 17, 25)
+    ]
+    batched = gen.greedy_batch(prompts, max_new_tokens=8)
+    singles = [gen.greedy(p, 8) for p in prompts]
+    for i, (bb, ss) in enumerate(zip(batched, singles)):
+        assert bb == ss, f"row {i}: batched {bb} != single {ss}"
+
+
+def test_greedy_batch_eos_per_row(model_pair, rng):
+    _, config, params = model_pair
+    gen = Generator(params, config)
+    prompts = [rng.integers(0, HF_CFG["vocab_size"], size=(n,)) for n in (11, 19)]
+    singles = [gen.greedy(p, 8) for p in prompts]
+    # pick an eos that appears in row 0's generation but (likely) not row 1's
+    eos = next((t for t in singles[0] if t not in singles[1]), None)
+    if eos is None:
+        pytest.skip("degenerate generations share all tokens")
+    batched = gen.greedy_batch(prompts, max_new_tokens=8, eos_token_id=eos)
+    assert batched[0] == singles[0][: singles[0].index(eos)]
+    assert batched[1] == singles[1]
+
+
 def test_greedy_device_loop_matches_python_loop(model_pair, rng):
     _, config, params = model_pair
     prompt = rng.integers(0, HF_CFG["vocab_size"], size=(24,))
