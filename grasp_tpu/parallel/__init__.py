@@ -5,4 +5,9 @@ from grasp_tpu.parallel.mesh import (  # noqa: F401
     shard_params,
     shard_batch,
     replicate,
+    distributed_init,
+)
+from grasp_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention,
+    context_parallel_attention,
 )
