@@ -166,10 +166,21 @@ def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array) -> Tu
 def proj_apply(x: jax.Array, p: Params, kind: str, use_pallas: bool = False) -> jax.Array:
     bias = p.get("bias")
     if kind == DENSE:
+        if "kernel_q" in p:  # int8-quantized serving weights (ops.quant)
+            from grasp_tpu.ops.quant import quant_matmul
+
+            y = quant_matmul(x, p["kernel_q"], p["kernel_scale"])
+            return y + bias if bias is not None else y
         return dense_apply(x, p["kernel"], bias)
     if kind == SVD:
         return svd_apply(x, p["u"], p["s"], p["vh"], bias)
     if kind == LOWRANK:
+        if "in_kernel_q" in p:
+            from grasp_tpu.ops.quant import quant_matmul
+
+            h = quant_matmul(x, p["in_kernel_q"], p["in_kernel_scale"])
+            y = quant_matmul(h, p["out_kernel_q"], p["out_kernel_scale"])
+            return y + bias if bias is not None else y
         return lowrank_apply(x, p["in_kernel"], p["out_kernel"], bias, use_pallas=use_pallas)
     raise ValueError(f"unknown projection kind {kind!r}")
 
@@ -247,6 +258,19 @@ def _layer_forward(
     up_h = proj_apply(x, mp["up_proj"], kinds["up_proj"], up)
     h = h + proj_apply(jax.nn.silu(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
     return h, kv
+
+
+
+def _lm_logits(h: jax.Array, params: Params) -> jax.Array:
+    """Final projection to vocab; supports int8-quantized lm_head (ops.quant)."""
+    if "lm_head" not in params:
+        return jnp.dot(h, params["embed_tokens"]["weight"].T, preferred_element_type=h.dtype)
+    head = params["lm_head"]
+    if "kernel_q" in head:
+        from grasp_tpu.ops.quant import quant_matmul
+
+        return quant_matmul(h, head["kernel_q"], head["kernel_scale"])
+    return dense_apply(h, head["kernel"])
 
 
 def _causal_mask(s: int, t: int, offset: int, dtype=jnp.float32) -> jax.Array:
@@ -342,10 +366,7 @@ def forward(
     if output_hidden_states:
         hidden_states.append(h)
 
-    if config.tie_word_embeddings:
-        logits = jnp.dot(h, params["embed_tokens"]["weight"].T, preferred_element_type=h.dtype)
-    else:
-        logits = dense_apply(h, params["lm_head"]["kernel"])
+    logits = _lm_logits(h, params)
 
     out: Dict[str, Any] = {"logits": logits}
     if output_hidden_states:
@@ -432,10 +453,7 @@ def _forward_with_cache(
         new_cache.append(kv)
 
     h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
-    if config.tie_word_embeddings:
-        logits = jnp.dot(h, params["embed_tokens"]["weight"].T, preferred_element_type=h.dtype)
-    else:
-        logits = dense_apply(h, params["lm_head"]["kernel"])
+    logits = _lm_logits(h, params)
     return logits, new_cache
 
 
