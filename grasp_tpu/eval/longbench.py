@@ -172,9 +172,7 @@ DATASET2METRIC = {
 # canonical LongBench task definitions (prompt formats, generation lengths)
 # loaded from longbench_tasks.json — data tables from THUDM/LongBench, same
 # values the reference embeds at tools/eval_longbench.py:231-276
-import os as _os
-
-with open(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "longbench_tasks.json")) as _f:
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "longbench_tasks.json")) as _f:
     _TASKS = json.load(_f)
 
 DATASET2PROMPT = _TASKS["dataset2prompt"]

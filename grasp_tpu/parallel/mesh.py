@@ -102,13 +102,19 @@ def _proj_spec(proj_name: str, proj_params: Dict[str, Any]) -> Dict[str, Any]:
     """PartitionSpecs for one projection's params, keyed like the params."""
     specs: Dict[str, Any] = {}
     for key in proj_params:
-        if key == "kernel":
+        if key in ("kernel", "kernel_q"):
             specs[key] = _DENSE_SPECS[proj_name]
+        elif key == "kernel_scale":
+            # per-output-channel scale [1, out]: follows the kernel's out-dim
+            # sharding (column-parallel) or replicates (row-parallel)
+            out_spec = _DENSE_SPECS[proj_name][1]
+            specs[key] = P(None, out_spec)
         elif key == "bias":
             specs[key] = _BIAS_SPECS[proj_name]
         else:
-            # svd (u/s/vh) and lowrank (in_kernel/out_kernel) factors: replicate
-            # (small post-compression; avoids rank-dim divisibility issues)
+            # svd (u/s/vh) and lowrank (in_kernel/out_kernel, incl. their _q/_scale
+            # forms): replicate — small post-compression; avoids rank-dim
+            # divisibility issues
             specs[key] = P()
     return specs
 
@@ -130,7 +136,15 @@ def param_specs(params: Params, config: ModelConfig) -> Params:
         "norm": {"weight": P()},
     }
     if "lm_head" in params:
-        specs["lm_head"] = {"kernel": P(None, MODEL_AXIS)}
+        head_specs: Dict[str, Any] = {}
+        for key in params["lm_head"]:
+            if key in ("kernel", "kernel_q"):
+                head_specs[key] = P(None, MODEL_AXIS)
+            elif key == "kernel_scale":
+                head_specs[key] = P(None, MODEL_AXIS)
+            else:
+                head_specs[key] = P()
+        specs["lm_head"] = head_specs
     return specs
 
 

@@ -49,18 +49,18 @@ def estimate_forward_flops(
         for group, names in (("self_attn", ATTN_PROJS), ("mlp", MLP_PROJS)):
             for name in names:
                 mod = layer[group][name]
-                if "kernel" in mod:
-                    in_f, out_f = mod["kernel"].shape
+                if "kernel" in mod or "kernel_q" in mod:
+                    in_f, out_f = mod.get("kernel", mod.get("kernel_q")).shape
                     macs += in_f * out_f
-                else:
-                    in_f, r = mod["in_kernel"].shape if "in_kernel" in mod else (None, None)
-                    if in_f is None:  # svd form
-                        out_f, r = mod["u"].shape
-                        in_f = mod["vh"].shape[1]
-                        macs += r * (in_f + out_f) + r  # two matmuls + scale
-                    else:
-                        out_f = mod["out_kernel"].shape[1]
-                        macs += r * (in_f + out_f)
+                elif "in_kernel" in mod or "in_kernel_q" in mod:
+                    in_k = mod.get("in_kernel", mod.get("in_kernel_q"))
+                    out_k = mod.get("out_kernel", mod.get("out_kernel_q"))
+                    in_f, r = in_k.shape
+                    macs += r * (in_f + out_k.shape[1])
+                else:  # svd form
+                    out_f, r = mod["u"].shape
+                    in_f = mod["vh"].shape[1]
+                    macs += r * (in_f + out_f) + r  # two matmuls + scale
         # attention: q@k^T and probs@v, averaged causal window S/2
         macs += 2 * config.num_attention_heads * config.head_dim_ * (seq_len / 2)
     # embeddings out / lm head
