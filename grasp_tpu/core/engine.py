@@ -117,6 +117,9 @@ class GraspEngine:
 
         self.redundant_layers: List[int] = []
         self.layer_importances: List[float] = []
+        # per-module compression-ratio overrides, honored during selection
+        # (reference: module.compression_ratio attr, modeling_grasp.py:399-400)
+        self.module_ratios: Dict[str, float] = {}
         self.indices_dict: Dict[str, np.ndarray] = {}
         self.indices_log: Dict[str, np.ndarray] = {}   # accumulated across run() rounds
         self.rank_dict: Dict[str, int] = {}
@@ -513,8 +516,9 @@ class GraspEngine:
             grad_w = grads[n].T  # dL/dkernel [in,out] -> torch-layout dL/dW [out,in]
             sg = sigma_gradients(u, vh, grad_w)
             importance = svd_saliency(sg, s, cfg.metric)
-            if cfg.compression_ratio is not None:
-                k = preserve_rank(vh.shape[1], u.shape[0], cfg.compression_ratio)
+            ratio = self.module_ratios.get(n, cfg.compression_ratio)
+            if ratio is not None:
+                k = preserve_rank(vh.shape[1], u.shape[0], ratio)
                 indices = np.asarray(select_topk(importance, k))
             else:
                 assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
@@ -575,9 +579,10 @@ class GraspEngine:
             s = mod["s"]
             importance = svd_saliency(grad, s, metric)
 
-            if compression_ratio is not None:
+            ratio = self.module_ratios.get(name, compression_ratio)
+            if ratio is not None:
                 in_f, out_f = mod["vh"].shape[1], mod["u"].shape[0]
-                k = preserve_rank(in_f, out_f, compression_ratio)
+                k = preserve_rank(in_f, out_f, ratio)
                 indices = np.asarray(select_topk(importance, k))
             else:
                 assert threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
@@ -766,8 +771,9 @@ class GraspEngine:
                 u, s, vh = svd_out[n]
                 sg = sigma_gradients(u, vh, grads[n].T)
                 importance = svd_saliency(sg, s, cfg.metric)
-                if cfg.compression_ratio is not None:
-                    k = preserve_rank(vh.shape[1], u.shape[0], cfg.compression_ratio)
+                ratio = self.module_ratios.get(n, cfg.compression_ratio)
+                if ratio is not None:
+                    k = preserve_rank(vh.shape[1], u.shape[0], ratio)
                     indices = np.asarray(select_topk(importance, k))
                 else:
                     assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"

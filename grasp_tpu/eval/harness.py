@@ -106,6 +106,9 @@ class EvalLM:
 
         # bucket by padded length, batch within buckets
         prepared.sort(key=lambda t: len(t[1]))
+        return self._score(prepared, results)
+
+    def _score(self, prepared, results):
         for start in range(0, len(prepared), self.batch_size):
             chunk = prepared[start : start + self.batch_size]
             s_pad = _round_up(max(len(ids) for _, ids, _ in chunk), _BUCKET)
@@ -121,6 +124,33 @@ class EvalLM:
                 greedy_tok = logp[row, pos].argmax(-1)
                 results[i] = (float(token_logp.sum()), bool((greedy_tok == tgt).all()))
         return results  # type: ignore[return-value]
+
+
+    # -- generation ----------------------------------------------------------
+    @property
+    def max_gen_toks(self) -> int:
+        return 256  # reference evaluate_grasp.py:65-66
+
+    def greedy_until(self, requests: Sequence[Tuple[str, Sequence[str]]]) -> List[str]:
+        """lm-eval BaseLM.greedy_until equivalent: generate until any stop
+        string (or max_gen_toks), returning the decoded continuations."""
+        from grasp_tpu.eval.generate import Generator
+
+        if not hasattr(self, "_generator"):
+            self._generator = Generator(self.params, self.config, self.plan)
+        outs = []
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        for context, stops in requests:
+            ids = self.tok_encode(context)[-(self.max_length - self.max_gen_toks):]
+            new_ids = self._generator.greedy(np.asarray(ids, np.int32), self.max_gen_toks,
+                                             eos_token_id=eos)
+            text = self.tokenizer.decode(new_ids, skip_special_tokens=True)
+            for stop in stops or []:
+                idx = text.find(stop)
+                if idx >= 0:
+                    text = text[:idx]
+            outs.append(text)
+        return outs
 
 
 # ---------------------------------------------------------------------------
