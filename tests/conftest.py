@@ -16,7 +16,10 @@ import jax  # noqa: E402
 
 # The axon TPU plugin (sitecustomize) imports jax at interpreter start and
 # pins jax_platforms before env vars are consulted — override via config.
-jax.config.update("jax_platforms", "cpu")
+# GRASP_TPU_TESTS=1 skips the override so the TPU-marked kernel tests run on
+# the real chip (scripts/run_tpu_tests.sh).
+if os.environ.get("GRASP_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -49,20 +49,6 @@ def test_flash_not_used_with_padding_mask(rng):
     assert bool(jnp.isfinite(y).all())
 
 
-def test_flash_backward_cpu_fallback_matches_xla(rng):
-    """On CPU the custom_vjp falls back to XLA recompute — grads exact."""
-    from grasp_tpu.ops.pallas_attention import flash_attention
-
-    b, nh, nkv, s, hd = 1, 4, 2, 32, 8
-    q = jnp.asarray(rng.standard_normal((b, nh, s, hd)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, nkv, s, hd)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, nkv, s, hd)), jnp.float32)
-    # forward impl on CPU uses interpretable pallas? No — kernel needs TPU, so
-    # only exercise the vjp structure via the XLA reference both ways
-    gx = jax.grad(lambda q_: jnp.sum(_xla_reference(q_, k, v, 2, None) ** 2))(q)
-    assert gx.shape == q.shape
-
-
 @pytest.mark.skipif(not _HAS_TPU, reason="needs a real TPU")
 def test_flash_backward_kernels_match_xla_on_tpu(rng):
     from grasp_tpu.ops.pallas_attention import flash_attention
