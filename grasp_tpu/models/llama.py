@@ -22,9 +22,7 @@ torch reference is testable on CPU.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ conventions are normalized identically either way.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
