@@ -11,3 +11,4 @@ from grasp_tpu.parallel.ring_attention import (  # noqa: F401
     ring_attention,
     context_parallel_attention,
 )
+from grasp_tpu.parallel.seq_parallel import seq_parallel_logits  # noqa: F401

@@ -1,0 +1,99 @@
+"""Sequence-parallel model forward — ring attention wired through the stack.
+
+For contexts that exceed one device's activation memory, the whole forward
+runs under shard_map with the SEQUENCE dimension sharded over a mesh axis:
+embeddings, norms and projections are position-local (no communication), and
+attention is the ring kernel (grasp_tpu.parallel.ring_attention) — KV blocks
+rotate via ppermute with online-softmax accumulation. Per-device activation
+memory is O(S/n); the reference's only answer to long context is truncation
+(SURVEY.md §5).
+
+Inference/scoring path (BI-style hidden taps and logits); for training use the
+data/tensor-parallel forward in models.llama.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import (
+    ATTN_PROJS,
+    MLP_PROJS,
+    ModelPlan,
+    PROJ_ORDER,
+    Params,
+    _lm_logits,
+    apply_rope,
+    default_plan,
+    proj_apply,
+    rms_norm,
+    rope_cos_sin,
+)
+from grasp_tpu.parallel.ring_attention import ring_attention
+
+
+def _local_layer(lp, layer_plan, h, cos, sin, config, axis_name):
+    b, s_local, d = h.shape
+    nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
+    kinds = dict(zip(PROJ_ORDER, layer_plan))
+
+    x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+    ap = lp["self_attn"]
+    q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, s_local, nh, hd).transpose(0, 2, 1, 3)
+    k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, s_local, nkv, hd).transpose(0, 2, 1, 3)
+    v = proj_apply(x, ap["v_proj"], kinds["v_proj"]).reshape(b, s_local, nkv, hd).transpose(0, 2, 1, 3)
+    q, k = apply_rope(q, k, cos, sin)
+
+    groups = nh // nkv
+    if groups > 1:
+        k = jnp.repeat(k, groups, axis=1)
+        v = jnp.repeat(v, groups, axis=1)
+    attn = ring_attention(q, k, v, axis_name)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s_local, nh * hd)
+    h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+
+    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    mp = lp["mlp"]
+    gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
+    up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
+    h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+    return h
+
+
+def seq_parallel_logits(
+    params: Params,
+    input_ids: jax.Array,
+    mesh: Mesh,
+    config: ModelConfig,
+    plan: Optional[ModelPlan] = None,
+    axis: str = "data",
+) -> jax.Array:
+    """Logits [B, S, V] for a sequence sharded over `axis` (S % axis_size == 0)."""
+    plan = plan or default_plan(config)
+
+    def local_forward(params, ids):
+        # ids: local block [B, S/n]; absolute positions via the ring index
+        idx = jax.lax.axis_index(axis)
+        b, s_local = ids.shape
+        positions = (idx * s_local + jnp.arange(s_local))[None, :].repeat(b, axis=0)
+        cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+
+        h = params["embed_tokens"]["weight"][ids]
+        for li in range(config.num_hidden_layers):
+            h = _local_layer(params["layers"][li], plan[li], h, cos, sin, config, axis)
+        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+        return _lm_logits(h, params)
+
+    fn = jax.shard_map(
+        local_forward,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis, None),
+    )
+    return fn(params, input_ids)
