@@ -106,6 +106,8 @@ def _compress_parser() -> argparse.ArgumentParser:
     p.add_argument("--sweep", type=str, choices=["sequential", "parallel"], default="sequential")
     p.add_argument("--grad_mode", type=str, choices=["dense", "svd"], default="dense")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--svd_method", type=str, choices=["auto", "host", "device", "gram"],
+                   default="auto", help="SVD backend: host LAPACK (parity-exact), on-device XLA, or gram (MXU matmuls + small host eigh)")
     # recovery
     p.add_argument("--recovery", action="store_true")
     p.add_argument("--data_path", type=str, default="yahma/alpaca-cleaned")
@@ -159,7 +161,7 @@ def compress_main(argv=None) -> int:
         sweep=args.sweep,
         grad_mode=args.grad_mode,
     )
-    engine = GraspEngine(params, config, remat=args.remat)
+    engine = GraspEngine(params, config, remat=args.remat, svd_method=args.svd_method)
     summary = engine.run(batches, cfg)
     logger.info("summary: %s", json.dumps(summary))
 
