@@ -1,4 +1,5 @@
-"""Headline benchmark: end-to-end GRASP compression wall-clock on TPU.
+"""Headline benchmark: end-to-end GRASP compression wall-clock on TPU,
+plus steady-state perf axes (fwd MFU, decode throughput, long-seq flash fwd).
 
 Config mirrors BASELINE.json config 1 scaled to the paper pipeline:
 TinyLlama-1.1B architecture (random init — no model weights are downloadable
@@ -7,13 +8,19 @@ setting), taylor saliency, 32 calibration samples x 512 tokens, sequential
 (reference-faithful) sweep with host SVDs prefetched/overlapped. The torch
 reference baseline for the identical workload, measured on this machine's
 CPU by the actual reference code (scripts/measure_reference_baseline.py), is
-stored in reference_baseline.json. NOTE: wall-clock on this container varies
-run-to-run (observed 220-420 s) — the remote XLA-compile service latency
-dominates and fluctuates; the best observed is 220 s (10.1x).
+stored in reference_baseline.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The e2e number is compile-inclusive and noisy on this container (observed
+220-420 s; the remote XLA-compile service latency dominates and fluctuates),
+so the JSON also carries compile-free steady-state metrics that track real
+regressions: fwd TFLOP/s + MFU (timed by reducing to a scalar INSIDE jit —
+block_until_ready lies through the axon tunnel), decode tokens/s, and the
+Pallas flash-attention long-sequence forward.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -22,14 +29,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+V5E_BF16_PEAK_TFLOPS = 197.0  # per chip
+
+
+def _median_timed(fn, n=5):
+    """Honest wall times of fn() (fn must block, e.g. float() a jit scalar)."""
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), ts
+
 
 def main():
     from grasp_tpu.configs import GraspConfig, ModelConfig
     from grasp_tpu.core.engine import GraspEngine
-    from grasp_tpu.models.llama import init_params
+    from grasp_tpu.models.llama import forward, hf_causal_lm_loss, init_params
+    from grasp_tpu.perf import estimate_forward_flops
+
+    details = {"backend": jax.default_backend()}
 
     config = ModelConfig.tinyllama_1_1b()
-    config = __import__("dataclasses").replace(config, dtype="bfloat16")
+    config = dataclasses.replace(config, dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(0), config)
     jax.block_until_ready(params)
 
@@ -39,6 +61,7 @@ def main():
         {"input_ids": jnp.asarray(s[:, :-1]), "labels": jnp.asarray(s[:, 1:])} for s in seqs
     ]
 
+    # ---- headline: e2e compression wall-clock (compile-inclusive) ----
     engine = GraspEngine(params, config)
     cfg = GraspConfig(
         num_prune_layers=2,
@@ -47,8 +70,57 @@ def main():
         sweep="sequential",
     )
     t0 = time.time()
-    summary = engine.run(batches, cfg)
+    engine.run(batches, cfg)
     wall = time.time() - t0
+
+    # ---- steady-state fwd on the compressed model (batch 8 x seq 511) ----
+    @jax.jit
+    def fwd_scalar(p, ids, labels):
+        logits = forward(p, ids, config=config, plan=engine.plan)["logits"]
+        return hf_causal_lm_loss(logits, labels)
+
+    ids, labels = batches[0]["input_ids"], batches[0]["labels"]
+    float(fwd_scalar(engine.params, ids, labels))  # compile + warmup
+    fwd_s, _ = _median_timed(lambda: float(fwd_scalar(engine.params, ids, labels)))
+    flops = estimate_forward_flops(engine.params, config, engine.plan, seq_len=ids.shape[1])
+    fwd_tflops = flops["flops"] * ids.shape[0] / fwd_s / 1e12
+    details["fwd_ms_8x511"] = round(fwd_s * 1e3, 2)
+    details["fwd_tflops"] = round(fwd_tflops, 1)
+    if jax.default_backend() not in ("cpu",):
+        details["fwd_mfu"] = round(fwd_tflops / V5E_BF16_PEAK_TFLOPS, 3)
+
+    # ---- decode throughput on the compressed model ----
+    try:
+        from grasp_tpu.perf import generation_benchmark
+
+        g = generation_benchmark(
+            engine.params, config, engine.plan, prompt_len=128, gen_len=128,
+            warmup=1, iters=2,
+        )
+        details["decode_tok_s"] = round(g["decode_tokens_per_s"], 1)
+        details["peak_hbm_gib"] = round(g["peak_hbm_gib"], 2)
+    except Exception as e:  # decode must never sink the headline metric
+        details["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- long-sequence fwd with the Pallas flash-attention kernel wired in
+    # (2.1x over the XLA path at 4k seq; a wash at 512 — ModelConfig flag) ----
+    if jax.default_backend() not in ("cpu",):
+        try:
+            flash_cfg = dataclasses.replace(config, use_flash_attention=True)
+            ids4k = jnp.asarray(rng.integers(0, config.vocab_size, size=(1, 4096)))
+
+            @jax.jit
+            def fwd4k(p, i):
+                logits = forward(p, i, config=flash_cfg, plan=engine.plan, remat=True)["logits"]
+                return logits.astype(jnp.float32).mean()
+
+            float(fwd4k(engine.params, ids4k))
+            f4k_s, _ = _median_timed(lambda: float(fwd4k(engine.params, ids4k)), n=3)
+            fl4k = estimate_forward_flops(engine.params, config, engine.plan, seq_len=4096)
+            details["fwd_4k_flash_ms"] = round(f4k_s * 1e3, 2)
+            details["fwd_4k_flash_tflops"] = round(fl4k["flops"] / f4k_s / 1e12, 1)
+        except Exception as e:
+            details["flash_4k_error"] = f"{type(e).__name__}: {e}"[:200]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     vs = None
@@ -64,6 +136,7 @@ def main():
         "value": round(wall, 2),
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "details": details,
     }))
 
 

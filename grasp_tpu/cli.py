@@ -108,6 +108,10 @@ def _compress_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--svd_method", type=str, choices=["auto", "host", "device", "gram"],
                    default="auto", help="SVD backend: host LAPACK (parity-exact), on-device XLA, or gram (MXU matmuls + small host eigh)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis: calibration/recovery batches shard over it")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis: Megatron-style sharding of dense projections")
     # recovery
     p.add_argument("--recovery", action="store_true")
     p.add_argument("--data_path", type=str, default="yahma/alpaca-cleaned")
@@ -120,6 +124,11 @@ def _compress_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_on_inputs", action="store_true")
     p.add_argument("--add_eos_token", action="store_true")
     p.add_argument("--prompt_template_name", type=str, default="alpaca")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help="trainer output dir (or a step_N dir inside one) to resume from")
+    p.add_argument("--eval_every", type=int, default=200,
+                   help="eval + save cadence in optimizer steps (reference alpaca_grasp.py:184-186)")
+    p.add_argument("--save_total_limit", type=int, default=3)
     # evaluation
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--eval_ppl", type=str, default="")
@@ -161,7 +170,13 @@ def compress_main(argv=None) -> int:
         sweep=args.sweep,
         grad_mode=args.grad_mode,
     )
-    engine = GraspEngine(params, config, remat=args.remat, svd_method=args.svd_method)
+    mesh = None
+    if args.dp * args.tp > 1:
+        from grasp_tpu.parallel import make_mesh
+
+        mesh = make_mesh((args.dp, args.tp))
+        logger.info("mesh: data=%d model=%d", args.dp, args.tp)
+    engine = GraspEngine(params, config, remat=args.remat, svd_method=args.svd_method, mesh=mesh)
     summary = engine.run(batches, cfg)
     logger.info("summary: %s", json.dumps(summary))
 
@@ -225,6 +240,11 @@ def compress_main(argv=None) -> int:
             num_epochs=args.num_epochs, learning_rate=args.learning_rate,
             accum_steps=max(args.train_batch_size // args.micro_batch_size, 1),
             remat=args.remat,
+            mesh=mesh,
+            eval_every=args.eval_every,
+            output_dir=save_path + "_trainer",
+            save_total_limit=args.save_total_limit,
+            resume_from_checkpoint=args.resume_from_checkpoint,
         )
         engine.params = new_params
         save_checkpoint(

@@ -108,7 +108,20 @@ class GraspEngine:
         plan: Optional[ModelPlan] = None,
         svd_method: str = "auto",
         remat: bool = False,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh("data","model"). When given, the
+        WHOLE pipeline runs mesh-parallel (SURVEY.md §7 step 5): params are
+        Megatron-TP sharded over "model" for the BI and gradient sweeps,
+        calibration batches shard over "data" (XLA inserts the grad psums from
+        the NamedShardings), and per-shape device-SVD stacks fan out across all
+        devices. Selected indices are identical to the single-device run
+        (tests/test_parallel_engine.py)."""
+        self.mesh = mesh
+        if mesh is not None:
+            from grasp_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh, config)
         self.params = params
         self.config = config
         self.plan = plan or default_plan(config)
@@ -139,8 +152,51 @@ class GraspEngine:
 
     def _set_proj(self, name: str, new_params: Params, kind: str) -> None:
         layer_id, group, proj = parse_module_name(name)
+        if self.mesh is not None:
+            new_params = self._place_proj(proj, new_params)
         self.params["layers"][layer_id][group][proj] = new_params
         self.plan = plan_set(self.plan, layer_id, proj, kind)
+
+    def _place_proj(self, proj: str, new_params: Params) -> Params:
+        """Place a freshly-built projection subtree on the mesh (TP spec for
+        dense kernels when dims divide, replicated otherwise — low-rank/svd
+        factors replicate by design, see parallel.mesh)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from grasp_tpu.parallel.mesh import _proj_spec
+
+        specs = _proj_spec(proj, new_params)
+        placed = {}
+        for key, value in new_params.items():
+            spec = specs[key]
+            ok = all(
+                ax is None or value.shape[i] % self.mesh.shape[ax] == 0
+                for i, ax in enumerate(spec)
+            )
+            placed[key] = jax.device_put(
+                value, NamedSharding(self.mesh, spec if ok else P())
+            )
+        return placed
+
+    def _place_batch(self, batch: Batch) -> Batch:
+        """Shard a calibration batch's rows over the mesh "data" axis
+        (replicate when the row count doesn't divide)."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        dp = self.mesh.shape["data"]
+        out: Batch = {}
+        for k, v in batch.items():
+            if v is None:
+                out[k] = v
+                continue
+            v = jnp.asarray(v)
+            spec = P("data") if v.ndim >= 1 and v.shape[0] % dp == 0 else P()
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out
 
     def svd_module_names(self) -> List[str]:
         """All module paths currently in full-SVD (trainable-S) form.
@@ -214,6 +270,7 @@ class GraspEngine:
                 self._bi_fns[key] = bi_step
             bi_step = self._bi_fns[key]
             for batch in calibration_batches:
+                batch = self._place_batch(batch)
                 scores = np.asarray(
                     bi_step(self.params, batch["input_ids"], batch.get("attention_mask"), plan=self.plan)
                 )
@@ -306,7 +363,7 @@ class GraspEngine:
 
         for shape, names in by_shape.items():
             stack = jnp.stack([self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in names])
-            u, s, vh = svd(stack, method=self.svd_method)
+            u, s, vh = svd(stack, method=self.svd_method, mesh=self.mesh)
             u, s, vh = jax.device_get((u, s, vh))
             for i, n in enumerate(names):
                 old = self._get_proj(n)
@@ -377,6 +434,7 @@ class GraspEngine:
         total_loss = 0.0
         nbatches = 0
         for batch in calibration_batches:
+            batch = self._place_batch(batch)
             loss, grads = grad_fn(
                 s_dict, self.params, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
             )
@@ -440,6 +498,7 @@ class GraspEngine:
         k_dict = {n: self._get_proj(n)["kernel"] for n in names}
         totals: Dict[str, jax.Array] = {}
         for batch in calibration_batches:
+            batch = self._place_batch(batch)
             _, grads = grad_fn(
                 k_dict, self.params, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
             )
@@ -457,7 +516,7 @@ class GraspEngine:
         out: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
         for shape, group in by_shape.items():
             stack = jnp.stack([self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in group])
-            u, s, vh = svd(stack, method=self.svd_method)
+            u, s, vh = svd(stack, method=self.svd_method, mesh=self.mesh)
             for i, n in enumerate(group):
                 out[n] = (u[i], s[i], vh[i])
         return out

@@ -13,6 +13,24 @@ the same request semantics:
   - inputs longer than max_length are left-truncated to the last
     max_length tokens.
 
+Evaluation-loop fidelity to lm-eval 0.3.0's evaluator.evaluate, pinned by
+tests/test_harness_fidelity.py:
+
+  - documents are SHUFFLED with random.Random(42) before ``limit`` applies
+    (0.3.0 evaluator.py: rnd.seed(42); rnd.shuffle(task_docs)) — a limited run
+    scores a seeded random subset, not the first N rows;
+  - few-shot examples are drawn from the task's TRAINING split when one exists
+    (Task.fewshot_examples: rnd.sample(training_docs, k) with the same rnd);
+    otherwise k+1 are sampled from the eval docs, the current doc filtered
+    out, and the first k kept — exactly the 0.3.0 fallback;
+  - shots are formatted "<context><gold continuation>" joined by "\n\n" with a
+    trailing "\n\n" before the scored doc's context;
+  - acc_norm (continuation log-likelihood normalized by UTF-8 byte length) is
+    reported for the tasks that define it in 0.3.0 (piqa, hellaswag, arc_*,
+    openbookqa, mathqa); boolq and winogrande have acc only. The "mean"
+    aggregate uses plain acc, matching the reference's aggregation
+    (evaluate_grasp.py:231-235).
+
 Task formats follow lm-eval 0.3.0 for the reference's default task list
 (grasp.py:237): boolq, piqa, hellaswag, winogrande, arc_easy, arc_challenge,
 openbookqa, mathqa. Datasets load from local disk (datasets/<name>/<split>);
@@ -161,6 +179,7 @@ class EvalLM:
 class Task:
     name: str = ""
     split_candidates = ("validation", "test")
+    has_acc_norm = True  # lm-eval 0.3.0 default for multiple_choice tasks
 
     def docs(self, data_root: str = ".") -> List[dict]:
         from datasets import load_from_disk
@@ -174,6 +193,16 @@ class Task:
             f"{{{','.join(self.split_candidates)}}} (no network in this environment)"
         )
 
+    def train_docs(self, data_root: str = ".") -> Optional[List[dict]]:
+        """The task's training split when present locally (few-shot source,
+        lm-eval 0.3.0 Task.fewshot_examples); None otherwise."""
+        from datasets import load_from_disk
+
+        path = os.path.join(data_root, "datasets", self.name, "train")
+        if os.path.isdir(path):
+            return list(load_from_disk(path))
+        return None
+
     def context(self, doc: dict) -> str:
         raise NotImplementedError
 
@@ -184,13 +213,17 @@ class Task:
         raise NotImplementedError
 
     def fewshot_context(self, doc: dict, shots: List[dict]) -> str:
-        parts = [self.context(s) + self.choices(s)[self.gold(s)] for s in shots]
-        parts.append(self.context(doc))
-        return "\n\n".join(parts)
+        """lm-eval 0.3.0 format: "<text><target>" shots joined by "\\n\\n",
+        trailing "\\n\\n", then the scored doc's context."""
+        if not shots:
+            return self.context(doc)
+        labeled = "\n\n".join(self.context(s) + self.choices(s)[self.gold(s)] for s in shots)
+        return labeled + "\n\n" + self.context(doc)
 
 
 class BoolQ(Task):
     name = "boolq"
+    has_acc_norm = False  # lm-eval 0.3.0 boolq reports acc only
 
     def context(self, doc):
         return f"{doc['passage']}\nQuestion: {doc['question']}?\nAnswer:"
@@ -236,18 +269,26 @@ class HellaSwag(Task):
 
 
 class Winogrande(Task):
-    """Partial-evaluation format: the option fills the blank; the continuation
-    is the sentence suffix after the blank (lm-eval 0.3.0 winogrande)."""
+    """Partial-evaluation format (lm-eval 0.3.0 winogrande): the option fills
+    the blank into the context; the scored continuation is the sentence suffix
+    after the blank. Few-shot follows 0.3.0's append_context exactly — the
+    doc's own text in the few-shot context carries the GOLD option, and
+    construct_requests pops that final "\\n\\n" segment before substituting
+    each candidate option."""
 
     name = "winogrande"
+    has_acc_norm = False  # lm-eval 0.3.0 winogrande reports acc only
 
-    def _pieces(self, doc):
+    def partial_context(self, doc, option: str) -> str:
         idx = doc["sentence"].index("_")
-        return doc["sentence"][:idx], doc["sentence"][idx + 1 :]
+        return doc["sentence"][:idx] + option
 
-    def context(self, doc):  # varies per option; handled in requests()
-        prefix, _ = self._pieces(doc)
-        return prefix
+    def partial_target(self, doc) -> str:
+        idx = doc["sentence"].index("_")
+        return " " + doc["sentence"][idx + 1 :].strip()
+
+    def context(self, doc):  # 0.3.0 doc_to_text: gold option filled in
+        return self.partial_context(doc, self.choices(doc)[self.gold(doc)])
 
     def choices(self, doc):
         return [doc["option1"], doc["option2"]]
@@ -255,10 +296,24 @@ class Winogrande(Task):
     def gold(self, doc):
         return int(doc["answer"]) - 1
 
-    def requests(self, ctx_prefix: str, doc: dict) -> List[Tuple[str, str]]:
-        prefix, suffix = self._pieces(doc)
-        base = ctx_prefix[: len(ctx_prefix) - len(prefix)] if ctx_prefix.endswith(prefix) else ""
-        return [(base + prefix.strip() + " " + opt.strip(), suffix) for opt in self.choices(doc)]
+    def fewshot_context(self, doc: dict, shots: List[dict]) -> str:
+        parts = [
+            self.partial_context(s, self.choices(s)[self.gold(s)]) + self.partial_target(s)
+            for s in shots
+        ]
+        parts.append(self.context(doc))
+        return "\n\n".join(parts)
+
+    def requests(self, ctx: str, doc: dict) -> List[Tuple[str, str]]:
+        # 0.3.0 append_context: drop the final "\n\n" segment (the gold-filled
+        # doc_to_text) and splice in each option's partial context
+        target = self.partial_target(doc)
+        segs = ctx.split("\n\n")[:-1]
+        out = []
+        for opt in self.choices(doc):
+            pc = self.partial_context(doc, opt)
+            out.append(("\n\n".join([*segs, pc]) if segs else pc, target))
+        return out
 
 
 class ARCEasy(Task):
@@ -314,6 +369,19 @@ TASK_REGISTRY: Dict[str, Task] = {
 }
 
 
+def _fewshot_docs(task: Task, doc: dict, num_fewshot: int, rnd,
+                  train_pool: Optional[List[dict]], eval_pool: List[dict]) -> List[dict]:
+    """lm-eval 0.3.0 shot selection: rnd.sample from the training docs when a
+    train split exists; else sample k+1 eval docs, drop the current doc, keep
+    the first k. ``rnd`` is the SAME random.Random(42) that shuffled the docs,
+    consumed in document order."""
+    if train_pool:
+        return rnd.sample(train_pool, min(num_fewshot, len(train_pool)))
+    k = min(num_fewshot + 1, len(eval_pool))
+    sampled = rnd.sample(eval_pool, k)
+    return [d for d in sampled if d != doc][:num_fewshot]
+
+
 def evaluate_tasks(
     lm: EvalLM,
     tasks: Sequence[str],
@@ -321,19 +389,37 @@ def evaluate_tasks(
     limit: Optional[int] = None,
     data_root: str = ".",
     docs_override: Optional[Dict[str, List[dict]]] = None,
-    seed: int = 1234,
+    seed: int = 42,
 ) -> Dict[str, Dict[str, float]]:
-    """simple_evaluate equivalent: {"<task>": {"acc": ...}, "mean": ...}.
+    """simple_evaluate equivalent: {"<task>": {"acc", "acc_norm"}, "mean"}.
 
-    docs_override lets tests inject documents without local datasets.
+    Faithful to lm-eval 0.3.0's evaluator.evaluate (see module docstring):
+    docs shuffled by random.Random(42) before ``limit``; few-shot drawn from
+    the training split via the same rnd; acc_norm = argmax of loglikelihood /
+    continuation UTF-8 byte length for tasks that define it. "mean" averages
+    plain acc like the reference (evaluate_grasp.py:231-235).
+
+    docs_override lets tests inject documents without local datasets
+    (use key "<task>:train" to inject a training split for few-shot).
     """
+    import random
+
     results: Dict[str, Any] = {}
-    rng = np.random.default_rng(seed)
     for task_name in tasks:
         if task_name not in TASK_REGISTRY:
             raise KeyError(f"unknown task {task_name!r}; available: {sorted(TASK_REGISTRY)}")
         task = TASK_REGISTRY[task_name]
-        docs = docs_override[task_name] if docs_override else task.docs(data_root)
+        if docs_override:
+            all_docs = list(docs_override[task_name])
+            train_pool = docs_override.get(f"{task_name}:train")
+        else:
+            all_docs = task.docs(data_root)
+            train_pool = task.train_docs(data_root) if num_fewshot > 0 else None
+
+        rnd = random.Random()
+        rnd.seed(seed)
+        docs = list(all_docs)
+        rnd.shuffle(docs)
         if limit and limit > 0:
             docs = docs[:limit]
 
@@ -341,9 +427,8 @@ def evaluate_tasks(
         spans: List[Tuple[int, int, int]] = []  # (start, n_choices, gold)
         for doc in docs:
             if num_fewshot > 0:
-                pool = [d for d in docs if d is not doc]
-                shots = list(rng.choice(len(pool), size=min(num_fewshot, len(pool)), replace=False))
-                ctx = task.fewshot_context(doc, [pool[i] for i in shots])
+                shots = _fewshot_docs(task, doc, num_fewshot, rnd, train_pool, all_docs)
+                ctx = task.fewshot_context(doc, shots)
             else:
                 ctx = task.context(doc)
             if isinstance(task, Winogrande):
@@ -355,13 +440,21 @@ def evaluate_tasks(
 
         lls = lm.loglikelihood(requests)
         correct = 0
-        for start, n, gold in spans:
+        correct_norm = 0
+        for (start, n, gold), doc in zip(spans, docs):
             scores = [lls[start + j][0] for j in range(n)]
             if int(np.argmax(scores)) == gold:
                 correct += 1
+            if task.has_acc_norm:
+                lens = [max(len(c.encode("utf-8")), 1) for c in task.choices(doc)]
+                normed = [s / b for s, b in zip(scores, lens)]
+                if int(np.argmax(normed)) == gold:
+                    correct_norm += 1
         acc = correct / max(len(spans), 1)
         results[task_name] = {"acc": acc}
-        logger.info("%s acc: %.4f (%d docs)", task_name, acc, len(spans))
+        if task.has_acc_norm:
+            results[task_name]["acc_norm"] = correct_norm / max(len(spans), 1)
+        logger.info("%s %s (%d docs)", task_name, results[task_name], len(spans))
 
     accs = [v["acc"] for v in results.values() if isinstance(v, dict)]
     results["mean"] = float(np.mean(accs)) if accs else 0.0

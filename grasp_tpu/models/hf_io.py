@@ -65,10 +65,30 @@ def params_from_state_dict(state_dict: Dict[str, Any], config: ModelConfig, dtyp
 
     HF stores projection weights [out, in] (y = x W^T); we store JAX-layout
     kernels [in, out], so each projection weight is transposed once here.
+
+    Also ingests reference-GRASP compressed checkpoints (migration path):
+    SVDLinear modules (``<proj>.InLinear.weight``/``OutLinear.weight``,
+    modeling_grasp.py:40-55) become low-rank subtrees, GRASPLayer modules
+    (``<proj>.U/S/Vh``, :65-67) become full-SVD subtrees; derive the matching
+    plan with models.llama.plan_from_params.
     """
     sd = {k: _to_np(v) for k, v in state_dict.items()}
 
     def kernel(name):
+        if f"{name}.InLinear.weight" in sd:  # reference SVDLinear (compiled low-rank)
+            p = {
+                "in_kernel": np.ascontiguousarray(sd[f"{name}.InLinear.weight"].T.astype(dtype)),
+                "out_kernel": np.ascontiguousarray(sd[f"{name}.OutLinear.weight"].T.astype(dtype)),
+            }
+            if f"{name}.OutLinear.bias" in sd:
+                p["bias"] = sd[f"{name}.OutLinear.bias"].astype(dtype)
+            return p
+        if f"{name}.U" in sd:  # reference GRASPLayer (full SVD, trainable S)
+            return {
+                "u": sd[f"{name}.U"].astype(dtype),
+                "s": sd[f"{name}.S"].astype(dtype),
+                "vh": sd[f"{name}.Vh"].astype(dtype),
+            }
         p = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T.astype(dtype))}
         if f"{name}.bias" in sd:
             p["bias"] = sd[f"{name}.bias"].astype(dtype)

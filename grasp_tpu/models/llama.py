@@ -61,6 +61,25 @@ def plan_kind(plan: ModelPlan, layer_id: int, proj: str) -> str:
     return plan[layer_id][PROJ_ORDER.index(proj)]
 
 
+def plan_from_params(params: Params, config: ModelConfig) -> ModelPlan:
+    """Derive the plan from a params pytree's subtree keys (in_kernel =>
+    lowrank, u/s/vh => svd, kernel => dense) — e.g. for trees converted from
+    reference-GRASP checkpoints by hf_io.params_from_state_dict."""
+    layers = []
+    for layer in params["layers"]:
+        lp = []
+        for proj in PROJ_ORDER:
+            p = layer["self_attn" if proj in ATTN_PROJS else "mlp"][proj]
+            if "in_kernel" in p or "in_kernel_q" in p:
+                lp.append(LOWRANK)
+            elif "u" in p:
+                lp.append(SVD)
+            else:
+                lp.append(DENSE)
+        layers.append(tuple(lp))
+    return tuple(layers)
+
+
 # ---------------------------------------------------------------------------
 # Initialization
 # ---------------------------------------------------------------------------

@@ -45,6 +45,7 @@ def _host_svd(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 def svd(
     w: jax.Array,
     method: str = "auto",
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Thin SVD of ``w`` ([..., out, in]) in float32.
 
@@ -56,6 +57,9 @@ def svd(
       - "auto":   host on TPU (the on-device QDWH SVD reconstructs to only
         ~1e-2 in fp32 — measured on v5e — vs LAPACK's ~1e-6, and GRASP's
         selected-index parity gate needs the accurate factors); device on CPU.
+    mesh: optional Mesh — "device" stacks fan out across ALL mesh devices
+      (batch dim padded to the device count and sharded; per-matrix results
+      are bit-identical to the unsharded call).
     """
     w = w.astype(jnp.float32)
     out_f, in_f = w.shape[-2], w.shape[-1]
@@ -64,6 +68,8 @@ def svd(
         method = "host" if jax.default_backend() not in ("cpu",) else "device"
 
     if method == "device":
+        if mesh is not None and w.ndim == 3 and mesh.size > 1:
+            return _device_svd_sharded(w, mesh)
         u, s, vh = jnp.linalg.svd(w, full_matrices=False)
         return u, s, vh
 
@@ -86,6 +92,27 @@ def svd(
         return _gram_svd(w)
 
     raise ValueError(f"unknown svd method {method!r}")
+
+
+def _device_svd_sharded(w: jax.Array, mesh) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fan a stack of same-shape SVDs out across every device of the mesh.
+
+    The batch dim is zero-padded to a multiple of the device count and sharded
+    over the flattened mesh; each device factorizes its own shard in parallel.
+    Per-matrix results are bit-identical to the unsharded batched call (the
+    per-matrix algorithm doesn't depend on batch position).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    b = w.shape[0]
+    n = mesh.size
+    pad = (-b) % n
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros((pad,) + w.shape[1:], w.dtype)], axis=0)
+    w = jax.device_put(w, NamedSharding(mesh, P(tuple(mesh.axis_names), None, None)))
+    u, s, vh = jax.jit(lambda x: jnp.linalg.svd(x, full_matrices=False))(w)
+    return u[:b], s[:b], vh[:b]
 
 
 def truncate_svd(

@@ -9,13 +9,25 @@ HF Trainer defaults (alpaca_grasp.py:170-196), gradient accumulation =
 batch_size // micro_batch_size (:68) via optax.MultiSteps, and bf16 compute
 instead of the reference's fp16 (TPU-native mixed precision).
 
+Checkpointing mirrors the reference Trainer args (alpaca_grasp.py:184-188):
+eval + save every `eval_every` optimizer steps, keep `save_total_limit`
+newest, load the best (lowest eval loss) at the end; `resume_from_checkpoint`
+restores params + optimizer state + step and fast-forwards the data stream so
+a killed run reproduces the uninterrupted loss curve
+(tests/test_recover_resume.py). Reference resume is weights-only
+(alpaca_grasp.py:143-153); ours restores the full train state — strictly
+stronger, divergence documented in PARITY.md.
+
 The training step jit-compiles once per plan and shards over a
 ("data","model") mesh via NamedShardings when one is provided.
 """
 
 from __future__ import annotations
 
+import json
 import logging
+import os
+import shutil
 import time
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
@@ -55,6 +67,24 @@ def count_trainable(params: Params, mask: Params) -> Tuple[int, int]:
     return total, trainable
 
 
+def _zero_frozen(mask: Params) -> optax.GradientTransformation:
+    """Zero the gradients of frozen leaves (value_and_grad produces grads for
+    the whole tree; HF only has grads on requires_grad params, so the global
+    grad norm must be computed over the trainable subtree alone)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree.map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask
+        ), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     learning_rate: float = 3e-4,
     total_steps: int = 1000,
@@ -62,8 +92,16 @@ def make_optimizer(
     accum_steps: int = 1,
     mask: Optional[Params] = None,
     weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = 1.0,
 ) -> optax.GradientTransformation:
-    """AdamW + HF-Trainer-default linear warmup/decay, masked, with accumulation."""
+    """AdamW + HF-Trainer-default linear warmup/decay, masked, with accumulation.
+
+    max_grad_norm=1.0 replicates the reference trainer's implicit global
+    gradient clipping (TrainingArguments default, active in alpaca_grasp.py's
+    Trainer run) — computed over trainable leaves only, like torch
+    clip_grad_norm_ over params-with-grads. Golden-tested step-for-step against
+    HF Trainer in tests/test_recover_golden.py.
+    """
     schedule = optax.join_schedules(
         [
             optax.linear_schedule(0.0, learning_rate, warmup_steps),
@@ -80,6 +118,13 @@ def make_optimizer(
         tx = optax.multi_transform({"train": adamw, "freeze": optax.set_to_zero()}, labels)
     else:
         tx = adamw
+    chain = []
+    if mask is not None:
+        chain.append(_zero_frozen(mask))
+    if max_grad_norm:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(tx)
+    tx = optax.chain(*chain) if len(chain) > 1 else tx
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
@@ -120,6 +165,72 @@ def make_eval_step(config: ModelConfig, plan: ModelPlan) -> Callable:
     return jax.jit(step)
 
 
+# ---------------------------------------------------------------------------
+# Train-state checkpointing (reference alpaca_grasp.py:143-153, 184-188)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(
+    output_dir: str, step: int, params: Params, opt_state, history: Dict[str, Any],
+    save_total_limit: int = 3,
+) -> str:
+    """Save {params, optimizer leaves, step, history} under output_dir/step_N,
+    pruning to the newest `save_total_limit` checkpoints (HF Trainer
+    save_total_limit semantics, alpaca_grasp.py:187)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, f"step_{step}"))
+    os.makedirs(path, exist_ok=True)
+    state = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt": [np.asarray(x) for x in jax.tree.leaves(opt_state)],
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), state, force=True)
+    with open(os.path.join(path, "train_meta.json"), "w") as f:
+        json.dump({"step": step, "history": history}, f)
+
+    kept = sorted(
+        (d for d in os.listdir(output_dir) if d.startswith("step_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    for stale in kept[:-save_total_limit] if save_total_limit else []:
+        shutil.rmtree(os.path.join(output_dir, stale), ignore_errors=True)
+    return path
+
+
+def load_train_state(path: str, opt_state_template) -> Tuple[Params, Any, int, Dict[str, Any]]:
+    """Restore (params, opt_state, step, history) saved by save_train_state.
+
+    opt_state_template: a freshly-initialized optimizer state providing the
+    pytree structure (checkpoints store flat leaves — data, not code)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(path, "state"))
+    with open(os.path.join(path, "train_meta.json")) as f:
+        meta = json.load(f)
+    treedef = jax.tree.structure(opt_state_template)
+    template_leaves = jax.tree.leaves(opt_state_template)
+    leaves = [
+        jnp.asarray(x, getattr(t, "dtype", None)) for x, t in zip(state["opt"], template_leaves)
+    ]
+    opt_state = jax.tree.unflatten(treedef, leaves)
+    params = jax.tree.map(jnp.asarray, state["params"])
+    return params, opt_state, int(meta["step"]), meta["history"]
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    if not os.path.isdir(output_dir):
+        return None
+    steps = sorted(
+        (d for d in os.listdir(output_dir) if d.startswith("step_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    return os.path.join(output_dir, steps[-1]) if steps else None
+
+
 def recovery_train(
     params: Params,
     config: ModelConfig,
@@ -135,13 +246,33 @@ def recovery_train(
     eval_every: int = 200,
     log_every: int = 10,
     remat: bool = False,
+    mesh=None,
+    output_dir: Optional[str] = None,
+    save_total_limit: int = 3,
+    resume_from_checkpoint: Optional[str] = None,
+    load_best_at_end: bool = True,
 ) -> Tuple[Params, Dict[str, Any]]:
     """Run GRASP* recovery training; returns (new_params, history).
 
     train_batches: iterable of {"input_ids", "labels", "attention_mask"}
     (labels use -100 for masked positions; loss shifts internally exactly as
     HF Trainer does for CausalLM — see hf_causal_lm_loss).
+
+    Checkpointing (all reference-Trainer semantics, alpaca_grasp.py:184-188):
+    when output_dir is set, eval+save every `eval_every` optimizer steps
+    (optimizer steps = micro-steps // accum_steps, like HF global_step), keep
+    the newest `save_total_limit`, and — if val_batches — load the checkpoint
+    with the lowest eval loss at the end. resume_from_checkpoint (a step_N dir,
+    or an output_dir whose latest step is taken) restores params + opt state +
+    step and fast-forwards the data stream.
+
+    mesh: optional ("data","model") Mesh — params TP-shard, batches dp-shard.
     """
+    if mesh is not None:
+        from grasp_tpu.parallel.mesh import shard_batch, shard_params
+
+        params = shard_params(params, mesh, config)
+
     mask = trainable_mask(params, redundant_layers)
     total, trainable = count_trainable(params, mask)
     logger.info(
@@ -168,34 +299,85 @@ def recovery_train(
     eval_step = make_eval_step(config, plan) if val_batches else None
 
     history: Dict[str, Any] = {"train_loss": [], "eval_loss": []}
+    start_step = 0
+    if resume_from_checkpoint:
+        ckpt = resume_from_checkpoint
+        if not os.path.basename(ckpt).startswith("step_"):
+            found = latest_checkpoint(ckpt)
+            if found is None:
+                raise FileNotFoundError(f"no step_N checkpoints under {ckpt!r}")
+            ckpt = found
+        params, opt_state, start_step, history = load_train_state(ckpt, opt_state)
+        if mesh is not None:
+            from grasp_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh, config)
+        logger.info("resumed from %s at micro-step %d", ckpt, start_step)
+
+    def _prep(b):
+        arrs = {
+            "input_ids": jnp.asarray(b["input_ids"]),
+            "labels": jnp.asarray(b["labels"]),
+        }
+        if b.get("attention_mask") is not None:
+            arrs["attention_mask"] = jnp.asarray(b["attention_mask"])
+        if mesh is not None:
+            from grasp_tpu.parallel.mesh import shard_batch
+
+            arrs = shard_batch(arrs, mesh)
+        return arrs
+
+    def _run_eval(p):
+        return float(np.mean([
+            float(eval_step(
+                p, b["input_ids"], b["labels"], b.get("attention_mask"),
+            ))
+            for b in map(_prep, val_batches)
+        ]))
+
+    best = (float("inf"), None)  # (eval loss, checkpoint path)
     step_i = 0
     t0 = time.time()
     for epoch in range(num_epochs):
         for batch in train_batches:
+            step_i += 1
+            if step_i <= start_step:
+                continue  # fast-forward a resumed run through consumed data
+            batch = _prep(batch)
             params, opt_state, loss = train_step(
                 params, opt_state,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["labels"]),
-                jnp.asarray(batch["attention_mask"]) if batch.get("attention_mask") is not None else None,
+                batch["input_ids"], batch["labels"], batch.get("attention_mask"),
             )
-            step_i += 1
             if step_i % log_every == 0:
                 lv = float(loss)
                 history["train_loss"].append((step_i, lv))
                 logger.info("epoch %d step %d loss %.4f (%.1fs)", epoch, step_i, lv, time.time() - t0)
-            if eval_step and step_i % eval_every == 0:
-                ev = float(
-                    np.mean([
-                        float(eval_step(
-                            params,
-                            jnp.asarray(b["input_ids"]),
-                            jnp.asarray(b["labels"]),
-                            jnp.asarray(b["attention_mask"]) if b.get("attention_mask") is not None else None,
-                        ))
-                        for b in val_batches
-                    ])
-                )
-                history["eval_loss"].append((step_i, ev))
-                logger.info("eval loss %.4f", ev)
+            # reference cadence: every eval_every OPTIMIZER steps (HF
+            # global_step counts accumulation cycles, alpaca_grasp.py:184-186)
+            at_opt_boundary = step_i % max(accum_steps, 1) == 0
+            opt_step = step_i // max(accum_steps, 1)
+            if at_opt_boundary and opt_step % eval_every == 0:
+                if eval_step:
+                    ev = _run_eval(params)
+                    history["eval_loss"].append((step_i, ev))
+                    logger.info("eval loss %.4f", ev)
+                if output_dir:
+                    path = save_train_state(
+                        output_dir, step_i, params, opt_state, history,
+                        save_total_limit=save_total_limit,
+                    )
+                    if eval_step and ev < best[0]:
+                        best = (ev, path)
+
+    if output_dir and load_best_at_end and best[1] is not None and os.path.isdir(best[1]):
+        final_ev = _run_eval(params) if eval_step else float("inf")
+        if best[0] < final_ev:
+            logger.info("loading best checkpoint %s (eval %.4f < final %.4f)",
+                        best[1], best[0], final_ev)
+            params, _, _, _ = load_train_state(best[1], opt_state)
+            if mesh is not None:
+                from grasp_tpu.parallel.mesh import shard_params
+
+                params = shard_params(params, mesh, config)
 
     return params, history
