@@ -122,6 +122,27 @@ def main():
         except Exception as e:
             details["flash_4k_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # ---- run the TPU-gated Pallas kernel tests on the real chip and record
+    # the result as a driver-visible artifact (they're CPU-skipped in CI) ----
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if jax.default_backend() not in ("cpu",) and os.environ.get("GRASP_BENCH_SKIP_TPU_TESTS") != "1":
+        import re
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                ["python", "-m", "pytest", "tests", "-q", "-k", "tpu", "--no-header", "-p", "no:cacheprovider"],
+                env={**os.environ, "GRASP_TPU_TESTS": "1"},
+                cwd=repo, capture_output=True, text=True, timeout=1500,
+            )
+            tail = (proc.stdout or "").strip().splitlines()[-1:] or [""]
+            details["tpu_kernel_tests"] = tail[0][:120]
+            with open(os.path.join(repo, "TPU_TESTS.json"), "w") as f:
+                json.dump({"rc": proc.returncode, "summary": tail[0],
+                           "passed": bool(re.search(r"\d+ passed", tail[0]) and proc.returncode == 0)}, f)
+        except Exception as e:
+            details["tpu_kernel_tests"] = f"error: {type(e).__name__}"[:120]
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     vs = None
     if os.path.exists(baseline_path):

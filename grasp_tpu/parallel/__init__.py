@@ -11,4 +11,8 @@ from grasp_tpu.parallel.ring_attention import (  # noqa: F401
     ring_attention,
     context_parallel_attention,
 )
-from grasp_tpu.parallel.seq_parallel import seq_parallel_logits  # noqa: F401
+from grasp_tpu.parallel.seq_parallel import (  # noqa: F401
+    make_seq_parallel_train_step,
+    seq_parallel_logits,
+    seq_parallel_loss,
+)

@@ -8,8 +8,15 @@ rotate via ppermute with online-softmax accumulation. Per-device activation
 memory is O(S/n); the reference's only answer to long context is truncation
 (SURVEY.md §5).
 
-Inference/scoring path (BI-style hidden taps and logits); for training use the
-data/tensor-parallel forward in models.llama.
+Gradients flow through the whole path — shard_map, the ppermute ring and the
+online-softmax scan are all differentiable (ppermute transposes to the
+inverted permutation; the scan backward rotates KV gradients back around the
+ring), so long-context TRAINING works sequence-parallel too:
+:func:`seq_parallel_loss` / :func:`make_seq_parallel_train_step`. Grads match
+the single-device forward bit-for-bit within fp tolerance
+(tests/test_seq_parallel.py::test_seq_parallel_grads_match). Use remat=True to
+rematerialize each layer in the backward (activation memory O(S/n) again
+instead of the scan's saved carries).
 """
 
 from __future__ import annotations
@@ -73,6 +80,7 @@ def seq_parallel_logits(
     config: ModelConfig,
     plan: Optional[ModelPlan] = None,
     axis: str = "data",
+    remat: bool = False,
 ) -> jax.Array:
     """Logits [B, S, V] for a sequence sharded over `axis` (S % axis_size == 0)."""
     plan = plan or default_plan(config)
@@ -86,7 +94,13 @@ def seq_parallel_logits(
 
         h = params["embed_tokens"]["weight"][ids]
         for li in range(config.num_hidden_layers):
-            h = _local_layer(params["layers"][li], plan[li], h, cos, sin, config, axis)
+            layer_fn = functools.partial(
+                _local_layer, layer_plan=plan[li], cos=cos, sin=sin,
+                config=config, axis_name=axis,
+            )
+            if remat:
+                layer_fn = jax.checkpoint(layer_fn)
+            h = layer_fn(params["layers"][li], h=h)
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
         return _lm_logits(h, params)
 
@@ -97,3 +111,45 @@ def seq_parallel_logits(
         out_specs=P(None, axis, None),
     )
     return fn(params, input_ids)
+
+
+def seq_parallel_loss(
+    params: Params,
+    input_ids: jax.Array,
+    labels: jax.Array,
+    mesh: Mesh,
+    config: ModelConfig,
+    plan: Optional[ModelPlan] = None,
+    axis: str = "data",
+    remat: bool = False,
+) -> jax.Array:
+    """HF CausalLM loss with the sequence sharded over `axis`. Differentiable:
+    jax.grad of this matches grads of the regular single-device forward."""
+    from grasp_tpu.models.llama import hf_causal_lm_loss
+
+    logits = seq_parallel_logits(params, input_ids, mesh, config, plan, axis, remat=remat)
+    return hf_causal_lm_loss(logits, labels)
+
+
+def make_seq_parallel_train_step(
+    config: ModelConfig,
+    plan: ModelPlan,
+    optimizer,
+    mesh: Mesh,
+    axis: str = "data",
+    remat: bool = False,
+):
+    """One jitted long-context SGD step with ring attention in the backward:
+    (params, opt_state, input_ids, labels) -> (params, opt_state, loss)."""
+    import optax
+
+    def step(params, opt_state, input_ids, labels):
+        def loss_fn(p):
+            return seq_parallel_loss(p, input_ids, labels, mesh, config, plan, axis, remat)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))

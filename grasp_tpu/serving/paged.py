@@ -1,0 +1,318 @@
+"""Paged KV cache + continuous batching for mixed-length serving.
+
+Beyond-reference serving extension (the reference's only generation path is
+HF ``model.generate`` one request at a time, tools/eval_longbench.py:337-353).
+The dense batched generator (eval/generate.Generator.greedy_batch) allocates
+``max_len`` KV per row — mixed-length streams waste HBM and a long request
+pins the whole batch. Here KV lives in a global **page pool** per layer:
+
+  - ``k_pages/v_pages: [L, num_pages, nkv, page_size, hd]`` device arrays with
+    static shapes (jit-stable regardless of request mix);
+  - each sequence owns a **page table** (logical block -> physical page); the
+    decode step scatters the new token's K/V into its page slot and gathers
+    the sequence's pages for attention (XLA gather — the TPU-idiomatic
+    baseline; a fused Pallas gather-attention kernel is the next rung);
+  - a free-list allocator recycles pages the moment a request finishes, so
+    throughput tracks the *live* token count, not the worst-case batch shape;
+  - :class:`ServingEngine` does continuous batching: requests join mid-flight
+    (prefill into freshly allocated pages), finished rows retire and free
+    their pages, every decode step advances ALL live rows in one jitted call.
+
+Correctness gate: paged decode matches the dense-cache decode bit-for-bit
+within fp tolerance on rank-heterogeneous (GRASP-compressed) plans
+(tests/test_paged_serving.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import (
+    PROJ_ORDER,
+    ModelPlan,
+    Params,
+    _lm_logits,
+    apply_rope,
+    default_plan,
+    init_kv_cache,
+    prefill,
+    proj_apply,
+    rms_norm,
+    rope_cos_sin,
+)
+
+
+class PagePool:
+    """Global KV page pool (device) + host-side free-list allocator."""
+
+    def __init__(self, config: ModelConfig, num_pages: int, page_size: int = 128,
+                 dtype=None):
+        self.config = config
+        self.num_pages = num_pages
+        self.page_size = page_size
+        dtype = dtype or jnp.dtype(config.dtype)
+        shape = (config.num_hidden_layers, num_pages, config.num_key_value_heads,
+                 page_size, config.head_dim_)
+        self.k_pages = jnp.zeros(shape, dtype)
+        self.v_pages = jnp.zeros(shape, dtype)
+        # page 0 is reserved as the null page unallocated table slots point at
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self, n: int) -> List[int]:
+        if n > len(self._free):
+            raise MemoryError(f"page pool exhausted: need {n}, have {len(self._free)} free")
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: List[int]) -> None:
+        self._free.extend(p for p in pages if p > 0)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+
+def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int):
+    """Build the jitted one-token decode over the page pool.
+
+    (params, toks [B], k_pages, v_pages, tables [B, P], pos [B], live [B])
+      -> (logits [B, V], k_pages, v_pages)
+    pos[b] = number of tokens already in sequence b's cache (the new token's
+    slot). Dead rows (live=0) write into the reserved null page 0 slot 0.
+    """
+    def fn(params, toks, k_pages, v_pages, tables, pos, live):
+        L, num_pages, nkv, page_size, hd = k_pages.shape
+        b = toks.shape[0]
+        nh = config.num_attention_heads
+        t_max = max_pages_per_seq * page_size
+
+        cos, sin = rope_cos_sin(pos[:, None], hd, config.rope_theta)  # [B,1,hd]
+
+        h = params["embed_tokens"]["weight"][toks][:, None, :]  # [B,1,d]
+
+        logical_page = pos // page_size
+        offset = pos % page_size
+        phys = jnp.take_along_axis(tables, logical_page[:, None], axis=1)[:, 0]
+        phys = jnp.where(live > 0, phys, 0)  # dead rows scribble on the null page
+
+        # validity of each gathered slot: absolute slot index <= pos (inclusive
+        # of the token written this step)
+        slot_idx = jnp.arange(t_max)[None, :]
+        valid = (slot_idx <= pos[:, None]) & (live > 0)[:, None]
+        bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[:, None, None, :]
+
+        for li in range(config.num_hidden_layers):
+            lp = params["layers"][li]
+            kinds = dict(zip(PROJ_ORDER, plan[li]))
+
+            x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+            ap = lp["self_attn"]
+            q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+            k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+            v = proj_apply(x, ap["v_proj"], kinds["v_proj"]).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
+            q, k = apply_rope(q, k, cos, sin)
+
+            # scatter this token's K/V into its page slot
+            k_pages = k_pages.at[li, phys, :, offset, :].set(
+                k[:, :, 0, :].astype(k_pages.dtype), mode="drop")
+            v_pages = v_pages.at[li, phys, :, offset, :].set(
+                v[:, :, 0, :].astype(v_pages.dtype), mode="drop")
+
+            # gather each row's pages: [B, P, nkv, ps, hd] -> [B, nkv, T, hd]
+            k_seq = k_pages[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max, hd)
+            v_seq = v_pages[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max, hd)
+            if nh != nkv:
+                k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
+                v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
+
+            scale = 1.0 / np.sqrt(hd)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq,
+                                preferred_element_type=jnp.float32) * scale
+            scores = scores + bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq, preferred_element_type=q.dtype)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
+            h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+
+            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+            mp = lp["mlp"]
+            gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
+            up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
+            h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+
+        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+        logits = _lm_logits(h, params)[:, 0, :]
+        return logits, k_pages, v_pages
+
+    return jax.jit(fn, donate_argnums=(2, 3))
+
+
+class _Request:
+    __slots__ = ("rid", "prompt", "pages", "pos", "out", "max_new", "done", "row")
+
+    def __init__(self, rid, prompt, max_new):
+        self.rid = rid
+        self.prompt = np.asarray(prompt).reshape(-1).astype(np.int32)
+        self.pages: List[int] = []
+        self.pos = 0          # tokens currently in cache
+        self.out: List[int] = []
+        self.max_new = max_new
+        self.done = False
+        self.row = -1         # batch slot while live
+
+
+class ServingEngine:
+    """Continuous-batching greedy server over the paged KV pool.
+
+    submit() enqueues; step() admits pending requests (prefill into freshly
+    allocated pages) and advances every live row one token in a single jitted
+    decode; finished requests free their pages immediately. collect() drains
+    completed outputs. The decode compiles ONCE per (max_batch,
+    max_pages_per_seq) — request churn never recompiles.
+    """
+
+    def __init__(self, params: Params, config: ModelConfig, plan: Optional[ModelPlan] = None,
+                 num_pages: int = 64, page_size: int = 128, max_batch: int = 8,
+                 max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None):
+        self.params = params
+        self.config = config
+        self.plan = plan or default_plan(config)
+        self.pool = PagePool(config, num_pages, page_size)
+        self.max_batch = max_batch
+        self.max_pages_per_seq = max_pages_per_seq
+        self.eos = eos_token_id
+        self._decode = _paged_decode_fn(config, self.plan, max_pages_per_seq)
+        self._prefill_fns: Dict[Tuple[int, int], any] = {}
+
+        self._pending: List[_Request] = []
+        self._live: List[Optional[_Request]] = [None] * max_batch
+        self._finished: List[_Request] = []
+        self._next_tok = np.zeros(max_batch, np.int32)
+        self._rid = 0
+
+    # -- public API --------------------------------------------------------
+    def submit(self, prompt_ids, max_new_tokens: int) -> int:
+        need = -(-(len(np.asarray(prompt_ids).reshape(-1)) + max_new_tokens) // self.pool.page_size)
+        if need > self.max_pages_per_seq:
+            raise ValueError(
+                f"request needs {need} pages > max_pages_per_seq={self.max_pages_per_seq}")
+        self._rid += 1
+        self._pending.append(_Request(self._rid, prompt_ids, max_new_tokens))
+        return self._rid
+
+    def has_work(self) -> bool:
+        return bool(self._pending) or any(r is not None for r in self._live)
+
+    def collect(self) -> Dict[int, List[int]]:
+        done, self._finished = self._finished, []
+        return {r.rid: r.out for r in done}
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until all submitted requests finish; return {rid: tokens}."""
+        results: Dict[int, List[int]] = {}
+        while self.has_work():
+            self.step()
+            results.update(self.collect())
+        return results
+
+    # -- internals ----------------------------------------------------------
+    def _get_prefill(self, s_pad: int, cache_len: int):
+        key = (s_pad, cache_len)
+        if key not in self._prefill_fns:
+            config, plan = self.config, self.plan
+
+            @jax.jit
+            def fn(params, ids, cache):
+                return prefill(params, ids, cache, config=config, plan=plan)
+
+            self._prefill_fns[key] = fn
+        return self._prefill_fns[key]
+
+    def _admit(self, req: _Request, row: int) -> None:
+        """Prefill the prompt through the dense path, then scatter its KV into
+        freshly allocated pages (one bulk reshape — no per-token writes)."""
+        ps = self.pool.page_size
+        s = len(req.prompt)
+        need_pages = -(-(s + req.max_new) // ps)
+        req.pages = self.pool.alloc(need_pages)
+        s_pad = -(-max(s, 1) // ps) * ps  # prompt rounded to whole pages
+
+        padded = np.zeros((1, s_pad), np.int32)
+        padded[0, :s] = req.prompt
+        cache = init_kv_cache(self.config, batch=1, max_len=s_pad)
+        logits, cache = self._get_prefill(s_pad, s_pad)(self.params, jnp.asarray(padded), cache)
+
+        n_prompt_pages = s_pad // ps
+        phys = jnp.asarray(req.pages[:n_prompt_pages], jnp.int32)
+        for li in range(self.config.num_hidden_layers):
+            # [1, nkv, s_pad, hd] -> [n_pages, nkv, ps, hd]
+            k = cache[li]["k"][0].reshape(-1, n_prompt_pages, ps, cache[li]["k"].shape[-1])
+            k = k.transpose(1, 0, 2, 3)
+            v = cache[li]["v"][0].reshape(-1, n_prompt_pages, ps, cache[li]["v"].shape[-1])
+            v = v.transpose(1, 0, 2, 3)
+            self.pool.k_pages = self.pool.k_pages.at[li, phys].set(k.astype(self.pool.k_pages.dtype))
+            self.pool.v_pages = self.pool.v_pages.at[li, phys].set(v.astype(self.pool.v_pages.dtype))
+
+        req.pos = s
+        req.row = row
+        self._live[row] = req
+        self._next_tok[row] = int(jnp.argmax(logits[0, s - 1]))
+
+    def step(self) -> None:
+        # admit pending requests into free rows (if pages suffice)
+        for row in range(self.max_batch):
+            if self._live[row] is None and self._pending:
+                nxt = self._pending[0]
+                need = -(-(len(nxt.prompt) + nxt.max_new) // self.pool.page_size)
+                if need > self.pool.free_pages:
+                    break  # wait for pages to free up
+                self._admit(self._pending.pop(0), row)
+
+        if not any(r is not None for r in self._live):
+            return
+
+        # emit the token computed last step (or by prefill), check stops
+        for r in self._live:
+            if r is None:
+                continue
+            tok = int(self._next_tok[r.row])
+            if tok == self.eos:
+                self._retire(r)  # stop token is not emitted (Generator parity)
+            else:
+                r.out.append(tok)
+
+        tables = np.zeros((self.max_batch, self.max_pages_per_seq), np.int32)
+        pos = np.zeros(self.max_batch, np.int32)
+        live = np.zeros(self.max_batch, np.int32)
+        for r in self._live:
+            if r is None:
+                continue
+            tables[r.row, : len(r.pages)] = r.pages
+            pos[r.row] = r.pos
+            live[r.row] = 1
+        if not live.any():
+            return
+
+        logits, self.pool.k_pages, self.pool.v_pages = self._decode(
+            self.params, jnp.asarray(self._next_tok), self.pool.k_pages,
+            self.pool.v_pages, jnp.asarray(tables), jnp.asarray(pos), jnp.asarray(live),
+        )
+        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        for r in list(self._live):
+            if r is None:
+                continue
+            r.pos += 1
+            self._next_tok[r.row] = nxt[r.row]
+            if len(r.out) >= r.max_new:
+                self._retire(r)
+
+    def _retire(self, req: _Request) -> None:
+        self.pool.free(req.pages)
+        req.pages = []
+        req.done = True
+        self._live[req.row] = None
+        self._finished.append(req)

@@ -50,3 +50,53 @@ def test_seq_parallel_under_jit(mesh, rng):
     f = jax.jit(lambda p, i: seq_parallel_logits(p, i, mesh, config))
     ref = np.asarray(forward(params, ids, config=config)["logits"])
     np.testing.assert_allclose(np.asarray(f(params, ids)), ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_seq_parallel_grads_match_single_device(mesh, rng, remat):
+    """Long-context TRAINING: jax.grad through the ring (ppermute transpose +
+    online-softmax scan backward) equals the regular forward's grads."""
+    from grasp_tpu.models.llama import hf_causal_lm_loss
+    from grasp_tpu.parallel.seq_parallel import seq_parallel_loss
+
+    config = ModelConfig.tiny(num_hidden_layers=2)
+    params = init_params(jax.random.PRNGKey(0), config)
+    ids = jnp.asarray(rng.integers(0, config.vocab_size, (2, 32)))
+    labels = jnp.asarray(rng.integers(0, config.vocab_size, (2, 32)))
+
+    def ref_loss(p):
+        return hf_causal_lm_loss(forward(p, ids, config=config)["logits"], labels)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+    # remat inside shard_map requires a jit around it (eager closed_call is
+    # unsupported); the training step is always jitted anyway
+    got_l, got_g = jax.jit(jax.value_and_grad(
+        lambda p: seq_parallel_loss(p, ids, labels, mesh, config, remat=remat)
+    ))(params)
+
+    np.testing.assert_allclose(float(got_l), float(ref_l), rtol=1e-5)
+    flat_ref, _ = jax.tree.flatten(ref_g)
+    flat_got, treedef = jax.tree.flatten(got_g)
+    assert len(flat_ref) == len(flat_got)
+    for a, b in zip(flat_got, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_seq_parallel_train_step_reduces_loss(mesh, rng):
+    import optax
+
+    from grasp_tpu.models.llama import default_plan
+    from grasp_tpu.parallel.seq_parallel import make_seq_parallel_train_step
+
+    config = ModelConfig.tiny(num_hidden_layers=2)
+    params = jax.tree.map(jnp.array, init_params(jax.random.PRNGKey(0), config))
+    ids = jnp.asarray(rng.integers(0, config.vocab_size, (1, 32)))
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(params)
+    step = make_seq_parallel_train_step(config, default_plan(config), tx, mesh)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, ids, ids)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
