@@ -25,3 +25,7 @@ export EVAL_TASKS=${EVAL_TASKS:-boolq,piqa,hellaswag,winogrande,arc_easy,arc_cha
 export SAVE_PATH=${SAVE_PATH:-./checkpoint/grasp}
 export LOG_FILE=${LOG_FILE:-}
 export DATA_ROOT=${DATA_ROOT:-.}
+export DP=${DP:-1}                         # data-parallel mesh axis
+export TP=${TP:-1}                         # tensor-parallel mesh axis
+export SVD_METHOD=${SVD_METHOD:-auto}      # auto | host | device | gram
+export RESUME_FROM_CHECKPOINT=${RESUME_FROM_CHECKPOINT:-}

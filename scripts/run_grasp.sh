@@ -17,7 +17,11 @@ args=(
   --grad_mode "$GRAD_MODE"
   --save_path "$SAVE_PATH"
   --data_root "$DATA_ROOT"
+  --dp "$DP"
+  --tp "$TP"
+  --svd_method "$SVD_METHOD"
 )
+[ -n "$RESUME_FROM_CHECKPOINT" ] && args+=(--resume_from_checkpoint "$RESUME_FROM_CHECKPOINT")
 [ -n "$COMPRESSION_RATIO" ] && args+=(--compression_ratio "$COMPRESSION_RATIO")
 [ -n "$THRESHOLD_RATIO" ] && args+=(--threshold_ratio "$THRESHOLD_RATIO")
 [ -n "$LOG_FILE" ] && args+=(--log_file "$LOG_FILE")

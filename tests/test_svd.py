@@ -131,3 +131,59 @@ def test_merge_mode_matches_reference_compile(rng):
         merge_svd(jnp.asarray(u[:, keep].numpy()), jnp.asarray(s[keep].numpy()), jnp.asarray(vh[keep, :].numpy()))
     )
     np.testing.assert_allclose(w_ours, w_ref, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Gram-eigh SVD (the TPU auto path for large matrices)
+# ---------------------------------------------------------------------------
+
+
+def _spectrum_matrix(rng, out_f, in_f, decay=0.9):
+    """A matrix with a known well-separated geometric spectrum (avoids the
+    tie-flakiness of raw gaussian matrices whose spectra cluster)."""
+    k = min(out_f, in_f)
+    a = rng.normal(size=(out_f, k)).astype(np.float32)
+    b = rng.normal(size=(k, in_f)).astype(np.float32)
+    u, _ = np.linalg.qr(a)
+    vt, _ = np.linalg.qr(b.T)
+    s = decay ** np.arange(k, dtype=np.float32)
+    return (u * s) @ vt.T, s
+
+
+@pytest.mark.parametrize("shape", [(48, 80), (80, 48), (64, 64)])
+def test_gram_svd_top_singulars_match_exact(rng, shape):
+    w, s_true = _spectrum_matrix(rng, *shape)
+    u, s, vh = svd(jnp.asarray(w), method="gram")
+    k = len(s_true) // 2  # GRASP keeps the top of the spectrum
+    np.testing.assert_allclose(np.asarray(s)[:k], s_true[:k], rtol=1e-3)
+    # truncated reconstruction matches the exact-SVD truncation
+    ue, se, vhe = svd(jnp.asarray(w), method="device")
+    rec_g = (np.asarray(u)[:, :k] * np.asarray(s)[:k]) @ np.asarray(vh)[:k]
+    rec_e = (np.asarray(ue)[:, :k] * np.asarray(se)[:k]) @ np.asarray(vhe)[:k]
+    np.testing.assert_allclose(rec_g, rec_e, rtol=2e-3, atol=2e-3)
+
+
+def test_gram_svd_selects_same_indices_as_exact(rng):
+    """The saliency top-k selection (what GRASP actually consumes) is
+    identical between the gram and exact factorizations."""
+    from grasp_tpu.ops.saliency import select_topk, svd_saliency
+    from grasp_tpu.ops.svd import sigma_gradients
+
+    w, _ = _spectrum_matrix(rng, 96, 64)
+    grad_w = jnp.asarray(rng.normal(size=w.shape).astype(np.float32))
+    k = 20
+    idx = {}
+    for method in ("device", "gram"):
+        u, s, vh = svd(jnp.asarray(w), method=method)
+        sal = svd_saliency(sigma_gradients(u, vh, grad_w), s, "taylor")
+        idx[method] = np.asarray(select_topk(sal, k))
+    np.testing.assert_array_equal(idx["gram"], idx["device"])
+
+
+def test_gram_svd_batched(rng):
+    w0, _ = _spectrum_matrix(rng, 40, 56)
+    w1, _ = _spectrum_matrix(rng, 40, 56)
+    u, s, vh = svd(jnp.stack([jnp.asarray(w0), jnp.asarray(w1)]), method="gram")
+    for i, w in enumerate((w0, w1)):
+        rec = (np.asarray(u[i]) * np.asarray(s[i])) @ np.asarray(vh[i])
+        np.testing.assert_allclose(rec, w, rtol=2e-3, atol=2e-3)
