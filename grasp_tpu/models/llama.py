@@ -409,6 +409,26 @@ def hf_causal_lm_loss(logits: jax.Array, labels: jax.Array, ignore_index: int = 
     return nll.sum() / jnp.maximum(valid.sum(), 1)
 
 
+def hf_causal_lm_loss_sum(
+    logits: jax.Array, labels: jax.Array, ignore_index: int = -100
+) -> jax.Array:
+    """Unreduced HF CausalLM loss: fp32 CE *sum* over shifted valid positions.
+
+    This is transformers' ``fixed_cross_entropy(reduction="sum")`` path — the
+    numerator of the token-weighted gradient-accumulation loss, where the
+    denominator is ``num_items_in_batch`` counted over the *unshifted* labels
+    of the whole accumulation group (Trainer._get_num_items_in_batch). Used by
+    ``train.recover.make_accum_train_step``.
+    """
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, nll, 0.0).sum()
+
+
 # ---------------------------------------------------------------------------
 # KV-cache generation
 # ---------------------------------------------------------------------------

@@ -37,7 +37,13 @@ import numpy as np
 import optax
 
 from grasp_tpu.configs import ModelConfig
-from grasp_tpu.models.llama import ModelPlan, Params, forward, hf_causal_lm_loss
+from grasp_tpu.models.llama import (
+    ModelPlan,
+    Params,
+    forward,
+    hf_causal_lm_loss,
+    hf_causal_lm_loss_sum,
+)
 
 logger = logging.getLogger("grasp_tpu")
 
@@ -157,6 +163,97 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_accum_train_step(
+    config: ModelConfig,
+    plan: ModelPlan,
+    optimizer: optax.GradientTransformation,
+    remat: bool = False,
+) -> Callable:
+    """One jitted optimizer step over a STACKED group of accumulation
+    micro-batches, token-weighted exactly like HF Trainer (>=4.46 GA fix):
+
+      loss   = sum over micros of CE_sum(micro) / num_items_in_batch
+      grads  = d loss / d params               (then clip + AdamW once)
+
+    where ``num_items_in_batch`` counts *unshifted* labels != -100 across the
+    whole group (transformers Trainer._get_num_items_in_batch) while the CE
+    sums run over shifted positions — replicating the off-by-one-per-row
+    denominator quirk bit for bit. optax.MultiSteps instead arithmetic-means
+    the per-micro mean losses, which diverges whenever micro-batches carry
+    unequal token counts (padding!). Golden-tested against the installed HF
+    Trainer at gradient_accumulation_steps=2 in tests/test_recover_golden.py.
+
+    Inputs are [accum, micro_bs, seq]; the micros run under lax.scan (one
+    compiled body, grads accumulated on device).
+    """
+
+    def step(params, opt_state, input_ids, labels, attention_mask):
+        n_items = jnp.maximum((labels != -100).sum(), 1).astype(jnp.float32)
+
+        def ce_sum(p, ids, lab, am):
+            from grasp_tpu.core.engine import _scan_in_grads
+
+            logits = forward(
+                p, ids, config=config, plan=plan,
+                attention_mask=am, remat=remat, scan_layers=_scan_in_grads(),
+            )["logits"]
+            return hf_causal_lm_loss_sum(logits, lab)
+
+        has_mask = attention_mask is not None
+
+        def body(carry, xs):
+            g_acc, ce_acc = carry
+            am = xs[2] if has_mask else None
+            ce, g = jax.value_and_grad(ce_sum)(params, xs[0], xs[1], am)
+            return (jax.tree.map(jnp.add, g_acc, g), ce_acc + ce), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        xs = (input_ids, labels) + ((attention_mask,) if has_mask else ())
+        (grads, ce_total), _ = jax.lax.scan(body, (zeros, jnp.float32(0.0)), xs)
+        grads = jax.tree.map(
+            lambda g: (g.astype(jnp.float32) / n_items).astype(g.dtype), grads
+        )
+        loss = ce_total / n_items
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def stack_micro_batches(
+    group: List[Dict[str, Any]], pad_token_id: int = 0
+) -> Dict[str, Optional[np.ndarray]]:
+    """Stack micro-batches into [accum, micro_bs, seq], right-padding each to
+    the group's max seq len (input_ids -> pad_token_id, labels -> -100,
+    attention_mask -> 0). Right padding is loss-invariant under the causal
+    mask + -100 labels, so the group computes exactly what HF computes on the
+    unpadded micros."""
+    max_len = max(int(np.asarray(b["input_ids"]).shape[1]) for b in group)
+    any_mask = any(b.get("attention_mask") is not None for b in group)
+
+    def pad(x, value):
+        x = np.asarray(x)
+        if x.shape[1] == max_len:
+            return x
+        return np.pad(x, ((0, 0), (0, max_len - x.shape[1])), constant_values=value)
+
+    ids = np.stack([pad(b["input_ids"], pad_token_id) for b in group])
+    labels = np.stack([pad(b["labels"], -100) for b in group])
+    mask = None
+    if any_mask:
+        mask = np.stack([
+            pad(
+                b["attention_mask"]
+                if b.get("attention_mask") is not None
+                else np.ones_like(np.asarray(b["input_ids"])),
+                0,
+            )
+            for b in group
+        ])
+    return {"input_ids": ids, "labels": labels, "attention_mask": mask}
+
+
 def make_eval_step(config: ModelConfig, plan: ModelPlan) -> Callable:
     def step(params, input_ids, labels, attention_mask):
         logits = forward(params, input_ids, config=config, plan=plan, attention_mask=attention_mask)["logits"]
@@ -241,6 +338,7 @@ def recovery_train(
     num_epochs: int = 1,
     learning_rate: float = 3e-4,
     accum_steps: int = 1,
+    accum_mode: str = "token_weighted",
     warmup_steps: int = 100,
     steps_per_epoch: Optional[int] = None,
     eval_every: int = 200,
@@ -287,15 +385,27 @@ def recovery_train(
             steps_per_epoch = 1000
     total_steps = max(1, (steps_per_epoch * num_epochs) // max(accum_steps, 1))
 
+    # token_weighted (default): accumulation groups are stacked and stepped by
+    # make_accum_train_step, dividing by the group's total label-token count —
+    # exactly HF Trainer >= 4.46 (the reference's engine on this install).
+    # "mean" keeps optax.MultiSteps (arithmetic mean of per-micro mean losses;
+    # identical when every micro-batch carries the same token count).
+    if accum_mode not in ("token_weighted", "mean"):
+        raise ValueError(f"accum_mode must be token_weighted|mean, got {accum_mode!r}")
+    token_weighted = accum_mode == "token_weighted" and accum_steps > 1
+
     optimizer = make_optimizer(
         learning_rate=learning_rate,
         total_steps=total_steps,
         warmup_steps=min(warmup_steps, total_steps),
-        accum_steps=accum_steps,
+        accum_steps=1 if token_weighted else accum_steps,
         mask=mask,
     )
     opt_state = optimizer.init(params)
-    train_step = make_train_step(config, plan, optimizer, remat=remat)
+    if token_weighted:
+        train_step = make_accum_train_step(config, plan, optimizer, remat=remat)
+    else:
+        train_step = make_train_step(config, plan, optimizer, remat=remat)
     eval_step = make_eval_step(config, plan) if val_batches else None
 
     history: Dict[str, Any] = {"train_loss": [], "eval_loss": []}
@@ -337,12 +447,66 @@ def recovery_train(
 
     best = (float("inf"), None)  # (eval loss, checkpoint path)
     step_i = 0
+    opt_i = start_step // max(accum_steps, 1)  # optimizer steps (grouped mode)
     t0 = time.time()
+    group: List[Dict[str, Any]] = []
+
+    def _eval_and_save():
+        nonlocal best
+        ev = None
+        if eval_step:
+            ev = _run_eval(params)
+            history["eval_loss"].append((step_i, ev))
+            logger.info("eval loss %.4f", ev)
+        if output_dir:
+            path = save_train_state(
+                output_dir, step_i, params, opt_state, history,
+                save_total_limit=save_total_limit,
+            )
+            if eval_step and ev < best[0]:
+                best = (ev, path)
+
+    def _flush_group(epoch):
+        nonlocal params, opt_state, opt_i, group
+        stacked = stack_micro_batches(group)
+        group = []
+        arrs = {
+            k: jnp.asarray(v) if v is not None else None for k, v in stacked.items()
+        }
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(None, "data"))
+            arrs = {
+                k: jax.device_put(v, sh) if v is not None else None
+                for k, v in arrs.items()
+            }
+        params, opt_state, loss = train_step(
+            params, opt_state, arrs["input_ids"], arrs["labels"], arrs["attention_mask"]
+        )
+        opt_i += 1
+        # log_every counts OPTIMIZER steps here (= HF logging_steps semantics)
+        if opt_i % log_every == 0:
+            lv = float(loss)
+            history["train_loss"].append((step_i, lv))
+            logger.info("epoch %d opt-step %d loss %.4f (%.1fs)",
+                        epoch, opt_i, lv, time.time() - t0)
+        # reference cadence: every eval_every OPTIMIZER steps (HF global_step
+        # counts accumulation cycles, alpaca_grasp.py:184-186)
+        if opt_i % eval_every == 0:
+            _eval_and_save()
+
     for epoch in range(num_epochs):
         for batch in train_batches:
             step_i += 1
             if step_i <= start_step:
                 continue  # fast-forward a resumed run through consumed data
+            if token_weighted:
+                group.append(batch)
+                if len(group) == accum_steps:
+                    _flush_group(epoch)
+                continue
             batch = _prep(batch)
             params, opt_state, loss = train_step(
                 params, opt_state,
@@ -355,19 +519,12 @@ def recovery_train(
             # reference cadence: every eval_every OPTIMIZER steps (HF
             # global_step counts accumulation cycles, alpaca_grasp.py:184-186)
             at_opt_boundary = step_i % max(accum_steps, 1) == 0
-            opt_step = step_i // max(accum_steps, 1)
-            if at_opt_boundary and opt_step % eval_every == 0:
-                if eval_step:
-                    ev = _run_eval(params)
-                    history["eval_loss"].append((step_i, ev))
-                    logger.info("eval loss %.4f", ev)
-                if output_dir:
-                    path = save_train_state(
-                        output_dir, step_i, params, opt_state, history,
-                        save_total_limit=save_total_limit,
-                    )
-                    if eval_step and ev < best[0]:
-                        best = (ev, path)
+            if at_opt_boundary and (step_i // max(accum_steps, 1)) % eval_every == 0:
+                _eval_and_save()
+        if group:
+            # epoch tail: HF's iterator yields a final smaller group and still
+            # counts it as one global step
+            _flush_group(epoch)
 
     if output_dir and load_best_at_end and best[1] is not None and os.path.isdir(best[1]):
         final_ev = _run_eval(params) if eval_step else float("inf")

@@ -71,18 +71,21 @@ def test_continuous_batching_beyond_max_batch(compressed, rng):
     assert srv.pool.free_pages == srv.pool.num_pages - 1  # all pages recycled
 
 
-def test_eos_stops_early_and_frees_pages(compressed, rng):
+def test_eos_stops_early_and_frees_pages(compressed):
     config, params, plan = compressed
-    prompt = _prompts(config, rng, [8])[0]
+    # local rng: the session-scoped fixture's state depends on which tests ran
+    # before, and this test's expectation depends on the exact token stream
+    prompt = _prompts(config, np.random.default_rng(1234), [8])[0]
     gen = Generator(params, config, plan)
     full = gen.greedy(prompt, 8)
     eos = full[3]  # force a stop mid-stream
+    stop_at = full.index(eos)  # serving stops at the FIRST occurrence
 
     srv = ServingEngine(params, config, plan, num_pages=16, page_size=8,
                         max_batch=2, max_pages_per_seq=4, eos_token_id=eos)
     rid = srv.submit(prompt, 8)
     got = srv.run()[rid]
-    assert got == full[:3]  # tokens before the stop; eos itself not emitted
+    assert got == full[:stop_at]  # tokens before the stop; eos not emitted
     assert srv.pool.free_pages == srv.pool.num_pages - 1
 
 

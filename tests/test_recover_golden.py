@@ -271,3 +271,96 @@ def test_loss_trajectory_matches_hf_trainer(tokenizer, tmp_path):
     ours = [v for _, v in hist["train_loss"]]
     assert len(ours) == len(hf_losses)
     np.testing.assert_allclose(ours, hf_losses, rtol=2e-3, atol=2e-3)
+
+
+def test_loss_trajectory_matches_hf_trainer_grad_accum(tokenizer, tmp_path):
+    """Token-weighted gradient accumulation parity (ROADMAP #6): HF Trainer at
+    gradient_accumulation_steps=2 divides each micro-batch's CE *sum* by the
+    whole group's label-token count (Trainer._get_num_items_in_batch, counted
+    over UNSHIFTED labels != -100) — NOT the mean-of-means optax.MultiSteps
+    computes. The per-micro DataCollator padding makes token counts unequal
+    across micros, so the two semantics measurably diverge; recovery_train's
+    default accum_mode="token_weighted" must match HF step for step."""
+    from datasets import Dataset
+    from transformers import DataCollatorForSeq2Seq, Trainer, set_seed
+
+    set_seed(42)
+    hf_model = LlamaForCausalLM(LlamaConfig(**HF_CFG)).float()
+    init_sd = copy.deepcopy(hf_model.state_dict())
+    redundant = [1, 2]
+    for p in hf_model.parameters():
+        p.requires_grad_(False)
+    for li in redundant:
+        for p in hf_model.model.layers[li].parameters():
+            p.requires_grad_(True)
+
+    tokenizer.pad_token_id = 0
+    tokenizer.padding_side = "left"
+    prompter = Prompter("alpaca")
+    examples = [tokenize_alpaca_example(r, tokenizer, prompter, max_length=64) for r in _ROWS]
+    ds = Dataset.from_list(examples)
+
+    recorded = []
+
+    def record(module, args, kwargs):
+        recorded.append({
+            k: kwargs[k].detach().clone().numpy()
+            for k in ("input_ids", "attention_mask", "labels")
+        })
+
+    hook = hf_model.register_forward_pre_hook(record, with_kwargs=True)
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "hf"),
+        per_device_train_batch_size=2,
+        gradient_accumulation_steps=2,
+        num_train_epochs=1,
+        learning_rate=3e-4,
+        warmup_steps=2,
+        logging_steps=1,
+        optim="adamw_torch",
+        save_strategy="no",
+        report_to=[],
+        use_cpu=True,
+        seed=42,
+    )
+    trainer = Trainer(
+        model=hf_model, args=args, train_dataset=ds,
+        data_collator=DataCollatorForSeq2Seq(
+            tokenizer, pad_to_multiple_of=8, return_tensors="pt", padding=True
+        ),
+    )
+    trainer.train()
+    hook.remove()
+    hf_losses = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert len(recorded) == 8 and len(hf_losses) == 4  # 8 micros -> 4 opt steps
+
+    # the collator's per-micro padding must actually produce unequal token
+    # counts inside at least one accumulation group, else this test is vacuous
+    counts = [int((b["labels"] != -100).sum()) for b in recorded]
+    groups = [counts[i:i + 2] for i in range(0, 8, 2)]
+    assert any(a != b for a, b in groups), f"equal-token groups: {groups}"
+
+    config = config_from_hf(hf_model.config)
+    params = jax.tree.map(jnp.array, params_from_state_dict(init_sd, config))
+    _, hist = recovery_train(
+        params, config, default_plan(config), redundant, recorded,
+        num_epochs=1, learning_rate=3e-4, warmup_steps=2, accum_steps=2,
+        accum_mode="token_weighted", log_every=1,
+    )
+    ours = [v for _, v in hist["train_loss"]]
+    assert len(ours) == len(hf_losses)
+    np.testing.assert_allclose(ours, hf_losses, rtol=2e-3, atol=2e-3)
+
+    # and the MultiSteps mean-of-means path must NOT match (documents that the
+    # divergence this mode closes is real on this data)
+    params2 = jax.tree.map(jnp.array, params_from_state_dict(init_sd, config))
+    _, hist2 = recovery_train(
+        params2, config, default_plan(config), redundant, recorded,
+        num_epochs=1, learning_rate=3e-4, warmup_steps=2, accum_steps=2,
+        accum_mode="mean", log_every=2,
+    )
+    ours_mean = [v for _, v in hist2["train_loss"]]
+    # measured: mean-of-means drifts ~3.7e-3 from HF on this data while the
+    # token-weighted path stays within ~5e-4 — absolute diff, not rtol (the
+    # ~4.9 loss magnitude would swallow the divergence under rtol)
+    assert np.max(np.abs(np.array(ours_mean) - np.array(hf_losses))) > 1.5e-3
