@@ -16,3 +16,11 @@ from grasp_tpu.parallel.seq_parallel import (  # noqa: F401
     seq_parallel_logits,
     seq_parallel_loss,
 )
+from grasp_tpu.parallel.pipeline import (  # noqa: F401
+    from_pipeline_params,
+    make_pipeline_loss,
+    make_pp_train_step,
+    shard_pipeline_params,
+    to_pipeline_params,
+    uniform_layer_plan,
+)

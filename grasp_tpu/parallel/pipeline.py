@@ -1,0 +1,263 @@
+"""GPipe-style pipeline parallelism over a "pipe" mesh axis.
+
+No reference counterpart (SURVEY.md §2: the reference has no parallelism of
+any kind) — this is TPU-native beyond-parity scaling machinery, sitting next
+to the ("data","model") DP/TP mesh (parallel/mesh.py) and sequence
+parallelism (parallel/seq_parallel.py).
+
+Design (the scaling-book recipe, hand-rolled with XLA collectives):
+
+- layer params are stacked to ``[num_stages, depth, ...]`` and sharded on the
+  "pipe" mesh axis — each device owns one contiguous stage of ``depth``
+  layers (``to_pipeline_params`` / ``from_pipeline_params``);
+- inside one ``shard_map``, activations circulate stage -> stage+1 through
+  ``lax.ppermute`` while a ``lax.scan`` runs the M + S - 1 GPipe ticks for M
+  microbatches over S stages; every device executes the same program
+  (fill/drain bubbles compute on gated garbage — the standard SPMD trick);
+- stage 0 embeds its incoming microbatch, the last stage applies the final
+  norm + lm head and accumulates the CE sum under ``lax.cond`` (so the vocab
+  matmul is skipped on every other stage);
+- the loss is ``psum(ce) / psum(token_count)`` over "pipe" — exactly
+  ``hf_causal_lm_loss`` of the whole batch, so pipeline training is
+  numerically interchangeable with the single-device step;
+- ``jax.value_and_grad`` differentiates straight through ppermute + scan:
+  the reverse program is the mirrored pipeline (cotangents ride the reverse
+  ring), with ``remat=True`` recomputing stage forwards to keep backward
+  memory at O(depth) instead of O(ticks * depth).
+
+Requires a *uniform* per-layer plan/structure (every layer the same pytree:
+dense models, or GRASP models compiled with ``merge=True`` / uniform-rank
+low-rank plans) — heterogeneous plans pipeline-parallelize only after rank
+padding, which is out of scope here and documented in PARITY.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import (
+    LayerPlan,
+    ModelPlan,
+    Params,
+    _causal_mask,
+    _layer_forward,
+    hf_causal_lm_loss_sum,
+    rms_norm,
+    rope_cos_sin,
+)
+
+PIPE_AXIS = "pipe"
+
+
+def uniform_layer_plan(plan: ModelPlan) -> LayerPlan:
+    """The single LayerPlan shared by every layer; raises if heterogeneous."""
+    if any(p != plan[0] for p in plan[1:]):
+        raise ValueError(
+            "pipeline parallelism requires a uniform per-layer plan "
+            f"(got {set(plan)}); compile GRASP models with merge=True or a "
+            "uniform-rank low-rank plan"
+        )
+    return plan[0]
+
+
+def to_pipeline_params(params: Params, num_stages: int) -> Dict[str, Any]:
+    """Restructure flat params into the pipeline layout.
+
+    layers[i] pytrees are stacked to leading [num_layers] then reshaped to
+    [num_stages, depth, ...]; embed/norm/head stay as-is (replicated over the
+    pipe axis; only stage 0 / the last stage touch them, so their gradient
+    contributions from other stages are exactly zero).
+    """
+    layers = params["layers"]
+    n = len(layers)
+    if n % num_stages != 0:
+        raise ValueError(f"{n} layers not divisible into {num_stages} stages")
+    depth = n // num_stages
+    structs = {jax.tree.structure(l) for l in layers}
+    if len(structs) != 1:
+        raise ValueError(
+            "pipeline parallelism requires every layer to share one pytree "
+            "structure (uniform plan); see uniform_layer_plan"
+        )
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    stages = jax.tree.map(
+        lambda x: x.reshape(num_stages, depth, *x.shape[1:]), stacked
+    )
+    out = {
+        "embed_tokens": params["embed_tokens"],
+        "stages": stages,
+        "norm": params["norm"],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = params["lm_head"]
+    return out
+
+
+def from_pipeline_params(pparams: Dict[str, Any], num_layers: int) -> Params:
+    """Inverse of to_pipeline_params (checkpoint interop / tests).
+
+    Pulls to host first: eagerly reshaping a pipe-sharded leading dim aborts
+    in the runtime, and this path is interop, not compute.
+    """
+    pparams = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), pparams)
+    stages = pparams["stages"]
+    flat = jax.tree.map(lambda x: x.reshape(num_layers, *x.shape[2:]), stages)
+    layers = [jax.tree.map(lambda x: x[i], flat) for i in range(num_layers)]
+    out = {
+        "embed_tokens": pparams["embed_tokens"],
+        "layers": layers,
+        "norm": pparams["norm"],
+    }
+    if "lm_head" in pparams:
+        out["lm_head"] = pparams["lm_head"]
+    return out
+
+
+def pipeline_param_shardings(pparams, mesh: Mesh):
+    """NamedShardings for the pipeline layout: stages on "pipe", rest replicated."""
+    stage_sh = NamedSharding(mesh, P(PIPE_AXIS))
+    repl = NamedSharding(mesh, P())
+    return {
+        k: jax.tree.map(lambda _: stage_sh if k == "stages" else repl, v)
+        for k, v in pparams.items()
+    }
+
+
+def shard_pipeline_params(pparams, mesh: Mesh):
+    shardings = pipeline_param_shardings(pparams, mesh)
+    return jax.tree.map(jax.device_put, pparams, shardings)
+
+
+def make_pipeline_loss(
+    config: ModelConfig,
+    layer_plan: LayerPlan,
+    mesh: Mesh,
+    num_microbatches: int,
+    remat: bool = False,
+) -> Callable:
+    """Build loss(pparams, input_ids [B,S], labels [B,S]) -> scalar, computed
+    through the GPipe schedule on mesh's "pipe" axis. B % num_microbatches == 0.
+
+    The scalar equals hf_causal_lm_loss(forward(params), labels) on the whole
+    batch (mean CE over valid shifted labels) to fp tolerance.
+    """
+    num_stages = mesh.shape[PIPE_AXIS]
+    M = num_microbatches
+    dtype = jnp.dtype(config.dtype)
+
+    def pp_body(embed_w, stages, norm_w, head_k, ids_mb, labels_mb):
+        # shapes: stages leaves [1, depth, ...] (this device's stage),
+        # ids_mb/labels_mb [M, mb, S] replicated
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        local = jax.tree.map(lambda x: x[0], stages)
+        mb, s_len = ids_mb.shape[1], ids_mb.shape[2]
+
+        positions = jnp.arange(s_len)[None, :]
+        cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+        mask = _causal_mask(s_len, s_len, 0)
+
+        def layer_body(h_, lp):
+            return _layer_forward(lp, layer_plan, h_, cos, sin, mask, config)[0], None
+
+        scan_body = jax.checkpoint(layer_body) if remat else layer_body
+
+        def stage_fn(h):
+            h_out, _ = jax.lax.scan(scan_body, h, local)
+            return h_out
+
+        def ce_and_count(h_out, m):
+            lab = labels_mb[jnp.clip(m, 0, M - 1)]
+            hn = rms_norm(h_out, norm_w, config.rms_norm_eps)
+            logits = jnp.dot(hn, head_k, preferred_element_type=hn.dtype)
+            ce = hf_causal_lm_loss_sum(logits, lab)
+            cnt = (lab[:, 1:] != -100).sum()
+            return ce, cnt
+
+        is_last = stage == num_stages - 1
+        perm = [(i, i + 1) for i in range(num_stages - 1)]
+
+        def tick(carry, t):
+            h_prev, ce_acc, n_acc = carry
+            m = t - stage  # microbatch this stage processes at tick t
+            ids_t = ids_mb[jnp.clip(t, 0, M - 1)]
+            h_embed = embed_w[ids_t].astype(dtype)
+            h_in = jnp.where(stage == 0, h_embed, h_prev)
+            h_out = stage_fn(h_in)
+            # gate with a predicate multiply, not lax.cond: per-device branch
+            # divergence inside the scan deadlocks the CPU backend's collective
+            # rendezvous in the backward pass (XLA CPU InProcessCommunicator),
+            # and a select keeps the SPMD program identical on every stage.
+            # Cost: non-last stages also run the head matmul during their
+            # ticks; acceptable next to the pipeline bubble, and the compiler
+            # is free to skip it where the result is provably unused.
+            valid_last = is_last & (m >= 0) & (m < M)
+            ce_raw, cnt_raw = ce_and_count(h_out, m)
+            ce = jnp.where(valid_last, ce_raw, 0.0)
+            cnt = jnp.where(valid_last, cnt_raw, 0)
+            h_next = jax.lax.ppermute(h_out, PIPE_AXIS, perm)
+            return (h_next, ce_acc + ce, n_acc + cnt), None
+
+        h0 = jnp.zeros((mb, s_len, config.hidden_size), dtype)
+        init = jax.lax.pvary(
+            (h0, jnp.float32(0.0), jnp.int32(0)), (PIPE_AXIS,)
+        )
+        (_, ce_acc, n_acc), _ = jax.lax.scan(
+            tick, init, jnp.arange(M + num_stages - 1)
+        )
+        total_ce = jax.lax.psum(ce_acc, PIPE_AXIS)
+        total_n = jax.lax.psum(n_acc, PIPE_AXIS)
+        return total_ce / jnp.maximum(total_n, 1).astype(jnp.float32)
+
+    pp = jax.shard_map(
+        pp_body,
+        mesh=mesh,
+        in_specs=(P(), P(PIPE_AXIS), P(), P(), P(), P()),
+        out_specs=P(),
+    )
+
+    def loss_fn(pparams, input_ids, labels):
+        b, s_len = input_ids.shape
+        if b % M != 0:
+            raise ValueError(f"batch {b} not divisible into {M} microbatches")
+        ids_mb = input_ids.reshape(M, b // M, s_len)
+        labels_mb = labels.reshape(M, b // M, s_len)
+        embed_w = pparams["embed_tokens"]["weight"]
+        # tied embeddings reuse embed^T as the head (llama._lm_logits parity)
+        head_k = (
+            pparams["lm_head"]["kernel"]
+            if "lm_head" in pparams
+            else embed_w.T.astype(dtype)
+        )
+        return pp(embed_w, pparams["stages"], pparams["norm"]["weight"], head_k,
+                  ids_mb, labels_mb)
+
+    return loss_fn
+
+
+def make_pp_train_step(
+    config: ModelConfig,
+    layer_plan: LayerPlan,
+    optimizer,
+    mesh: Mesh,
+    num_microbatches: int,
+    remat: bool = False,
+) -> Callable:
+    """Jitted pipeline-parallel SGD step on pipeline-layout params."""
+    import optax
+
+    loss_fn = make_pipeline_loss(config, layer_plan, mesh, num_microbatches, remat)
+
+    def step(pparams, opt_state, input_ids, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(pparams, input_ids, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, pparams)
+        pparams = optax.apply_updates(pparams, updates)
+        return pparams, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
