@@ -99,6 +99,15 @@ def main():
         )
         details["decode_tok_s"] = round(g["decode_tokens_per_s"], 1)
         details["peak_hbm_gib"] = round(g["peak_hbm_gib"], 2)
+
+        # device-side decode via the two-length slope (subtracts the ~35-40 ms
+        # per-call tunnel latency that deflates the e2e number above; the chip
+        # itself decodes 1.1B bf16 at the HBM roofline)
+        from grasp_tpu.perf import decode_device_benchmark
+
+        d = decode_device_benchmark(engine.params, config, engine.plan)
+        details["decode_tok_s_device"] = round(d["decode_tokens_per_s_device"], 1)
+        details["dispatch_overhead_ms"] = round(d["per_call_overhead_ms"], 1)
     except Exception as e:  # decode must never sink the headline metric
         details["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 

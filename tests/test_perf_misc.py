@@ -82,3 +82,17 @@ def test_mix_calibration_batches():
     assert len(batches) >= 2
     for b in batches:
         assert b["input_ids"].shape[1] == 31
+
+
+def test_decode_device_benchmark_slope(tiny):
+    """Two-length slope decode timing: positive per-token time, non-negative
+    dispatch overhead, sane reciprocal."""
+    from grasp_tpu.perf import decode_device_benchmark
+
+    config, params = tiny
+    res = decode_device_benchmark(
+        params, config, cache_len=64, prefill_len=16, k_small=4, k_large=12, reps=2
+    )
+    assert res["decode_ms_per_token_device"] > 0
+    assert res["per_call_overhead_ms"] >= 0
+    assert abs(res["decode_tokens_per_s_device"] * res["decode_ms_per_token_device"] - 1e3) < 1
