@@ -38,6 +38,11 @@ class ModelConfig:
     dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
     use_pallas_lowrank: bool = False        # fused VMEM low-rank kernel for big-batch calls
     use_flash_attention: bool = False       # Pallas flash attention on full-sequence causal paths
+    # Mixture-of-Experts (Mixtral-family): 0 => dense MLP. When > 0 every
+    # layer's MLP is a sparse MoE block (router + num_local_experts SwiGLU
+    # experts, top num_experts_per_tok per token) — models/moe.py.
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def head_dim_(self) -> int:
@@ -96,6 +101,22 @@ class ModelConfig:
             rope_theta=1000000.0,
             rms_norm_eps=1e-6,
             attention_bias=True,
+        )
+
+    @staticmethod
+    def mixtral_8x7b() -> "ModelConfig":
+        """Mixtral-family sparse MoE (8 SwiGLU experts, top-2 routing)."""
+        return ModelConfig(
+            vocab_size=32000,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=32768,
+            rope_theta=1000000.0,
+            num_local_experts=8,
+            num_experts_per_tok=2,
         )
 
     @staticmethod

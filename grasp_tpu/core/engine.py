@@ -346,6 +346,12 @@ class GraspEngine:
         if block_type == "attention":
             defaults = list(ATTN_PROJS)
         elif block_type == "mlp":
+            if "moe" in self.params["layers"][layer_id]:
+                raise NotImplementedError(
+                    "GRASP compression of sparse-MoE expert MLPs is not "
+                    "supported (Mixtral-family layers compress their "
+                    "attention block only; pass block_type='attention')"
+                )
             defaults = list(MLP_PROJS)
         else:
             raise NotImplementedError(f"block type {block_type} not supported")

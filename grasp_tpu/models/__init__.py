@@ -11,3 +11,8 @@ from grasp_tpu.models.llama import (  # noqa: F401
     prefill,
     hf_causal_lm_loss,
 )
+from grasp_tpu.models.moe import (  # noqa: F401
+    init_moe_params,
+    moe_apply,
+    router_weights,
+)

@@ -39,6 +39,9 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         attention_bias=bool(get("attention_bias", False)),
         mlp_bias=bool(get("mlp_bias", False)),
+        # Mixtral-family sparse MoE
+        num_local_experts=int(get("num_local_experts", 0) or 0),
+        num_experts_per_tok=int(get("num_experts_per_tok", 2) or 2),
     )
 
 
@@ -94,19 +97,40 @@ def params_from_state_dict(state_dict: Dict[str, Any], config: ModelConfig, dtyp
             p["bias"] = sd[f"{name}.bias"].astype(dtype)
         return p
 
+    def moe_block(base):
+        """HF MixtralSparseMoeBlock -> stacked-expert layout (models/moe.py).
+
+        HF: block_sparse_moe.gate.weight [E, D]; experts.<j>.w{1,3}.weight
+        [F, D] and w2.weight [D, F] (torch [out, in]) -> ours: gate [D, E],
+        w1/w3 [E, D, F], w2 [E, F, D].
+        """
+        e = config.num_local_experts
+        return {
+            "gate": {"kernel": np.ascontiguousarray(sd[f"{base}.gate.weight"].T.astype(dtype))},
+            "experts": {
+                w: np.stack([
+                    np.ascontiguousarray(sd[f"{base}.experts.{j}.{w}.weight"].T.astype(dtype))
+                    for j in range(e)
+                ])
+                for w in ("w1", "w2", "w3")
+            },
+        }
+
     layers = []
     for li in range(config.num_hidden_layers):
         base = f"model.layers.{li}"
-        layers.append(
-            {
-                "input_layernorm": {"weight": sd[f"{base}.input_layernorm.weight"].astype(dtype)},
-                "post_attention_layernorm": {
-                    "weight": sd[f"{base}.post_attention_layernorm.weight"].astype(dtype)
-                },
-                "self_attn": {p: kernel(f"{base}.self_attn.{p}") for p in ATTN_PROJS},
-                "mlp": {p: kernel(f"{base}.mlp.{p}") for p in MLP_PROJS},
-            }
-        )
+        layer = {
+            "input_layernorm": {"weight": sd[f"{base}.input_layernorm.weight"].astype(dtype)},
+            "post_attention_layernorm": {
+                "weight": sd[f"{base}.post_attention_layernorm.weight"].astype(dtype)
+            },
+            "self_attn": {p: kernel(f"{base}.self_attn.{p}") for p in ATTN_PROJS},
+        }
+        if f"{base}.block_sparse_moe.gate.weight" in sd:
+            layer["moe"] = moe_block(f"{base}.block_sparse_moe")
+        else:
+            layer["mlp"] = {p: kernel(f"{base}.mlp.{p}") for p in MLP_PROJS}
+        layers.append(layer)
 
     params = {
         "embed_tokens": {"weight": sd["model.embed_tokens.weight"].astype(dtype)},

@@ -69,8 +69,12 @@ def plan_from_params(params: Params, config: ModelConfig) -> ModelPlan:
     for layer in params["layers"]:
         lp = []
         for proj in PROJ_ORDER:
-            p = layer["self_attn" if proj in ATTN_PROJS else "mlp"][proj]
-            if "in_kernel" in p or "in_kernel_q" in p:
+            group = layer["self_attn"] if proj in ATTN_PROJS else layer.get("mlp")
+            if group is None:  # MoE layer: expert MLP slots stay dense-marked
+                lp.append(DENSE)
+                continue
+            p = group[proj]
+            if "in_kernel" in p or "in_kernel_q" in p or "in_kernel_q4" in p:
                 lp.append(LOWRANK)
             elif "u" in p:
                 lp.append(SVD)
@@ -114,20 +118,24 @@ def init_params(rng: jax.Array, config: ModelConfig, scale: float = 0.02) -> Par
     layers = []
     for li in range(config.num_hidden_layers):
         lk = jax.random.split(keys[li], 7)
-        layers.append(
-            {
-                "input_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
-                "post_attention_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
-                "self_attn": {
-                    name: proj(lk[j], name, config.attention_bias)
-                    for j, name in enumerate(ATTN_PROJS)
-                },
-                "mlp": {
-                    name: proj(lk[4 + j], name, config.mlp_bias)
-                    for j, name in enumerate(MLP_PROJS)
-                },
+        layer = {
+            "input_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
+            "self_attn": {
+                name: proj(lk[j], name, config.attention_bias)
+                for j, name in enumerate(ATTN_PROJS)
+            },
+        }
+        if config.num_local_experts > 0:
+            from grasp_tpu.models.moe import init_moe_params
+
+            layer["moe"] = init_moe_params(lk[4], config, scale=scale)
+        else:
+            layer["mlp"] = {
+                name: proj(lk[4 + j], name, config.mlp_bias)
+                for j, name in enumerate(MLP_PROJS)
             }
-        )
+        layers.append(layer)
 
     embed = (jax.random.normal(keys[-2], (config.vocab_size, config.hidden_size), jnp.float32) * scale).astype(dtype)
     params: Params = {
@@ -188,6 +196,11 @@ def proj_apply(x: jax.Array, p: Params, kind: str, use_pallas: bool = False) -> 
 
             y = quant_matmul(x, p["kernel_q"], p["kernel_scale"])
             return y + bias if bias is not None else y
+        if "kernel_q4" in p:  # nibble-packed int4 serving weights (ops.quant)
+            from grasp_tpu.ops.quant import quant_matmul_int4
+
+            y = quant_matmul_int4(x, p["kernel_q4"], p["kernel_scale"])
+            return y + bias if bias is not None else y
         return dense_apply(x, p["kernel"], bias)
     if kind == SVD:
         return svd_apply(x, p["u"], p["s"], p["vh"], bias)
@@ -197,6 +210,12 @@ def proj_apply(x: jax.Array, p: Params, kind: str, use_pallas: bool = False) -> 
 
             h = quant_matmul(x, p["in_kernel_q"], p["in_kernel_scale"])
             y = quant_matmul(h, p["out_kernel_q"], p["out_kernel_scale"])
+            return y + bias if bias is not None else y
+        if "in_kernel_q4" in p:
+            from grasp_tpu.ops.quant import quant_matmul_int4
+
+            h = quant_matmul_int4(x, p["in_kernel_q4"], p["in_kernel_scale"])
+            y = quant_matmul_int4(h, p["out_kernel_q4"], p["out_kernel_scale"])
             return y + bias if bias is not None else y
         return lowrank_apply(x, p["in_kernel"], p["out_kernel"], bias, use_pallas=use_pallas)
     raise ValueError(f"unknown projection kind {kind!r}")
@@ -268,8 +287,13 @@ def _layer_forward(
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"], up)
 
-    # --- mlp ---
+    # --- mlp (dense SwiGLU, or sparse MoE for Mixtral-family params) ---
     x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    if "moe" in lp:
+        from grasp_tpu.models.moe import moe_apply
+
+        h = h + moe_apply(x, lp["moe"], config)
+        return h, kv
     mp = lp["mlp"]
     gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"], up)
     up_h = proj_apply(x, mp["up_proj"], kinds["up_proj"], up)
@@ -287,6 +311,10 @@ def _lm_logits(h: jax.Array, params: Params) -> jax.Array:
         from grasp_tpu.ops.quant import quant_matmul
 
         return quant_matmul(h, head["kernel_q"], head["kernel_scale"])
+    if "kernel_q4" in head:
+        from grasp_tpu.ops.quant import quant_matmul_int4
+
+        return quant_matmul_int4(h, head["kernel_q4"], head["kernel_scale"])
     return dense_apply(h, head["kernel"])
 
 

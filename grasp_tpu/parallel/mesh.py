@@ -102,7 +102,7 @@ def _proj_spec(proj_name: str, proj_params: Dict[str, Any]) -> Dict[str, Any]:
     """PartitionSpecs for one projection's params, keyed like the params."""
     specs: Dict[str, Any] = {}
     for key in proj_params:
-        if key in ("kernel", "kernel_q"):
+        if key in ("kernel", "kernel_q", "kernel_q4"):
             specs[key] = _DENSE_SPECS[proj_name]
         elif key == "kernel_scale":
             # per-output-channel scale [1, out]: follows the kernel's out-dim
@@ -119,6 +119,21 @@ def _proj_spec(proj_name: str, proj_params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
+def moe_specs() -> Dict[str, Any]:
+    """Expert parallelism: stacked expert weights shard their leading
+    [num_experts] axis over MODEL_AXIS; the router gate is tiny and
+    replicates. GSPMD turns the combine contraction over experts into the EP
+    all-reduce (models/moe.moe_apply)."""
+    return {
+        "gate": {"kernel": P()},
+        "experts": {
+            "w1": P(MODEL_AXIS, None, None),
+            "w2": P(MODEL_AXIS, None, None),
+            "w3": P(MODEL_AXIS, None, None),
+        },
+    }
+
+
 def param_specs(params: Params, config: ModelConfig) -> Params:
     """A pytree of PartitionSpec congruent to `params`."""
     layers = []
@@ -127,8 +142,11 @@ def param_specs(params: Params, config: ModelConfig) -> Params:
             "input_layernorm": {"weight": P()},
             "post_attention_layernorm": {"weight": P()},
             "self_attn": {p: _proj_spec(p, layer["self_attn"][p]) for p in ATTN_PROJS},
-            "mlp": {p: _proj_spec(p, layer["mlp"][p]) for p in MLP_PROJS},
         }
+        if "moe" in layer:
+            lspec["moe"] = moe_specs()
+        else:
+            lspec["mlp"] = {p: _proj_spec(p, layer["mlp"][p]) for p in MLP_PROJS}
         layers.append(lspec)
     specs: Params = {
         "embed_tokens": {"weight": P(MODEL_AXIS, None)},
@@ -138,7 +156,7 @@ def param_specs(params: Params, config: ModelConfig) -> Params:
     if "lm_head" in params:
         head_specs: Dict[str, Any] = {}
         for key in params["lm_head"]:
-            if key in ("kernel", "kernel_q"):
+            if key in ("kernel", "kernel_q", "kernel_q4"):
                 head_specs[key] = P(None, MODEL_AXIS)
             elif key == "kernel_scale":
                 head_specs[key] = P(None, MODEL_AXIS)

@@ -47,13 +47,26 @@ def estimate_forward_flops(
     d = config.hidden_size
     macs = 0.0
     for li, layer in enumerate(params["layers"]):
-        for group, names in (("self_attn", ATTN_PROJS), ("mlp", MLP_PROJS)):
+        groups = [("self_attn", ATTN_PROJS)]
+        if "mlp" in layer:
+            groups.append(("mlp", MLP_PROJS))
+        for group, names in groups:
             for name in names:
                 mod = layer[group][name]
-                if "kernel" in mod or "kernel_q" in mod:
-                    in_f, out_f = mod.get("kernel", mod.get("kernel_q")).shape
+                if "kernel" in mod or "kernel_q" in mod or "kernel_q4" in mod:
+                    if "kernel_q4" in mod:  # nibble-packed: rows = in/2
+                        p2, out_f = mod["kernel_q4"].shape
+                        in_f = 2 * p2
+                    else:
+                        in_f, out_f = mod.get("kernel", mod.get("kernel_q")).shape
                     macs += in_f * out_f
-                elif "in_kernel" in mod or "in_kernel_q" in mod:
+                elif "in_kernel" in mod or "in_kernel_q" in mod or "in_kernel_q4" in mod:
+                    if "in_kernel_q4" in mod:
+                        in_f = 2 * mod["in_kernel_q4"].shape[0]
+                        r = mod["in_kernel_q4"].shape[1]
+                        out_f = mod["out_kernel_q4"].shape[1]
+                        macs += r * (in_f + out_f)
+                        continue
                     in_k = mod.get("in_kernel", mod.get("in_kernel_q"))
                     out_k = mod.get("out_kernel", mod.get("out_kernel_q"))
                     in_f, r = in_k.shape
@@ -62,6 +75,11 @@ def estimate_forward_flops(
                     out_f, r = mod["u"].shape
                     in_f = mod["vh"].shape[1]
                     macs += r * (in_f + out_f) + r  # two matmuls + scale
+        if "moe" in layer:
+            # dense-MoE design: every expert computes every token (models/moe.py)
+            ex = layer["moe"]["experts"]
+            e, dd, f = ex.get("w1", ex.get("w1_q")).shape[:3]
+            macs += e * 3 * dd * f + dd * e  # experts + router gate
         # attention: q@k^T and probs@v, averaged causal window S/2
         macs += 2 * config.num_attention_heads * config.head_dim_ * (seq_len / 2)
     # embeddings out / lm head

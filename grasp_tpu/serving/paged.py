@@ -139,10 +139,15 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
 
             x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
-            mp = lp["mlp"]
-            gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
-            up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-            h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+            if "moe" in lp:  # Mixtral-family sparse MoE block
+                from grasp_tpu.models.moe import moe_apply
+
+                h = h + moe_apply(x, lp["moe"], config)
+            else:
+                mp = lp["mlp"]
+                gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
+                up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
+                h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
 
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
         logits = _lm_logits(h, params)[:, 0, :]

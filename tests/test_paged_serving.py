@@ -97,3 +97,21 @@ def test_pool_exhaustion_raises_and_oversize_rejected(compressed):
         srv.submit(np.arange(1, 30, dtype=np.int32), 8)  # needs > max_pages_per_seq
     with pytest.raises(MemoryError):
         srv.pool.alloc(99)
+
+
+def test_paged_serving_moe_matches_dense_generator(rng):
+    """Mixtral-family MoE model through the paged continuous-batching path."""
+    config = ModelConfig.tiny(num_hidden_layers=2, num_local_experts=4)
+    params = init_params(jax.random.PRNGKey(2), config)
+    prompts = _prompts(config, rng, [5, 9])
+    max_new = 4
+
+    gen = Generator(params, config)
+    want = [gen.greedy(p, max_new) for p in prompts]
+
+    srv = ServingEngine(params, config, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=4)
+    rids = [srv.submit(p, max_new) for p in prompts]
+    got = srv.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w, f"request {rid}: {got[rid]} != {w}"

@@ -80,3 +80,175 @@ def test_pallas_stochastic_quantize_on_tpu(rng):
     rec = np.asarray(dequantize(q, scale, jnp.float32))
     err = np.abs(rec - np.asarray(w))
     assert err.max() <= float(np.asarray(scale).max()) * 1.0 + 1e-8  # stochastic: <= 1 ulp
+
+
+# ---------------------------------------------------------------------------
+# int4 group-wise quantization
+# ---------------------------------------------------------------------------
+
+
+def test_int4_roundtrip_error_bound(rng):
+    from grasp_tpu.ops.quant import quantize_int4, unpack_int4
+
+    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32))
+    q, scale = quantize_int4(w, group_size=128)
+    assert q.dtype == jnp.int8 and q.shape == (128, 48)  # nibble-packed
+    assert scale.shape == (2, 48)
+    vals = np.asarray(unpack_int4(q), np.float32)
+    assert vals.shape == (256, 48) and vals.min() >= -7 and vals.max() <= 7
+    deq = vals.reshape(2, 128, 48) * np.asarray(scale)[:, None, :]
+    err = np.abs(deq.reshape(256, 48) - np.asarray(w))
+    bound = np.repeat(np.asarray(scale), 128, axis=0) * 0.5 + 1e-6
+    assert (err <= bound).all()
+
+
+def test_int4_matmul_equals_dequant_dense(rng):
+    from grasp_tpu.ops.quant import quant_matmul_int4, quantize_int4, unpack_int4
+
+    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(3, 256)).astype(np.float32))
+    q, scale = quantize_int4(w)
+    deq = (
+        np.asarray(unpack_int4(q), np.float32).reshape(2, 128, 48)
+        * np.asarray(scale)[:, None, :]
+    ).reshape(256, 48)
+    got = np.asarray(quant_matmul_int4(x, q, scale))
+    want = np.asarray(x) @ deq
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_int4_indivisible_odd_dim_single_group(rng):
+    from grasp_tpu.ops.quant import quant_matmul_int4, quantize_int4
+
+    # 101 is odd AND not a multiple of 128: zero pad row + single group
+    w = jnp.asarray(rng.normal(size=(101, 16)).astype(np.float32))
+    q, scale = quantize_int4(w)
+    assert scale.shape == (1, 16) and q.shape == (51, 16)
+    x = jnp.asarray(rng.normal(size=(2, 101)).astype(np.float32))
+    out = np.asarray(quant_matmul_int4(x, q, scale))
+    assert np.isfinite(out).all()
+    # padded row contributes nothing: compare against explicit dequant
+    from grasp_tpu.ops.quant import unpack_int4
+
+    deq = np.asarray(unpack_int4(q), np.float32)[:101] * np.asarray(scale)
+    np.testing.assert_allclose(out, np.asarray(x) @ deq, rtol=2e-5, atol=2e-5)
+
+
+def test_int4_model_forward(rng):
+    """bits=4 end to end on a GRASP-compressed model: finite logits that
+    track the fp32 model (int4 on random weights is coarse; require strong
+    correlation, not closeness)."""
+    config = ModelConfig.tiny(num_hidden_layers=3)
+    engine = GraspEngine(init_params(jax.random.PRNGKey(0), config), config)
+    batches = [{
+        "input_ids": jnp.asarray(rng.integers(1, config.vocab_size, (1, 16))),
+        "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 16))),
+    }]
+    engine.run(batches, GraspConfig(num_prune_layers=1, compression_ratio=0.4))
+    qparams = quantize_model_weights(engine.params, bits=4)
+
+    from grasp_tpu.ops.quant import quantized_size_bytes
+
+    q8 = quantize_model_weights(engine.params, bits=8)
+    # nibble packing: int4 model is materially smaller than the int8 one
+    assert quantized_size_bytes(qparams) < 0.75 * quantized_size_bytes(q8)
+
+    ids = batches[0]["input_ids"]
+    want = np.asarray(forward(engine.params, ids, config=config, plan=engine.plan)["logits"])
+    got = np.asarray(forward(qparams, ids, config=config, plan=engine.plan)["logits"])
+    assert np.isfinite(got).all()
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
+@pytest.mark.parametrize("bits,tol", [(8, 0.15), (4, 0.35)])
+def test_moe_quantized_forward(rng, bits, tol):
+    config = ModelConfig.tiny(num_hidden_layers=2, num_local_experts=4)
+    params = init_params(jax.random.PRNGKey(1), config)
+    qparams = quantize_model_weights(params, bits=bits)
+    ids = jnp.asarray(rng.integers(1, config.vocab_size, (2, 12)))
+    want = np.asarray(forward(params, ids, config=config)["logits"])
+    got = np.asarray(forward(qparams, ids, config=config)["logits"])
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=tol)
+
+
+def test_moe_int4_expert_matmul_exact(rng):
+    """The grouped int4 expert einsum equals explicit per-expert dequant."""
+    from grasp_tpu.models.moe import moe_apply
+    from grasp_tpu.ops.quant import quantize_model_weights as qmw, unpack_int4
+
+    config = ModelConfig.tiny(num_hidden_layers=1, num_local_experts=2)
+    params = init_params(jax.random.PRNGKey(3), config)
+    q = qmw(params, bits=4)
+    ex, qex = params["layers"][0]["moe"]["experts"], q["layers"][0]["moe"]["experts"]
+    # replace each expert weight with its dequantized value; fp forward must
+    # match the quantized forward bit-for-bit up to fp reassociation
+    deq = {}
+    for w in ("w1", "w2", "w3"):
+        packed, scale = qex[w + "_q4"], qex[w + "_scale"]
+        e, p, out = packed.shape
+        in_f = ex[w].shape[1]
+        g = scale.shape[1]
+        in_pad = 2 * p  # contraction zero-padded to a group multiple
+        vals = np.asarray(unpack_int4(packed), np.float32)
+        deq[w] = jnp.asarray(
+            (vals.reshape(e, g, in_pad // g, out) * np.asarray(scale)[:, :, None, :])
+            .reshape(e, in_pad, out)[:, :in_f]
+        )
+    mp_deq = {"gate": params["layers"][0]["moe"]["gate"], "experts": deq}
+    x = jnp.asarray(rng.normal(size=(1, 5, config.hidden_size)).astype(np.float32))
+    want = np.asarray(moe_apply(x, mp_deq, config))
+    got = np.asarray(moe_apply(x, q["layers"][0]["moe"], config))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused int4 kernel (interpret mode on CPU; exact-parity on TPU)
+# ---------------------------------------------------------------------------
+
+
+def _int4_reference(x, q, scale):
+    from grasp_tpu.ops.quant import unpack_int4
+
+    g = scale.shape[0]
+    in_pad = 2 * q.shape[0]
+    vals = np.asarray(unpack_int4(q), np.float32)
+    deq = (vals.reshape(g, in_pad // g, -1) * np.asarray(scale)[:, None, :]).reshape(
+        in_pad, -1
+    )
+    xp = np.zeros((x.shape[0], in_pad), np.float32)
+    xp[:, : x.shape[1]] = np.asarray(x, np.float32)
+    return xp @ deq
+
+
+@pytest.mark.parametrize("shape,m", [((256, 384), 1), ((512, 130), 3), ((384, 256), 8)])
+def test_pallas_int4_kernel_interpret(rng, shape, m):
+    """Kernel numerics via Pallas interpret mode (runs on CPU), including a
+    non-128-multiple out dim (130) exercising the padded boundary block."""
+    from grasp_tpu.ops.pallas_int4 import pallas_int4_matmul
+    from grasp_tpu.ops.quant import quantize_int4
+
+    w = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(m, shape[0])).astype(np.float32))
+    q, scale = quantize_int4(w)
+    got = np.asarray(pallas_int4_matmul(x, q, scale, interpret=True))
+    want = _int4_reference(x, q, scale)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.skipif(
+    not any(d.platform == "tpu" for d in jax.devices()), reason="needs a real TPU"
+)
+def test_pallas_int4_kernel_on_tpu(rng):
+    from grasp_tpu.ops.pallas_int4 import pallas_int4_matmul
+    from grasp_tpu.ops.quant import quantize_int4
+
+    w = jnp.asarray(rng.normal(size=(2048, 5632)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(1, 2048)).astype(np.float32))
+    q, scale = quantize_int4(w)
+    got = np.asarray(pallas_int4_matmul(x, q, scale))
+    want = _int4_reference(x, q, scale)
+    # MXU dots round fp32 operands to bf16 (the serving activations are bf16
+    # anyway); interpret-mode tests above pin exact numerics
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=0.5)
