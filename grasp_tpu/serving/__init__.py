@@ -1,1 +1,2 @@
 from grasp_tpu.serving.paged import PagePool, ServingEngine  # noqa: F401
+from grasp_tpu.serving.speculative import SpeculativeGenerator  # noqa: F401

@@ -1,0 +1,112 @@
+"""Speculative greedy decoding (grasp_tpu/serving/speculative.py).
+
+Hard correctness gate: the emitted stream is bit-identical to target-only
+greedy decoding (Generator), for every draft — speculation may only change
+wall-clock. Draft == target must fully accept every chunk. Beyond-reference
+serving extension (the reference's only generator is HF ``model.generate``,
+tools/eval_longbench.py:337-353).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grasp_tpu.configs import GraspConfig, ModelConfig
+from grasp_tpu.core.engine import GraspEngine
+from grasp_tpu.eval.generate import Generator
+from grasp_tpu.models import init_params
+from grasp_tpu.serving import SpeculativeGenerator
+
+
+@pytest.fixture(scope="module")
+def target():
+    config = ModelConfig.tiny(num_hidden_layers=3)
+    params = init_params(jax.random.PRNGKey(0), config)
+    return config, params
+
+
+@pytest.fixture(scope="module")
+def draft(target):
+    """GRASP-compressed draft of the same checkpoint (the intended pairing)."""
+    config, params = target
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config)
+    rng = np.random.default_rng(3)
+    batches = [{
+        "input_ids": jnp.asarray(rng.integers(1, config.vocab_size, (1, 16))),
+        "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 16))),
+    }]
+    engine.run(batches, GraspConfig(num_prune_layers=1, compression_ratio=0.5))
+    return config, engine.params, engine.plan
+
+
+def test_spec_matches_vanilla_greedy(target, draft, rng):
+    tconfig, tparams = target
+    dconfig, dparams, dplan = draft
+    prompt = rng.integers(1, tconfig.vocab_size, size=(9,)).astype(np.int32)
+    max_new = 12
+
+    want = Generator(tparams, tconfig).greedy(prompt, max_new)
+    spec = SpeculativeGenerator(tparams, tconfig, dparams, dconfig,
+                                draft_plan=dplan, gamma=3)
+    got = spec.greedy(prompt, max_new)
+    assert got == want, (got, want)
+    assert spec.last_stats["tokens"] == len(want)
+
+
+def test_spec_draft_equals_target_accepts_everything(target, rng):
+    """Identical draft ⇒ every draft token accepted, chunks = ceil(n/(g+1))."""
+    tconfig, tparams = target
+    prompt = rng.integers(1, tconfig.vocab_size, size=(6,)).astype(np.int32)
+    max_new = 10
+    gamma = 4
+
+    want = Generator(tparams, tconfig).greedy(prompt, max_new)
+    spec = SpeculativeGenerator(tparams, tconfig, tparams, tconfig, gamma=gamma)
+    got = spec.greedy(prompt, max_new)
+    assert got == want
+    st = spec.last_stats
+    assert st["acceptance_rate"] == 1.0, st
+    # each chunk emits gamma+1 tokens (prefill emits the first separately)
+    assert st["chunks"] == -(-(max_new - 1) // (gamma + 1)), st
+
+
+def test_spec_adversarial_draft_still_exact(target, rng):
+    """A garbage draft (random weights) must not corrupt the output stream."""
+    tconfig, tparams = target
+    bad_config = ModelConfig.tiny(num_hidden_layers=2)
+    bad_params = init_params(jax.random.PRNGKey(99), bad_config)
+    prompt = rng.integers(1, tconfig.vocab_size, size=(5,)).astype(np.int32)
+    max_new = 8
+
+    want = Generator(tparams, tconfig).greedy(prompt, max_new)
+    spec = SpeculativeGenerator(tparams, tconfig, bad_params, bad_config, gamma=2)
+    got = spec.greedy(prompt, max_new)
+    assert got == want, (got, want)
+
+
+def test_spec_eos_parity(target, draft, rng):
+    """Stop-token handling matches the Generator for every eos choice."""
+    tconfig, tparams = target
+    dconfig, dparams, dplan = draft
+    prompt = rng.integers(1, tconfig.vocab_size, size=(7,)).astype(np.int32)
+    max_new = 10
+
+    gen = Generator(tparams, tconfig)
+    spec = SpeculativeGenerator(tparams, tconfig, dparams, dconfig,
+                                draft_plan=dplan, gamma=3)
+    base = gen.greedy(prompt, max_new)
+    # use tokens that actually occur (plus one that doesn't) as eos
+    for eos in {base[0], base[len(base) // 2], base[-1], -7}:
+        want = gen.greedy(prompt, max_new, eos_token_id=eos)
+        got = spec.greedy(prompt, max_new, eos_token_id=eos)
+        assert got == want, (eos, got, want)
+
+
+def test_spec_vocab_mismatch_rejected(target):
+    tconfig, tparams = target
+    other = ModelConfig.tiny(num_hidden_layers=1, vocab_size=tconfig.vocab_size + 8)
+    oparams = init_params(jax.random.PRNGKey(1), other)
+    with pytest.raises(ValueError, match="vocab"):
+        SpeculativeGenerator(tparams, tconfig, oparams, other)
