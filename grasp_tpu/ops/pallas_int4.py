@@ -27,13 +27,14 @@ stays saturated instead of grid-overhead-bound.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_OUT = 256
+_BLOCK_OUT = int(os.environ.get("GRASP_INT4_BO", "256"))
 
 
 def _expand_nibbles(p, compute_dtype, interpret):

@@ -129,8 +129,18 @@ def quant_matmul_int4(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.
     for d in x.shape[:-1]:
         m *= d
     # decode-shaped calls on TPU: fused kernel, packed weights read once from
-    # HBM (the fallback materializes the unpacked weights — 2x+ the traffic)
-    if jax.default_backend() == "tpu" and gs % 128 == 0 and m <= 1024:
+    # HBM (the fallback materializes the unpacked weights — 2x+ the traffic).
+    # Tiny weights stay on the XLA path: a kernel launch isn't worth it below
+    # the threshold and XLA can fuse them into neighbors.
+    import os
+
+    min_bytes = int(os.environ.get("GRASP_INT4_MIN_BYTES", "0"))
+    if (
+        jax.default_backend() == "tpu"
+        and gs % 128 == 0
+        and m <= 1024
+        and packed.size >= min_bytes
+    ):
         from grasp_tpu.ops.pallas_int4 import pallas_int4_matmul
 
         return pallas_int4_matmul(x, packed, scale)
