@@ -1,5 +1,10 @@
 from grasp_tpu.eval.ppl import evaluate_perplexity, windowed_perplexity  # noqa: F401
-from grasp_tpu.eval.generate import Generator, greedy_generate  # noqa: F401
+from grasp_tpu.eval.generate import (  # noqa: F401
+    Generator,
+    SamplingGenerator,
+    filter_logits,
+    greedy_generate,
+)
 from grasp_tpu.eval.harness import EvalLM, evaluate_tasks, TASK_REGISTRY  # noqa: F401
 from grasp_tpu.eval.longbench import (  # noqa: F401
     FULL_LONGBENCH_DATASETS,

@@ -287,6 +287,115 @@ class Generator:
         return results
 
 
+def filter_logits(logits: jax.Array, top_k: int, top_p: jax.Array) -> jax.Array:
+    """Top-k / nucleus (top-p) filtering with HF semantics.
+
+    top_k: keep the k highest logits (0 = off; static — sizes lax.top_k).
+    top_p: keep the smallest prefix of the descending-prob distribution whose
+    cumulative probability covers top_p, always at least one token (tokens
+    whose cumulative mass EXCLUDING themselves is already >= top_p drop).
+    Filtered entries become -inf. Beyond-reference: the reference decodes
+    greedily everywhere (do_sample=False); this is the serving-side sampler.
+    """
+    neg = jnp.finfo(jnp.float32).min
+    logits = logits.astype(jnp.float32)
+    if top_k > 0 and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, neg, logits)
+    # nucleus: drop tokens whose preceding cumulative mass already covers top_p
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum_before = jnp.cumsum(probs, axis=-1) - probs
+    drop_sorted = cum_before >= top_p  # first token always kept
+    # scatter the drop mask back to vocab order
+    inv = jnp.argsort(sort_idx, axis=-1)
+    drop = jnp.take_along_axis(drop_sorted, inv, axis=-1)
+    return jnp.where(drop, neg, logits)
+
+
+class SamplingGenerator(Generator):
+    """Stochastic generation: temperature / top-k / nucleus sampling.
+
+    Same one-dispatch design as the greedy path: the whole continuation runs
+    in one jitted lax.while_loop threading a PRNG key (fold_in per step).
+    temperature == 0 reduces to greedy argmax.
+    """
+
+    def _get_sample_loop(self, cache_len: int, max_new: int, top_k: int, greedy: bool):
+        key_ = ("sample", cache_len, max_new, top_k, greedy)
+        if key_ not in self._loop_fns:
+            config, plan = self.config, self.plan
+
+            @jax.jit
+            def fn(params, rng, first_logits, start_idx, cache, stop_ids,
+                   temperature, top_p):
+                out0 = jnp.full((max_new,), -1, jnp.int32)
+
+                def pick(logits, step_rng):
+                    if greedy:
+                        return jnp.argmax(logits).astype(jnp.int32)
+                    filt = filter_logits(logits[None, :] / temperature, top_k, top_p)
+                    return jax.random.categorical(step_rng, filt[0]).astype(jnp.int32)
+
+                def cond(state):
+                    t_rel, tok, cache, out, done = state
+                    return (~done) & (t_rel < max_new)
+
+                def body(state):
+                    t_rel, tok, cache, out, done = state
+                    out = out.at[t_rel].set(tok)
+                    logits, cache2 = decode_step(
+                        params, tok[None, None], cache, start_idx + t_rel,
+                        config=config, plan=plan,
+                    )
+                    nxt = pick(logits[0, 0], jax.random.fold_in(rng, t_rel + 1))
+                    return t_rel + 1, nxt, cache2, out, jnp.any(nxt == stop_ids)
+
+                first = pick(first_logits, jax.random.fold_in(rng, 0))
+                t_rel, _, _, out, _ = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.asarray(0, jnp.int32), first, cache, out0,
+                     jnp.any(first == stop_ids)),
+                )
+                return out, t_rel
+
+            self._loop_fns[key_] = fn
+        return self._loop_fns[key_]
+
+    def sample(
+        self,
+        prompt_ids: np.ndarray,
+        max_new_tokens: int,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
+        eos_token_id: Optional[int] = None,
+    ) -> List[int]:
+        """Sample a continuation; temperature=0 (or top_k=1) is exact greedy."""
+        ids = np.asarray(prompt_ids).reshape(1, -1).astype(np.int32)
+        s = ids.shape[1]
+        s_pad = _round_up(max(s, 1), _PREFILL_BUCKET)
+        cache_len = _round_up(s + max_new_tokens, _PREFILL_BUCKET)
+        padded = np.zeros((1, s_pad), np.int32)
+        padded[0, :s] = ids[0]
+
+        cache = init_kv_cache(self.config, batch=1, max_len=cache_len)
+        logits, cache = self._get_prefill(s_pad, cache_len)(self.params, jnp.asarray(padded), cache)
+
+        greedy = temperature == 0.0 or top_k == 1
+        stop = ([eos_token_id] if eos_token_id is not None else []) + [-1] * 4
+        out, n = self._get_sample_loop(cache_len, max_new_tokens, top_k, greedy)(
+            self.params, jax.random.PRNGKey(seed),
+            logits[0, s - 1].astype(jnp.float32), jnp.asarray(s, jnp.int32),
+            cache, jnp.asarray(stop[:4], jnp.int32),
+            jnp.asarray(max(temperature, 1e-6), jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+        )
+        return np.asarray(out)[: int(n)].tolist()
+
+
 def greedy_generate(
     params: Params,
     config: ModelConfig,
