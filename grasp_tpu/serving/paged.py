@@ -156,10 +156,47 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     return jax.jit(fn, donate_argnums=(2, 3))
 
 
-class _Request:
-    __slots__ = ("rid", "prompt", "pages", "pos", "out", "max_new", "done", "row")
+_MAX_TOP_K = 64  # static cap sizing the batched per-row top-k (lax.top_k)
 
-    def __init__(self, rid, prompt, max_new):
+
+def _make_sampler(max_k: int):
+    """Batched per-row sampler: rows mix greedy and sampled decoding.
+
+    Per-row temperature / top-k (traced k <= max_k) / top-p with HF
+    semantics; greedy rows (temperature 0) take argmax. One jitted call per
+    decode step, same dispatch count as the argmax it replaces.
+    """
+
+    @jax.jit
+    def sample(logits, keys, temps, ks, top_ps, greedy):
+        b, v = logits.shape
+        neg = jnp.finfo(jnp.float32).min
+        scaled = logits.astype(jnp.float32) / temps[:, None]
+        vals, _ = jax.lax.top_k(scaled, max_k)  # [B, max_k] descending
+        kth = jnp.take_along_axis(
+            vals, jnp.clip(ks[:, None] - 1, 0, max_k - 1), axis=1
+        )  # per-row k-th largest
+        filt = jnp.where((ks[:, None] > 0) & (scaled < kth), neg, scaled)
+        # nucleus: drop tokens whose preceding cumulative mass covers top_p
+        order = jnp.argsort(-filt, axis=-1)
+        sorted_l = jnp.take_along_axis(filt, order, axis=-1)
+        probs = jax.nn.softmax(sorted_l, axis=-1)
+        drop_sorted = (jnp.cumsum(probs, axis=-1) - probs) >= top_ps[:, None]
+        inv = jnp.argsort(order, axis=-1)
+        drop = jnp.take_along_axis(drop_sorted, inv, axis=-1)
+        filt = jnp.where(drop, neg, filt)
+        sampled = jax.vmap(jax.random.categorical)(keys, filt).astype(jnp.int32)
+        return jnp.where(greedy, jnp.argmax(logits, axis=-1).astype(jnp.int32), sampled)
+
+    return sample
+
+
+class _Request:
+    __slots__ = ("rid", "prompt", "pages", "pos", "out", "max_new", "done", "row",
+                 "temperature", "top_k", "top_p", "seed", "emitted_steps")
+
+    def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0, top_p=1.0,
+                 seed=0):
         self.rid = rid
         self.prompt = np.asarray(prompt).reshape(-1).astype(np.int32)
         self.pages: List[int] = []
@@ -168,6 +205,18 @@ class _Request:
         self.max_new = max_new
         self.done = False
         self.row = -1         # batch slot while live
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.seed = 0 if seed is None else int(seed)
+        self.emitted_steps = 0  # PRNG stream position (fold_in per pick)
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0 or self.top_k == 1
+
+
+_sample_tokens = _make_sampler(_MAX_TOP_K)  # shared across engines (one jit)
 
 
 class ServingEngine:
@@ -200,14 +249,48 @@ class ServingEngine:
         self._rid = 0
 
     # -- public API --------------------------------------------------------
-    def submit(self, prompt_ids, max_new_tokens: int) -> int:
+    def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None) -> int:
+        """Enqueue a request. temperature=0 (default) decodes greedily;
+        otherwise temperature/top-k/top-p sampling with a per-request seed —
+        rows with different settings batch together in one decode step."""
+        if top_k > _MAX_TOP_K:
+            raise ValueError(f"top_k={top_k} > supported max {_MAX_TOP_K}")
         need = -(-(len(np.asarray(prompt_ids).reshape(-1)) + max_new_tokens) // self.pool.page_size)
         if need > self.max_pages_per_seq:
             raise ValueError(
                 f"request needs {need} pages > max_pages_per_seq={self.max_pages_per_seq}")
         self._rid += 1
-        self._pending.append(_Request(self._rid, prompt_ids, max_new_tokens))
+        self._pending.append(_Request(self._rid, prompt_ids, max_new_tokens,
+                                      temperature, top_k, top_p,
+                                      self._rid if seed is None else seed))
         return self._rid
+
+    def _pick_tokens(self, logits: jax.Array, reqs: List["_Request"]) -> np.ndarray:
+        """Per-row next tokens for `reqs` (row i <- logits[i])."""
+        b = logits.shape[0]
+        temps = np.ones(b, np.float32)
+        ks = np.zeros(b, np.int32)
+        tps = np.ones(b, np.float32)
+        greedy = np.ones(b, bool)
+        keys = np.zeros((b, 2), np.uint32)
+        for i, r in enumerate(reqs):
+            if r is None:
+                continue
+            greedy[i] = r.greedy
+            if not r.greedy:
+                temps[i] = max(r.temperature, 1e-6)
+                ks[i] = r.top_k
+                tps[i] = r.top_p
+                # legacy uint32[2] keys vmap as plain arrays
+                keys[i] = np.asarray(jax.random.fold_in(
+                    jax.random.PRNGKey(r.seed), r.emitted_steps))
+                r.emitted_steps += 1
+        toks = _sample_tokens(
+            logits, jnp.asarray(keys), jnp.asarray(temps), jnp.asarray(ks),
+            jnp.asarray(tps), jnp.asarray(greedy),
+        )
+        return np.asarray(toks, np.int32)
 
     def has_work(self) -> bool:
         return bool(self._pending) or any(r is not None for r in self._live)
@@ -265,7 +348,7 @@ class ServingEngine:
         req.pos = s
         req.row = row
         self._live[row] = req
-        self._next_tok[row] = int(jnp.argmax(logits[0, s - 1]))
+        self._next_tok[row] = int(self._pick_tokens(logits[:, s - 1], [req])[0])
 
     def step(self) -> None:
         # admit pending requests into free rows (if pages suffice)
@@ -306,7 +389,7 @@ class ServingEngine:
             self.params, jnp.asarray(self._next_tok), self.pool.k_pages,
             self.pool.v_pages, jnp.asarray(tables), jnp.asarray(pos), jnp.asarray(live),
         )
-        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        nxt = self._pick_tokens(logits, list(self._live))
         for r in list(self._live):
             if r is None:
                 continue

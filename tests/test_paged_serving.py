@@ -115,3 +115,51 @@ def test_paged_serving_moe_matches_dense_generator(rng):
     got = srv.run()
     for rid, w in zip(rids, want):
         assert got[rid] == w, f"request {rid}: {got[rid]} != {w}"
+
+
+def test_paged_mixed_greedy_and_sampled_rows(compressed, rng):
+    """Sampled rows don't perturb greedy rows batched alongside them; sampled
+    rows are deterministic in their per-request seed."""
+    config, params, plan = compressed
+    g_prompt, s_prompt = _prompts(config, rng, [6, 9])
+    want_greedy = Generator(params, config, plan).greedy(g_prompt, 5)
+
+    def run_engine():
+        srv = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                            max_batch=2, max_pages_per_seq=4)
+        rg = srv.submit(g_prompt, 5)  # greedy (default)
+        rs = srv.submit(s_prompt, 5, temperature=1.3, top_k=8, seed=42)
+        out = srv.run()
+        return out[rg], out[rs]
+
+    g1, s1 = run_engine()
+    g2, s2 = run_engine()
+    assert g1 == want_greedy == g2          # greedy row unaffected by sampling row
+    assert s1 == s2                         # same seed -> same stream
+    assert len(s1) == 5 and all(0 <= t < config.vocab_size for t in s1)
+
+
+def test_paged_sampling_topk1_equals_greedy(compressed, rng):
+    config, params, plan = compressed
+    prompt = _prompts(config, rng, [7])[0]
+    want = Generator(params, config, plan).greedy(prompt, 5)
+    srv = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=4)
+    rid = srv.submit(prompt, 5, temperature=0.9, top_k=1, seed=3)
+    assert srv.run()[rid] == want
+
+
+def test_paged_sampling_seeds_vary(compressed, rng):
+    config, params, plan = compressed
+    prompt = _prompts(config, rng, [6])[0]
+    outs = set()
+    srv = ServingEngine(params, config, plan, num_pages=64, page_size=8,
+                        max_batch=4, max_pages_per_seq=4)
+    rids = [srv.submit(prompt, 8, temperature=2.0, seed=s) for s in range(4)]
+    out = srv.run()
+    outs = {tuple(out[r]) for r in rids}
+    assert len(outs) > 1  # high temperature: different seeds diverge
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_k"):
+        srv.submit(prompt, 2, temperature=1.0, top_k=1000)
