@@ -49,11 +49,14 @@ class Generator:
     """
 
     def __init__(self, params: Params, config: ModelConfig, plan: Optional[ModelPlan] = None,
-                 device_loop: bool = True):
+                 device_loop: bool = True, quantized_kv: bool = False):
         self.params = params
         self.config = config
         self.plan = plan or default_plan(config)
         self.device_loop = device_loop
+        # int8 KV cache (models.llama.init_kv_cache quantized=True): ~half the
+        # KV HBM traffic — the decode bottleneck at long context
+        self.quantized_kv = quantized_kv
         self._prefill_fns: Dict[Tuple[int, int], any] = {}
         self._decode_fns: Dict[int, any] = {}
         self._loop_fns: Dict[Tuple[int, int], any] = {}
@@ -138,7 +141,7 @@ class Generator:
         padded = np.zeros((1, s_pad), np.int32)
         padded[0, :s] = ids[0]
 
-        cache = init_kv_cache(self.config, batch=1, max_len=cache_len)
+        cache = init_kv_cache(self.config, batch=1, max_len=cache_len, quantized=self.quantized_kv)
         logits, cache = self._get_prefill(s_pad, cache_len)(self.params, jnp.asarray(padded), cache)
         next_tok = int(jnp.argmax(logits[0, s - 1]))
 
@@ -256,7 +259,7 @@ class Generator:
             positions[i, s_pad - lens[i]:] = np.arange(lens[i])
             length_mask[i, s_pad - lens[i]: s_pad] = 1
 
-        cache = init_kv_cache(self.config, batch=b, max_len=cache_len)
+        cache = init_kv_cache(self.config, batch=b, max_len=cache_len, quantized=self.quantized_kv)
         key = ("bprefill", b, s_pad, cache_len)
         if key not in self._prefill_fns:
             config, plan = self.config, self.plan
@@ -381,7 +384,7 @@ class SamplingGenerator(Generator):
         padded = np.zeros((1, s_pad), np.int32)
         padded[0, :s] = ids[0]
 
-        cache = init_kv_cache(self.config, batch=1, max_len=cache_len)
+        cache = init_kv_cache(self.config, batch=1, max_len=cache_len, quantized=self.quantized_kv)
         logits, cache = self._get_prefill(s_pad, cache_len)(self.params, jnp.asarray(padded), cache)
 
         greedy = temperature == 0.0 or top_k == 1

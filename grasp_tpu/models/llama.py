@@ -243,6 +243,39 @@ def _attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=q.dtype)
 
 
+def _attention_q8(
+    q: jax.Array,
+    k8: jax.Array,
+    k_scale: jax.Array,
+    v8: jax.Array,
+    v_scale: jax.Array,
+    mask: Optional[jax.Array],
+    num_kv_groups: int,
+) -> jax.Array:
+    """Attention directly over the int8 KV cache — no materialized dequant.
+
+    The per-key scale commutes out of the score contraction
+    (q·(k8*s) = (q·k8)*s) and the per-value scale folds into the softmax
+    weights (sum_t p_t*(v8_t*s_t) = sum_t (p_t*s_t)*v8_t), so both einsums
+    read int8 from HBM.
+    """
+    if num_kv_groups > 1:
+        k8 = jnp.repeat(k8, num_kv_groups, axis=1)
+        v8 = jnp.repeat(v8, num_kv_groups, axis=1)
+        k_scale = jnp.repeat(k_scale, num_kv_groups, axis=1)
+        v_scale = jnp.repeat(v_scale, num_kv_groups, axis=1)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k8.astype(q.dtype), preferred_element_type=jnp.float32
+    )
+    scores = scores * (k_scale[..., 0][:, :, None, :] * scale)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    weights = (probs * v_scale[..., 0][:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v8.astype(q.dtype), preferred_element_type=q.dtype)
+
+
 def _layer_forward(
     lp: Params,
     layer_plan: LayerPlan,
@@ -269,14 +302,29 @@ def _layer_forward(
     v = proj_apply(x, ap["v_proj"], kinds["v_proj"], up).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
 
+    kv_scales = None
     if kv is not None:
         # decode/prefill with cache: write current k/v at cache_index
-        k_cache = jax.lax.dynamic_update_slice(kv["k"], k.astype(kv["k"].dtype), (0, 0, cache_index, 0))
-        v_cache = jax.lax.dynamic_update_slice(kv["v"], v.astype(kv["v"].dtype), (0, 0, cache_index, 0))
-        kv = {"k": k_cache, "v": v_cache}
-        k, v = k_cache, v_cache
+        if "k_scale" in kv:  # int8-quantized cache (init_kv_cache quantized=True)
+            k8, ks = _quantize_kv(k)
+            v8, vs = _quantize_kv(v)
+            kv = {
+                "k": jax.lax.dynamic_update_slice(kv["k"], k8, (0, 0, cache_index, 0)),
+                "k_scale": jax.lax.dynamic_update_slice(kv["k_scale"], ks, (0, 0, cache_index, 0)),
+                "v": jax.lax.dynamic_update_slice(kv["v"], v8, (0, 0, cache_index, 0)),
+                "v_scale": jax.lax.dynamic_update_slice(kv["v_scale"], vs, (0, 0, cache_index, 0)),
+            }
+            k, v = kv["k"], kv["v"]
+            kv_scales = (kv["k_scale"], kv["v_scale"])
+        else:
+            k_cache = jax.lax.dynamic_update_slice(kv["k"], k.astype(kv["k"].dtype), (0, 0, cache_index, 0))
+            v_cache = jax.lax.dynamic_update_slice(kv["v"], v.astype(kv["v"].dtype), (0, 0, cache_index, 0))
+            kv = {"k": k_cache, "v": v_cache}
+            k, v = k_cache, v_cache
 
-    if flash_ok and kv is None and config.use_flash_attention and jax.default_backend() != "cpu":
+    if kv_scales is not None:
+        attn = _attention_q8(q, k, kv_scales[0], v, kv_scales[1], mask, nh // nkv)
+    elif flash_ok and kv is None and config.use_flash_attention and jax.default_backend() != "cpu":
         # pure-causal full-sequence path: fused Pallas flash attention
         # (no [S,S] scores materialization, GQA via index maps)
         from grasp_tpu.ops.pallas_attention import flash_attention
@@ -462,9 +510,27 @@ def hf_causal_lm_loss_sum(
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(config: ModelConfig, batch: int, max_len: int, dtype=None) -> List[Dict[str, jax.Array]]:
+def init_kv_cache(
+    config: ModelConfig, batch: int, max_len: int, dtype=None, quantized: bool = False
+) -> List[Dict[str, jax.Array]]:
+    """KV cache; quantized=True stores K/V as int8 with one fp32 absmax scale
+    per (batch, head, position) — ~half the HBM traffic, which dominates
+    decode at long context. The scales commute out of both attention
+    contractions (score scale per KEY position; value scale folds into the
+    softmax weights), so attention runs directly on the int8 cache with no
+    materialized dequant (beyond-reference serving extension)."""
     dtype = dtype or jnp.dtype(config.dtype)
     nkv, hd = config.num_key_value_heads, config.head_dim_
+    if quantized:
+        return [
+            {
+                "k": jnp.zeros((batch, nkv, max_len, hd), jnp.int8),
+                "k_scale": jnp.ones((batch, nkv, max_len, 1), jnp.float32),
+                "v": jnp.zeros((batch, nkv, max_len, hd), jnp.int8),
+                "v_scale": jnp.ones((batch, nkv, max_len, 1), jnp.float32),
+            }
+            for _ in range(config.num_hidden_layers)
+        ]
     return [
         {
             "k": jnp.zeros((batch, nkv, max_len, hd), dtype),
@@ -472,6 +538,15 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int, dtype=None) -> 
         }
         for _ in range(config.num_hidden_layers)
     ]
+
+
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(batch, head, position) symmetric absmax int8 over head_dim."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _forward_with_cache(

@@ -1,0 +1,102 @@
+"""Int8 KV cache (models.llama.init_kv_cache quantized=True).
+
+Beyond-reference serving extension: K/V stored int8 with per-(batch, head,
+position) absmax scales; the scales commute out of both attention
+contractions so no dequantized cache is ever materialized. Gates: decode
+logits track the fp cache closely; the cache is ~half the bytes; greedy
+decode through the Generator works end to end (GQA + compressed plans).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grasp_tpu.configs import GraspConfig, ModelConfig
+from grasp_tpu.core.engine import GraspEngine
+from grasp_tpu.eval.generate import Generator
+from grasp_tpu.models import init_params
+from grasp_tpu.models.llama import (
+    decode_step,
+    default_plan,
+    forward,
+    init_kv_cache,
+    prefill,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    config = ModelConfig.tiny(num_hidden_layers=2)  # GQA: 4 heads / 2 kv heads
+    return config, init_params(jax.random.PRNGKey(0), config)
+
+
+def test_quantized_cache_halves_bytes(model):
+    config, _ = model
+    dense = init_kv_cache(config, batch=2, max_len=64, dtype=jnp.float32)
+    q8 = init_kv_cache(config, batch=2, max_len=64, quantized=True)
+    nbytes = lambda c: sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(c))
+    assert nbytes(q8) < 0.32 * nbytes(dense)  # int8 + tiny scales vs fp32
+
+
+def test_quantized_decode_tracks_dense(model, rng):
+    """Prefill + chained decode with the int8 cache: logits within int8-KV
+    noise of the full (cacheless) forward at every step."""
+    config, params = model
+    plan = default_plan(config)
+    row = jnp.asarray(rng.integers(1, config.vocab_size, (1, 12)))
+    s = row.shape[1]
+
+    cache = init_kv_cache(config, batch=1, max_len=s + 4, quantized=True)
+    logits, cache = prefill(params, row, cache, config=config, plan=plan)
+    full = forward(params, row, config=config)["logits"]
+    np.testing.assert_allclose(
+        np.asarray(logits[0, s - 1]), np.asarray(full[0, -1]), rtol=0.05, atol=0.05
+    )
+
+    tok = jnp.argmax(logits[0, s - 1]).astype(jnp.int32)
+    seq = row
+    for t in range(3):
+        step_logits, cache = decode_step(
+            params, tok[None, None], cache, s + t, config=config, plan=plan
+        )
+        seq = jnp.concatenate([seq, tok[None, None]], axis=1)
+        want = forward(params, seq, config=config)["logits"][0, -1]
+        np.testing.assert_allclose(
+            np.asarray(step_logits[0, 0]), np.asarray(want), rtol=0.05, atol=0.05
+        )
+        tok = jnp.argmax(step_logits[0, 0]).astype(jnp.int32)
+
+
+def test_generator_quantized_kv_end_to_end(model, rng):
+    config, params = model
+    prompt = rng.integers(1, config.vocab_size, size=(8,)).astype(np.int32)
+    want = Generator(params, config).greedy(prompt, 6)
+    got = Generator(params, config, quantized_kv=True).greedy(prompt, 6)
+    # int8-KV noise is ~0.5%; on a random tiny model argmax ties are rare, so
+    # the streams should agree (documented: not a bit-exactness guarantee)
+    assert got == want, (got, want)
+
+
+def test_generator_quantized_kv_batched(model, rng):
+    config, params = model
+    prompts = [rng.integers(1, config.vocab_size, size=(n,)).astype(np.int32)
+               for n in (5, 9)]
+    want = Generator(params, config).greedy_batch(prompts, 4)
+    got = Generator(params, config, quantized_kv=True).greedy_batch(prompts, 4)
+    assert got == want, (got, want)
+
+
+def test_quantized_kv_on_compressed_model(rng):
+    config = ModelConfig.tiny(num_hidden_layers=3)
+    engine = GraspEngine(init_params(jax.random.PRNGKey(1), config), config)
+    batches = [{
+        "input_ids": jnp.asarray(rng.integers(1, config.vocab_size, (1, 16))),
+        "labels": jnp.asarray(rng.integers(1, config.vocab_size, (1, 16))),
+    }]
+    engine.run(batches, GraspConfig(num_prune_layers=1, compression_ratio=0.4))
+    prompt = rng.integers(1, config.vocab_size, size=(7,)).astype(np.int32)
+    want = Generator(engine.params, config, engine.plan).greedy(prompt, 5)
+    got = Generator(engine.params, config, engine.plan, quantized_kv=True).greedy(prompt, 5)
+    assert got == want, (got, want)
