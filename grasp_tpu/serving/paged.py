@@ -48,18 +48,28 @@ from grasp_tpu.models.llama import (
 
 
 class PagePool:
-    """Global KV page pool (device) + host-side free-list allocator."""
+    """Global KV page pool (device) + host-side free-list allocator.
+
+    quantized=True stores pages int8 with per-(page-slot, head) fp32 absmax
+    scales — ~half the KV gather traffic (models.llama int8-KV scheme)."""
 
     def __init__(self, config: ModelConfig, num_pages: int, page_size: int = 128,
-                 dtype=None):
+                 dtype=None, quantized: bool = False):
         self.config = config
         self.num_pages = num_pages
         self.page_size = page_size
-        dtype = dtype or jnp.dtype(config.dtype)
+        self.quantized = quantized
+        dtype = jnp.int8 if quantized else (dtype or jnp.dtype(config.dtype))
         shape = (config.num_hidden_layers, num_pages, config.num_key_value_heads,
                  page_size, config.head_dim_)
         self.k_pages = jnp.zeros(shape, dtype)
         self.v_pages = jnp.zeros(shape, dtype)
+        if quantized:
+            sshape = shape[:-1] + (1,)
+            self.k_scales = jnp.ones(sshape, jnp.float32)
+            self.v_scales = jnp.ones(sshape, jnp.float32)
+        else:
+            self.k_scales = self.v_scales = None
         # page 0 is reserved as the null page unallocated table slots point at
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
 
@@ -76,15 +86,18 @@ class PagePool:
         return len(self._free)
 
 
-def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int):
+def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int,
+                     quantized: bool = False):
     """Build the jitted one-token decode over the page pool.
 
-    (params, toks [B], k_pages, v_pages, tables [B, P], pos [B], live [B])
-      -> (logits [B, V], k_pages, v_pages)
+    (params, toks [B], k_pages, v_pages, [k_scales, v_scales,] tables [B, P],
+     pos [B], live [B]) -> (logits [B, V], k_pages, v_pages[, scales...])
     pos[b] = number of tokens already in sequence b's cache (the new token's
     slot). Dead rows (live=0) write into the reserved null page 0 slot 0.
+    quantized: int8 pages + per-slot scales (PagePool quantized=True); the
+    scales commute out of both attention contractions.
     """
-    def fn(params, toks, k_pages, v_pages, tables, pos, live):
+    def fn(params, toks, k_pages, v_pages, k_scales, v_scales, tables, pos, live):
         L, num_pages, nkv, page_size, hd = k_pages.shape
         b = toks.shape[0]
         nh = config.num_attention_heads
@@ -117,24 +130,45 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             q, k = apply_rope(q, k, cos, sin)
 
             # scatter this token's K/V into its page slot
-            k_pages = k_pages.at[li, phys, :, offset, :].set(
-                k[:, :, 0, :].astype(k_pages.dtype), mode="drop")
-            v_pages = v_pages.at[li, phys, :, offset, :].set(
-                v[:, :, 0, :].astype(v_pages.dtype), mode="drop")
+            if quantized:
+                from grasp_tpu.models.llama import _quantize_kv
+
+                k8, ks = _quantize_kv(k)
+                v8, vs = _quantize_kv(v)
+                k_pages = k_pages.at[li, phys, :, offset, :].set(k8[:, :, 0, :], mode="drop")
+                v_pages = v_pages.at[li, phys, :, offset, :].set(v8[:, :, 0, :], mode="drop")
+                k_scales = k_scales.at[li, phys, :, offset, :].set(ks[:, :, 0, :], mode="drop")
+                v_scales = v_scales.at[li, phys, :, offset, :].set(vs[:, :, 0, :], mode="drop")
+            else:
+                k_pages = k_pages.at[li, phys, :, offset, :].set(
+                    k[:, :, 0, :].astype(k_pages.dtype), mode="drop")
+                v_pages = v_pages.at[li, phys, :, offset, :].set(
+                    v[:, :, 0, :].astype(v_pages.dtype), mode="drop")
 
             # gather each row's pages: [B, P, nkv, ps, hd] -> [B, nkv, T, hd]
             k_seq = k_pages[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max, hd)
             v_seq = v_pages[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max, hd)
+            if quantized:
+                ks_seq = k_scales[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max)
+                vs_seq = v_scales[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max)
             if nh != nkv:
                 k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
                 v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
+                if quantized:
+                    ks_seq = jnp.repeat(ks_seq, nh // nkv, axis=1)
+                    vs_seq = jnp.repeat(vs_seq, nh // nkv, axis=1)
 
             scale = 1.0 / np.sqrt(hd)
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq,
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
                                 preferred_element_type=jnp.float32) * scale
+            if quantized:  # per-key scale commutes out of the contraction
+                scores = scores * ks_seq[:, :, None, :]
             scores = scores + bias
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq, preferred_element_type=q.dtype)
+            if quantized:  # per-value scale folds into the softmax weights
+                probs = (probs * vs_seq[:, :, None, :].astype(q.dtype))
+            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
+                              preferred_element_type=q.dtype)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
             h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
 
@@ -151,9 +185,10 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
         logits = _lm_logits(h, params)[:, 0, :]
-        return logits, k_pages, v_pages
+        return logits, k_pages, v_pages, k_scales, v_scales
 
-    return jax.jit(fn, donate_argnums=(2, 3))
+    donate = (2, 3, 4, 5) if quantized else (2, 3)
+    return jax.jit(fn, donate_argnums=donate)
 
 
 _MAX_TOP_K = 64  # static cap sizing the batched per-row top-k (lax.top_k)
@@ -231,15 +266,17 @@ class ServingEngine:
 
     def __init__(self, params: Params, config: ModelConfig, plan: Optional[ModelPlan] = None,
                  num_pages: int = 64, page_size: int = 128, max_batch: int = 8,
-                 max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None):
+                 max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None,
+                 quantized_kv: bool = False):
         self.params = params
         self.config = config
         self.plan = plan or default_plan(config)
-        self.pool = PagePool(config, num_pages, page_size)
+        self.pool = PagePool(config, num_pages, page_size, quantized=quantized_kv)
         self.max_batch = max_batch
         self.max_pages_per_seq = max_pages_per_seq
         self.eos = eos_token_id
-        self._decode = _paged_decode_fn(config, self.plan, max_pages_per_seq)
+        self._decode = _paged_decode_fn(config, self.plan, max_pages_per_seq,
+                                        quantized=quantized_kv)
         self._prefill_fns: Dict[Tuple[int, int], any] = {}
 
         self._pending: List[_Request] = []
@@ -342,6 +379,13 @@ class ServingEngine:
             k = k.transpose(1, 0, 2, 3)
             v = cache[li]["v"][0].reshape(-1, n_prompt_pages, ps, cache[li]["v"].shape[-1])
             v = v.transpose(1, 0, 2, 3)
+            if self.pool.quantized:
+                from grasp_tpu.models.llama import _quantize_kv
+
+                k, ks = _quantize_kv(k)
+                v, vs = _quantize_kv(v)
+                self.pool.k_scales = self.pool.k_scales.at[li, phys].set(ks)
+                self.pool.v_scales = self.pool.v_scales.at[li, phys].set(vs)
             self.pool.k_pages = self.pool.k_pages.at[li, phys].set(k.astype(self.pool.k_pages.dtype))
             self.pool.v_pages = self.pool.v_pages.at[li, phys].set(v.astype(self.pool.v_pages.dtype))
 
@@ -385,9 +429,11 @@ class ServingEngine:
         if not live.any():
             return
 
-        logits, self.pool.k_pages, self.pool.v_pages = self._decode(
+        (logits, self.pool.k_pages, self.pool.v_pages,
+         self.pool.k_scales, self.pool.v_scales) = self._decode(
             self.params, jnp.asarray(self._next_tok), self.pool.k_pages,
-            self.pool.v_pages, jnp.asarray(tables), jnp.asarray(pos), jnp.asarray(live),
+            self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
+            jnp.asarray(tables), jnp.asarray(pos), jnp.asarray(live),
         )
         nxt = self._pick_tokens(logits, list(self._live))
         for r in list(self._live):

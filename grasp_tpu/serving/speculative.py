@@ -69,6 +69,7 @@ class SpeculativeGenerator:
         target_plan: Optional[ModelPlan] = None,
         draft_plan: Optional[ModelPlan] = None,
         gamma: int = 4,
+        quantized_kv: bool = False,
     ):
         if target_config.vocab_size != draft_config.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
@@ -77,6 +78,8 @@ class SpeculativeGenerator:
         self.tplan = target_plan or default_plan(target_config)
         self.dplan = draft_plan or default_plan(draft_config)
         self.gamma = int(gamma)
+        # int8 KV for both caches (models.llama.init_kv_cache quantized=True)
+        self.quantized_kv = quantized_kv
         self._loop_fns: Dict[Tuple[int, int], any] = {}
         self._prefill_fns: Dict[Tuple[str, int, int], any] = {}
         self.last_stats: Dict[str, float] = {}
@@ -214,8 +217,10 @@ class SpeculativeGenerator:
         padded[0, :s] = ids[0]
         jp = jnp.asarray(padded)
 
-        tcache = init_kv_cache(self.tconfig, batch=1, max_len=cache_len)
-        dcache = init_kv_cache(self.dconfig, batch=1, max_len=cache_len)
+        tcache = init_kv_cache(self.tconfig, batch=1, max_len=cache_len,
+                               quantized=self.quantized_kv)
+        dcache = init_kv_cache(self.dconfig, batch=1, max_len=cache_len,
+                               quantized=self.quantized_kv)
         tlogits, tcache = self._get_prefill("t", s_pad, cache_len)(self.tparams, jp, tcache)
         _, dcache = self._get_prefill("d", s_pad, cache_len)(self.dparams, jp, dcache)
         first_tok = jnp.argmax(tlogits[0, s - 1]).astype(jnp.int32)

@@ -163,3 +163,26 @@ def test_paged_sampling_seeds_vary(compressed, rng):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="top_k"):
         srv.submit(prompt, 2, temperature=1.0, top_k=1000)
+
+
+def test_paged_quantized_kv_matches_quantized_generator(compressed, rng):
+    """int8 page pool: outputs match the (quantized-kv) dense-cache Generator
+    token for token; pool bytes ~halve."""
+    config, params, plan = compressed
+    prompts = _prompts(config, rng, [5, 11])
+    max_new = 5
+
+    gen = Generator(params, config, plan, quantized_kv=True)
+    want = [gen.greedy(p, max_new) for p in prompts]
+
+    srv = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=4, quantized_kv=True)
+    nbytes = lambda *xs: sum(x.size * x.dtype.itemsize for x in xs)
+    dense_pool = ServingEngine(params, config, plan, num_pages=32, page_size=8).pool
+    assert nbytes(srv.pool.k_pages, srv.pool.v_pages) < 0.6 * nbytes(
+        dense_pool.k_pages, dense_pool.v_pages)
+
+    rids = [srv.submit(p, max_new) for p in prompts]
+    got = srv.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w, f"request {rid}: {got[rid]} != {w}"

@@ -110,3 +110,16 @@ def test_spec_vocab_mismatch_rejected(target):
     oparams = init_params(jax.random.PRNGKey(1), other)
     with pytest.raises(ValueError, match="vocab"):
         SpeculativeGenerator(tparams, tconfig, oparams, other)
+
+
+def test_spec_with_quantized_kv_matches_quantized_generator(target, draft, rng):
+    """int8 KV in both caches: still bit-identical to the (quantized-kv)
+    target-only stream — per-position quantization is chunking-invariant."""
+    tconfig, tparams = target
+    dconfig, dparams, dplan = draft
+    prompt = rng.integers(1, tconfig.vocab_size, size=(8,)).astype(np.int32)
+    want = Generator(tparams, tconfig, quantized_kv=True).greedy(prompt, 10)
+    spec = SpeculativeGenerator(tparams, tconfig, dparams, dconfig,
+                                draft_plan=dplan, gamma=3, quantized_kv=True)
+    got = spec.greedy(prompt, 10)
+    assert got == want, (got, want)
