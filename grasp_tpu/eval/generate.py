@@ -11,7 +11,9 @@ TPU-native replacement for the reference's ``model.generate`` calls
     (a query at absolute position t attends keys <= t; stale pad entries sit
     at indices > t until overwritten by generated tokens).
 
-Greedy only (the reference evaluates with do_sample=False everywhere).
+The reference evaluates greedily everywhere (do_sample=False) — Generator is
+the parity surface; SamplingGenerator (temperature / top-k / nucleus) and the
+int8 KV cache option are beyond-reference serving extensions.
 """
 
 from __future__ import annotations
