@@ -151,7 +151,7 @@ def main():
             proc = subprocess.run(
                 ["python", "-m", "pytest", "tests", "-q", "-k", "tpu", "--no-header", "-p", "no:cacheprovider"],
                 env={**os.environ, "GRASP_TPU_TESTS": "1"},
-                cwd=repo, capture_output=True, text=True, timeout=1500,
+                cwd=repo, capture_output=True, text=True, timeout=2700,
             )
             tail = (proc.stdout or "").strip().splitlines()[-1:] or [""]
             details["tpu_kernel_tests"] = tail[0][:120]
