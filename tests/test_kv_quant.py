@@ -100,3 +100,25 @@ def test_quantized_kv_on_compressed_model(rng):
     want = Generator(engine.params, config, engine.plan).greedy(prompt, 5)
     got = Generator(engine.params, config, engine.plan, quantized_kv=True).greedy(prompt, 5)
     assert got == want, (got, want)
+
+
+def test_quantized_weights_checkpoint_roundtrip(tmp_path, model, rng):
+    """int4 serving weights (packed int8 + scales) survive Orbax save/load;
+    decode streams are identical afterward."""
+    from grasp_tpu.checkpoints import load_checkpoint, save_checkpoint
+    from grasp_tpu.ops.quant import quantize_model_weights
+
+    config, params = model
+    q4 = quantize_model_weights(params, bits=4)
+    plan = default_plan(config)
+    save_checkpoint(str(tmp_path / "q4"), q4, config, plan)
+    loaded, config2, plan2, _ = load_checkpoint(str(tmp_path / "q4"))
+    assert plan2 == plan
+
+    prompt = rng.integers(1, config.vocab_size, size=(6,)).astype(np.int32)
+    want = Generator(q4, config, plan).greedy(prompt, 5)
+    got = Generator(loaded, config2, plan2).greedy(prompt, 5)
+    assert got == want
+    # dtypes preserved (packed int8 + fp32 scales, no silent upcast)
+    k = loaded["layers"][0]["self_attn"]["q_proj"]
+    assert k["kernel_q4"].dtype == jnp.int8 and k["kernel_scale"].dtype == jnp.float32
