@@ -292,31 +292,44 @@ class Generator:
         return results
 
 
-def filter_logits(logits: jax.Array, top_k: int, top_p: jax.Array) -> jax.Array:
-    """Top-k / nucleus (top-p) filtering with HF semantics.
+def topk_topp_filter(
+    scaled: jax.Array, ks: jax.Array, top_ps: jax.Array, max_k: int
+) -> jax.Array:
+    """Batched HF-semantics top-k / nucleus filter — THE single filtering
+    implementation (filter_logits and the paged per-request sampler both
+    route here, so semantics cannot drift between serving paths).
 
-    top_k: keep the k highest logits (0 = off; static — sizes lax.top_k).
-    top_p: keep the smallest prefix of the descending-prob distribution whose
-    cumulative probability covers top_p, always at least one token (tokens
-    whose cumulative mass EXCLUDING themselves is already >= top_p drop).
-    Filtered entries become -inf. Beyond-reference: the reference decodes
-    greedily everywhere (do_sample=False); this is the serving-side sampler.
+    scaled: [B, V] temperature-scaled logits. ks: [B] per-row k (traced;
+    0 = no top-k; capped by static max_k, which sizes lax.top_k). top_ps: [B]
+    per-row nucleus threshold — keep the smallest prefix of the
+    descending-prob distribution covering top_p, always at least one token
+    (tokens whose cumulative mass EXCLUDING themselves is already >= top_p
+    drop). Filtered entries become -inf.
     """
     neg = jnp.finfo(jnp.float32).min
-    logits = logits.astype(jnp.float32)
-    if top_k > 0 and top_k < logits.shape[-1]:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-        logits = jnp.where(logits < kth, neg, logits)
+    scaled = scaled.astype(jnp.float32)
+    vals = jax.lax.top_k(scaled, max_k)[0]  # [B, max_k] descending
+    kth = jnp.take_along_axis(vals, jnp.clip(ks[:, None] - 1, 0, max_k - 1), axis=1)
+    filt = jnp.where((ks[:, None] > 0) & (scaled < kth), neg, scaled)
     # nucleus: drop tokens whose preceding cumulative mass already covers top_p
-    sort_idx = jnp.argsort(-logits, axis=-1)
-    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum_before = jnp.cumsum(probs, axis=-1) - probs
-    drop_sorted = cum_before >= top_p  # first token always kept
-    # scatter the drop mask back to vocab order
-    inv = jnp.argsort(sort_idx, axis=-1)
+    order = jnp.argsort(-filt, axis=-1)
+    sorted_l = jnp.take_along_axis(filt, order, axis=-1)
+    probs = jax.nn.softmax(sorted_l, axis=-1)
+    drop_sorted = (jnp.cumsum(probs, axis=-1) - probs) >= top_ps[:, None]
+    inv = jnp.argsort(order, axis=-1)  # scatter the mask back to vocab order
     drop = jnp.take_along_axis(drop_sorted, inv, axis=-1)
-    return jnp.where(drop, neg, logits)
+    return jnp.where(drop, neg, filt)
+
+
+def filter_logits(logits: jax.Array, top_k: int, top_p: jax.Array) -> jax.Array:
+    """Top-k / nucleus (top-p) filtering with HF semantics, static top_k
+    (0 = off). Beyond-reference: the reference decodes greedily everywhere
+    (do_sample=False); this is the serving-side sampler."""
+    b, v = logits.shape
+    active = 0 < top_k < v
+    ks = jnp.full((b,), top_k if active else 0, jnp.int32)
+    tps = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
+    return topk_topp_filter(logits, ks, tps, max_k=top_k if active else 1)
 
 
 class SamplingGenerator(Generator):

@@ -43,11 +43,11 @@ def _expand_nibbles(p, compute_dtype, interpret):
     """[P, bo] packed int8 -> [2P, bo] values in compute_dtype."""
     if not interpret:
         return pltpu.bitcast(p, jnp.int4).astype(compute_dtype)
-    # interpret mode (CPU tests): pltpu.bitcast int8->int4 is TPU-only; mirror
-    # the hardware's interleaved expansion with shifts
-    lo = (jnp.left_shift(p, 4) >> 4).astype(compute_dtype)
-    hi = (p >> 4).astype(compute_dtype)
-    return jnp.stack([lo, hi], axis=1).reshape(2 * p.shape[0], p.shape[1])
+    # interpret mode (CPU tests): pltpu.bitcast int8->int4 is TPU-only; the
+    # XLA unpack produces the identical interleaved layout
+    from grasp_tpu.ops.quant import unpack_int4
+
+    return unpack_int4(p).astype(compute_dtype)
 
 
 def _kernel(x_ref, p_ref, s_ref, o_ref, *, groups, gs, compute_dtype, interpret):

@@ -130,15 +130,20 @@ def quant_matmul_int4(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.
         m *= d
     # decode-shaped calls on TPU: fused kernel, packed weights read once from
     # HBM (the fallback materializes the unpacked weights — 2x+ the traffic).
-    # Tiny weights stay on the XLA path: a kernel launch isn't worth it below
-    # the threshold and XLA can fuse them into neighbors.
+    # m <= 64: the kernel's per-block VMEM grows with m (pd accumulator is
+    # [g, m, block_out] fp32 — at the flagship down_proj m=128 already
+    # overflows VMEM), and beyond small batch the weight read amortizes so
+    # the dequant-dense fallback is the right tool anyway (prefill is
+    # compute-bound). GRASP_INT4_MIN_BYTES=0 (default) deliberately keeps
+    # every eligible weight on the kernel: routing small/qkvo matrices to the
+    # XLA fallback measured SLOWER (2.01 vs 1.32 ms/tok on the 1.1B decode).
     import os
 
     min_bytes = int(os.environ.get("GRASP_INT4_MIN_BYTES", "0"))
     if (
         jax.default_backend() == "tpu"
         and gs % 128 == 0
-        and m <= 1024
+        and m <= 64
         and packed.size >= min_bytes
     ):
         from grasp_tpu.ops.pallas_int4 import pallas_int4_matmul

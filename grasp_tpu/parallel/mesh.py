@@ -119,17 +119,18 @@ def _proj_spec(proj_name: str, proj_params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
-def moe_specs() -> Dict[str, Any]:
+def moe_specs(moe_params: Dict[str, Any]) -> Dict[str, Any]:
     """Expert parallelism: stacked expert weights shard their leading
     [num_experts] axis over MODEL_AXIS; the router gate is tiny and
     replicates. GSPMD turns the combine contraction over experts into the EP
-    all-reduce (models/moe.moe_apply)."""
+    all-reduce (models/moe.moe_apply). Specs are keyed off the actual expert
+    dict so quantized forms (w*_q / w*_q4 / w*_scale, all stacked [E, ...])
+    shard identically."""
     return {
         "gate": {"kernel": P()},
         "experts": {
-            "w1": P(MODEL_AXIS, None, None),
-            "w2": P(MODEL_AXIS, None, None),
-            "w3": P(MODEL_AXIS, None, None),
+            key: P(MODEL_AXIS, *([None] * (np.ndim(val) - 1)))
+            for key, val in moe_params["experts"].items()
         },
     }
 
@@ -144,7 +145,7 @@ def param_specs(params: Params, config: ModelConfig) -> Params:
             "self_attn": {p: _proj_spec(p, layer["self_attn"][p]) for p in ATTN_PROJS},
         }
         if "moe" in layer:
-            lspec["moe"] = moe_specs()
+            lspec["moe"] = moe_specs(layer["moe"])
         else:
             lspec["mlp"] = {p: _proj_spec(p, layer["mlp"][p]) for p in MLP_PROJS}
         layers.append(lspec)

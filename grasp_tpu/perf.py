@@ -76,9 +76,12 @@ def estimate_forward_flops(
                     in_f = mod["vh"].shape[1]
                     macs += r * (in_f + out_f) + r  # two matmuls + scale
         if "moe" in layer:
-            # dense-MoE design: every expert computes every token (models/moe.py)
+            # dense-MoE design: every expert computes every token
+            # (models/moe.py); use config dims — robust across fp/int8/int4
+            # (nibble-packed) expert storage
             ex = layer["moe"]["experts"]
-            e, dd, f = ex.get("w1", ex.get("w1_q")).shape[:3]
+            e = next(iter(ex.values())).shape[0]
+            dd, f = config.hidden_size, config.intermediate_size
             macs += e * 3 * dd * f + dd * e  # experts + router gate
         # attention: q@k^T and probs@v, averaged causal window S/2
         macs += 2 * config.num_attention_heads * config.head_dim_ * (seq_len / 2)

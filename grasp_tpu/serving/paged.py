@@ -204,22 +204,10 @@ def _make_sampler(max_k: int):
 
     @jax.jit
     def sample(logits, keys, temps, ks, top_ps, greedy):
-        b, v = logits.shape
-        neg = jnp.finfo(jnp.float32).min
+        from grasp_tpu.eval.generate import topk_topp_filter
+
         scaled = logits.astype(jnp.float32) / temps[:, None]
-        vals, _ = jax.lax.top_k(scaled, max_k)  # [B, max_k] descending
-        kth = jnp.take_along_axis(
-            vals, jnp.clip(ks[:, None] - 1, 0, max_k - 1), axis=1
-        )  # per-row k-th largest
-        filt = jnp.where((ks[:, None] > 0) & (scaled < kth), neg, scaled)
-        # nucleus: drop tokens whose preceding cumulative mass covers top_p
-        order = jnp.argsort(-filt, axis=-1)
-        sorted_l = jnp.take_along_axis(filt, order, axis=-1)
-        probs = jax.nn.softmax(sorted_l, axis=-1)
-        drop_sorted = (jnp.cumsum(probs, axis=-1) - probs) >= top_ps[:, None]
-        inv = jnp.argsort(order, axis=-1)
-        drop = jnp.take_along_axis(drop_sorted, inv, axis=-1)
-        filt = jnp.where(drop, neg, filt)
+        filt = topk_topp_filter(scaled, ks, top_ps, max_k)
         sampled = jax.vmap(jax.random.categorical)(keys, filt).astype(jnp.int32)
         return jnp.where(greedy, jnp.argmax(logits, axis=-1).astype(jnp.int32), sampled)
 
@@ -368,26 +356,30 @@ class ServingEngine:
 
         padded = np.zeros((1, s_pad), np.int32)
         padded[0, :s] = req.prompt
-        cache = init_kv_cache(self.config, batch=1, max_len=s_pad)
+        # quantized pool: prefill over an int8 temp cache so prefill attention
+        # reads the SAME quantized K/V the Generator(quantized_kv=True) path
+        # does — the pool then receives those int8 values and scales verbatim
+        # (requantizing an fp prefill would diverge by int8 noise)
+        cache = init_kv_cache(self.config, batch=1, max_len=s_pad,
+                              quantized=self.pool.quantized)
         logits, cache = self._get_prefill(s_pad, s_pad)(self.params, jnp.asarray(padded), cache)
 
         n_prompt_pages = s_pad // ps
         phys = jnp.asarray(req.pages[:n_prompt_pages], jnp.int32)
-        for li in range(self.config.num_hidden_layers):
-            # [1, nkv, s_pad, hd] -> [n_pages, nkv, ps, hd]
-            k = cache[li]["k"][0].reshape(-1, n_prompt_pages, ps, cache[li]["k"].shape[-1])
-            k = k.transpose(1, 0, 2, 3)
-            v = cache[li]["v"][0].reshape(-1, n_prompt_pages, ps, cache[li]["v"].shape[-1])
-            v = v.transpose(1, 0, 2, 3)
-            if self.pool.quantized:
-                from grasp_tpu.models.llama import _quantize_kv
 
-                k, ks = _quantize_kv(k)
-                v, vs = _quantize_kv(v)
-                self.pool.k_scales = self.pool.k_scales.at[li, phys].set(ks)
-                self.pool.v_scales = self.pool.v_scales.at[li, phys].set(vs)
-            self.pool.k_pages = self.pool.k_pages.at[li, phys].set(k.astype(self.pool.k_pages.dtype))
-            self.pool.v_pages = self.pool.v_pages.at[li, phys].set(v.astype(self.pool.v_pages.dtype))
+        def to_pages(arr):  # [1, nkv, s_pad, last] -> [n_pages, nkv, ps, last]
+            return arr[0].reshape(-1, n_prompt_pages, ps, arr.shape[-1]).transpose(1, 0, 2, 3)
+
+        for li in range(self.config.num_hidden_layers):
+            self.pool.k_pages = self.pool.k_pages.at[li, phys].set(
+                to_pages(cache[li]["k"]).astype(self.pool.k_pages.dtype))
+            self.pool.v_pages = self.pool.v_pages.at[li, phys].set(
+                to_pages(cache[li]["v"]).astype(self.pool.v_pages.dtype))
+            if self.pool.quantized:
+                self.pool.k_scales = self.pool.k_scales.at[li, phys].set(
+                    to_pages(cache[li]["k_scale"]))
+                self.pool.v_scales = self.pool.v_scales.at[li, phys].set(
+                    to_pages(cache[li]["v_scale"]))
 
         req.pos = s
         req.row = row

@@ -184,3 +184,24 @@ def test_moe_train_step(ours):
 def engine_free_check(params, config):
     x = forward(params, jnp.ones((1, 4), jnp.int32), config=config)["logits"]
     return bool(jnp.isfinite(x).all())
+
+
+def test_expert_parallel_quantized_forward_matches(ours, ids):
+    """EP sharding of int8/int4-quantized experts (specs derive from the
+    actual keys — w*_q/w*_q4/w*_scale all stacked [E, ...])."""
+    from grasp_tpu.ops.quant import quantize_model_weights
+    from grasp_tpu.parallel.mesh import make_mesh, shard_params
+
+    config, params = ours
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh((1, 4), devices=jax.devices()[:4])
+    for bits in (8, 4):
+        q = quantize_model_weights(params, bits=bits)
+        sharded = shard_params(q, mesh, config)
+        got = np.asarray(
+            jax.jit(lambda p, i: forward(p, i, config=config)["logits"])(
+                sharded, jnp.asarray(ids))
+        )
+        want = np.asarray(forward(q, jnp.asarray(ids), config=config)["logits"])
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
