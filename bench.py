@@ -110,13 +110,16 @@ def main():
         details["dispatch_overhead_ms"] = round(d["per_call_overhead_ms"], 1)
 
         # int4 decode (nibble-packed, fused Pallas unpack-matmul kernel):
-        # ~1/4 the weight HBM traffic of bf16
+        # ~1/4 the weight HBM traffic of bf16; also batch-8 aggregate serving
+        # throughput (weight read amortized across rows)
         if jax.default_backend() not in ("cpu",):
             from grasp_tpu.ops.quant import quantize_model_weights
 
             q4 = quantize_model_weights(engine.params, bits=4)
             d4 = decode_device_benchmark(q4, config, engine.plan)
             details["decode_tok_s_device_int4"] = round(d4["decode_tokens_per_s_device"], 1)
+            d8b = decode_device_benchmark(engine.params, config, engine.plan, batch=8)
+            details["decode_tok_s_aggregate_b8"] = round(d8b["decode_tokens_per_s_aggregate"], 1)
     except Exception as e:  # decode must never sink the headline metric
         details["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -174,6 +174,7 @@ def decode_device_benchmark(
     k_small: int = 32,
     k_large: int = 96,
     reps: int = 5,
+    batch: int = 1,
 ) -> Dict[str, Any]:
     """DEVICE-side decode cost via the two-length slope method.
 
@@ -197,8 +198,8 @@ def decode_device_benchmark(
 
         plan = default_plan(config)
 
-    cache0 = init_kv_cache(config, batch=1, max_len=cache_len)
-    ids = jnp.ones((1, prefill_len), jnp.int32)
+    cache0 = init_kv_cache(config, batch=batch, max_len=cache_len)
+    ids = jnp.ones((batch, prefill_len), jnp.int32)
     _, cache0 = jax.jit(
         lambda p, i, c: prefill(p, i, c, config=config, plan=plan)
     )(params, ids, cache0)
@@ -209,13 +210,13 @@ def decode_device_benchmark(
             def body(i, state):
                 tok, cache, acc = state
                 logits, cache = decode_step(
-                    p, tok[None, None], cache, prefill_len + i,
+                    p, tok[:, None], cache, prefill_len + i,
                     config=config, plan=plan,
                 )
-                nxt = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
                 return nxt, cache, acc + logits.astype(jnp.float32).sum()
 
-            tok0 = jnp.asarray(1, jnp.int32)
+            tok0 = jnp.ones((ids.shape[0],), jnp.int32)
             _, _, acc = jax.lax.fori_loop(0, k, body, (tok0, cache0, jnp.float32(0)))
             return acc
 
@@ -232,9 +233,11 @@ def decode_device_benchmark(
     result = {
         "decode_ms_per_token_device": per_tok_s * 1e3,
         "decode_tokens_per_s_device": 1.0 / per_tok_s,
+        "decode_tokens_per_s_aggregate": batch / per_tok_s,
         "per_call_overhead_ms": max(t_small - k_small * per_tok_s, 0.0) * 1e3,
         "k_small": k_small,
         "k_large": k_large,
+        "batch": batch,
     }
     logger.info("device decode benchmark: %s", result)
     return result
