@@ -6,12 +6,14 @@ The dense batched generator (eval/generate.Generator.greedy_batch) allocates
 ``max_len`` KV per row — mixed-length streams waste HBM and a long request
 pins the whole batch. Here KV lives in a global **page pool** per layer:
 
-  - ``k_pages/v_pages: [L, num_pages, nkv, page_size, hd]`` device arrays with
+  - ``k_pages/v_pages: [L, nkv, num_pages, page_size, hd]`` device arrays with
     static shapes (jit-stable regardless of request mix);
   - each sequence owns a **page table** (logical block -> physical page); the
-    decode step scatters the new token's K/V into its page slot and gathers
-    the sequence's pages for attention (XLA gather — the TPU-idiomatic
-    baseline; a fused Pallas gather-attention kernel is the next rung);
+    decode step scatters the new token's K/V into its page slot, then on TPU
+    attends through jax's fused paged-attention Pallas kernel (pages + tables
+    read inside the kernel — no gathered KV copy, which would cost 2x the KV
+    traffic); off-TPU an XLA gather + attention keeps the path portable, and
+    both paths are pinned token-identical (`test_paged_attention_kernel_on_tpu`);
   - a free-list allocator recycles pages the moment a request finishes, so
     throughput tracks the *live* token count, not the worst-case batch shape;
   - :class:`ServingEngine` does continuous batching: requests join mid-flight
@@ -60,7 +62,9 @@ class PagePool:
         self.page_size = page_size
         self.quantized = quantized
         dtype = jnp.int8 if quantized else (dtype or jnp.dtype(config.dtype))
-        shape = (config.num_hidden_layers, num_pages, config.num_key_value_heads,
+        # layout [L, nkv, P, ps, hd] matches the TPU paged-attention kernel's
+        # [num_kv_heads, total_pages, page_size, head_dim] per layer
+        shape = (config.num_hidden_layers, config.num_key_value_heads, num_pages,
                  page_size, config.head_dim_)
         self.k_pages = jnp.zeros(shape, dtype)
         self.v_pages = jnp.zeros(shape, dtype)
@@ -96,9 +100,24 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     slot). Dead rows (live=0) write into the reserved null page 0 slot 0.
     quantized: int8 pages + per-slot scales (PagePool quantized=True); the
     scales commute out of both attention contractions.
+
+    On TPU the attention runs through jax's fused paged-attention Pallas
+    kernel (pages + tables read inside the kernel — no gathered KV copy,
+    which costs 2x the KV traffic); elsewhere an XLA gather + attention
+    keeps the path portable. GRASP_PAGED_KERNEL=0 forces the XLA path.
     """
+    import os
+
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("GRASP_PAGED_KERNEL", "1") != "0"
+    )
+    # pages_per_compute_block must divide the per-sequence page count
+    ppcb = max(d for d in range(1, min(4, max_pages_per_seq) + 1)
+               if max_pages_per_seq % d == 0)
+
     def fn(params, toks, k_pages, v_pages, k_scales, v_scales, tables, pos, live):
-        L, num_pages, nkv, page_size, hd = k_pages.shape
+        L, nkv, num_pages, page_size, hd = k_pages.shape
         b = toks.shape[0]
         nh = config.num_attention_heads
         t_max = max_pages_per_seq * page_size
@@ -129,46 +148,72 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             v = proj_apply(x, ap["v_proj"], kinds["v_proj"]).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
             q, k = apply_rope(q, k, cos, sin)
 
-            # scatter this token's K/V into its page slot
+            # scatter this token's K/V into its page slot. NB advanced-index
+            # semantics: the scalar li + phys/offset arrays are all advanced
+            # indices separated by the head-dim slice, so the broadcast [B]
+            # dim lands FIRST — values are [B, nkv, hd].
             if quantized:
                 from grasp_tpu.models.llama import _quantize_kv
 
                 k8, ks = _quantize_kv(k)
                 v8, vs = _quantize_kv(v)
-                k_pages = k_pages.at[li, phys, :, offset, :].set(k8[:, :, 0, :], mode="drop")
-                v_pages = v_pages.at[li, phys, :, offset, :].set(v8[:, :, 0, :], mode="drop")
-                k_scales = k_scales.at[li, phys, :, offset, :].set(ks[:, :, 0, :], mode="drop")
-                v_scales = v_scales.at[li, phys, :, offset, :].set(vs[:, :, 0, :], mode="drop")
+                k_pages = k_pages.at[li, :, phys, offset, :].set(k8[:, :, 0, :], mode="drop")
+                v_pages = v_pages.at[li, :, phys, offset, :].set(v8[:, :, 0, :], mode="drop")
+                k_scales = k_scales.at[li, :, phys, offset, :].set(ks[:, :, 0, :], mode="drop")
+                v_scales = v_scales.at[li, :, phys, offset, :].set(vs[:, :, 0, :], mode="drop")
             else:
-                k_pages = k_pages.at[li, phys, :, offset, :].set(
+                k_pages = k_pages.at[li, :, phys, offset, :].set(
                     k[:, :, 0, :].astype(k_pages.dtype), mode="drop")
-                v_pages = v_pages.at[li, phys, :, offset, :].set(
+                v_pages = v_pages.at[li, :, phys, offset, :].set(
                     v[:, :, 0, :].astype(v_pages.dtype), mode="drop")
 
-            # gather each row's pages: [B, P, nkv, ps, hd] -> [B, nkv, T, hd]
-            k_seq = k_pages[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max, hd)
-            v_seq = v_pages[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max, hd)
-            if quantized:
-                ks_seq = k_scales[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max)
-                vs_seq = v_scales[li][tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, t_max)
-            if nh != nkv:
-                k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
-                v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
-                if quantized:
-                    ks_seq = jnp.repeat(ks_seq, nh // nkv, axis=1)
-                    vs_seq = jnp.repeat(vs_seq, nh // nkv, axis=1)
+            if use_kernel:
+                # fused TPU paged attention: reads pages via the page table
+                # inside the kernel — no gathered [B, nkv, T, hd] copy
+                from jax.experimental.pallas.ops.tpu.paged_attention import (
+                    paged_attention,
+                )
+                from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (
+                    QuantizedTensor,
+                )
 
-            scale = 1.0 / np.sqrt(hd)
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
-                                preferred_element_type=jnp.float32) * scale
-            if quantized:  # per-key scale commutes out of the contraction
-                scores = scores * ks_seq[:, :, None, :]
-            scores = scores + bias
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-            if quantized:  # per-value scale folds into the softmax weights
-                probs = (probs * vs_seq[:, :, None, :].astype(q.dtype))
-            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
-                              preferred_element_type=q.dtype)
+                lengths = jnp.where(live > 0, pos + 1, 1)
+                if quantized:
+                    kp = QuantizedTensor(k_pages[li], k_scales[li] * 127.5)
+                    vp = QuantizedTensor(v_pages[li], v_scales[li] * 127.5)
+                else:
+                    kp, vp = k_pages[li], v_pages[li]
+                attn = paged_attention(
+                    (q[:, :, 0, :] * (1.0 / np.sqrt(hd))).astype(h.dtype),
+                    kp, vp, lengths, tables,
+                    pages_per_compute_block=ppcb,
+                )[:, None, :, :].transpose(0, 2, 1, 3)  # [B, nh, 1, hd]
+            else:
+                # XLA gather path (CPU / portability): [nkv, B, pages, ps, hd]
+                # -> [B, nkv, T, hd]
+                k_seq = k_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
+                v_seq = v_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
+                if quantized:
+                    ks_seq = k_scales[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max)
+                    vs_seq = v_scales[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max)
+                if nh != nkv:
+                    k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
+                    v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
+                    if quantized:
+                        ks_seq = jnp.repeat(ks_seq, nh // nkv, axis=1)
+                        vs_seq = jnp.repeat(vs_seq, nh // nkv, axis=1)
+
+                scale = 1.0 / np.sqrt(hd)
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
+                                    preferred_element_type=jnp.float32) * scale
+                if quantized:  # per-key scale commutes out of the contraction
+                    scores = scores * ks_seq[:, :, None, :]
+                scores = scores + bias
+                probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+                if quantized:  # per-value scale folds into the softmax weights
+                    probs = (probs * vs_seq[:, :, None, :].astype(q.dtype))
+                attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
+                                  preferred_element_type=q.dtype)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
             h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
 
@@ -367,18 +412,22 @@ class ServingEngine:
         n_prompt_pages = s_pad // ps
         phys = jnp.asarray(req.pages[:n_prompt_pages], jnp.int32)
 
-        def to_pages(arr):  # [1, nkv, s_pad, last] -> [n_pages, nkv, ps, last]
-            return arr[0].reshape(-1, n_prompt_pages, ps, arr.shape[-1]).transpose(1, 0, 2, 3)
+        def to_pages(arr):
+            # [1, nkv, s_pad, last] -> [n_pages, nkv, ps, last]: the scalar li
+            # + phys array are advanced indices separated by the head slice,
+            # so the page dim lands first in the indexed result
+            return (arr[0].reshape(arr.shape[1], n_prompt_pages, ps, arr.shape[-1])
+                    .transpose(1, 0, 2, 3))
 
         for li in range(self.config.num_hidden_layers):
-            self.pool.k_pages = self.pool.k_pages.at[li, phys].set(
+            self.pool.k_pages = self.pool.k_pages.at[li, :, phys].set(
                 to_pages(cache[li]["k"]).astype(self.pool.k_pages.dtype))
-            self.pool.v_pages = self.pool.v_pages.at[li, phys].set(
+            self.pool.v_pages = self.pool.v_pages.at[li, :, phys].set(
                 to_pages(cache[li]["v"]).astype(self.pool.v_pages.dtype))
             if self.pool.quantized:
-                self.pool.k_scales = self.pool.k_scales.at[li, phys].set(
+                self.pool.k_scales = self.pool.k_scales.at[li, :, phys].set(
                     to_pages(cache[li]["k_scale"]))
-                self.pool.v_scales = self.pool.v_scales.at[li, phys].set(
+                self.pool.v_scales = self.pool.v_scales.at[li, :, phys].set(
                     to_pages(cache[li]["v_scale"]))
 
         req.pos = s

@@ -186,3 +186,43 @@ def test_paged_quantized_kv_matches_quantized_generator(compressed, rng):
     got = srv.run()
     for rid, w in zip(rids, want):
         assert got[rid] == w, f"request {rid}: {got[rid]} != {w}"
+
+
+@pytest.mark.skipif(
+    not any(d.platform == "tpu" for d in jax.devices()), reason="needs a real TPU"
+)
+def test_paged_attention_kernel_on_tpu(rng):
+    """On TPU the paged decode routes through jax's fused paged-attention
+    Pallas kernel (no gathered KV copy); outputs must match the dense-cache
+    Generator token for token, and the XLA-gather path (GRASP_PAGED_KERNEL=0
+    builds it) must agree too."""
+    import os
+
+    config = ModelConfig.tiny(
+        hidden_size=256, num_attention_heads=2, num_key_value_heads=1,
+        num_hidden_layers=2,
+    )
+    params = init_params(jax.random.PRNGKey(0), config)
+    prompts = _prompts(config, rng, [5, 11])
+    max_new = 4
+
+    gen = Generator(params, config)
+    want = [gen.greedy(p, max_new) for p in prompts]
+
+    srv = ServingEngine(params, config, num_pages=16, page_size=16,
+                        max_batch=2, max_pages_per_seq=4)
+    rids = [srv.submit(p, max_new) for p in prompts]
+    got = srv.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w, f"kernel path request {rid}: {got[rid]} != {w}"
+
+    os.environ["GRASP_PAGED_KERNEL"] = "0"
+    try:
+        srv2 = ServingEngine(params, config, num_pages=16, page_size=16,
+                             max_batch=2, max_pages_per_seq=4)
+        rids2 = [srv2.submit(p, max_new) for p in prompts]
+        got2 = srv2.run()
+        for rid, w in zip(rids2, want):
+            assert got2[rid] == w, f"gather path request {rid}: {got2[rid]} != {w}"
+    finally:
+        del os.environ["GRASP_PAGED_KERNEL"]
