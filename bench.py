@@ -163,6 +163,9 @@ def main():
                            "passed": bool(re.search(r"\d+ passed", tail[0]) and proc.returncode == 0)}, f)
         except Exception as e:
             details["tpu_kernel_tests"] = f"error: {type(e).__name__}"[:120]
+            with open(os.path.join(repo, "TPU_TESTS.json"), "w") as f:
+                json.dump({"rc": -1, "summary": f"error: {type(e).__name__}",
+                           "passed": False}, f)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     vs = None

@@ -226,3 +226,28 @@ def test_paged_attention_kernel_on_tpu(rng):
             assert got2[rid] == w, f"gather path request {rid}: {got2[rid]} != {w}"
     finally:
         del os.environ["GRASP_PAGED_KERNEL"]
+
+
+@pytest.mark.skipif(
+    not any(d.platform == "tpu" for d in jax.devices()), reason="needs a real TPU"
+)
+def test_paged_attention_kernel_quantized_pool_on_tpu(rng):
+    """int8 page pool through the kernel's QuantizedTensor input: matches the
+    quantized-kv Generator token for token (scale conventions reconciled)."""
+    config = ModelConfig.tiny(
+        hidden_size=256, num_attention_heads=2, num_key_value_heads=1,
+        num_hidden_layers=2,
+    )
+    params = init_params(jax.random.PRNGKey(3), config)
+    prompts = _prompts(config, rng, [6, 10])
+    max_new = 4
+
+    gen = Generator(params, config, quantized_kv=True)
+    want = [gen.greedy(p, max_new) for p in prompts]
+
+    srv = ServingEngine(params, config, num_pages=16, page_size=16,
+                        max_batch=2, max_pages_per_seq=4, quantized_kv=True)
+    rids = [srv.submit(p, max_new) for p in prompts]
+    got = srv.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w, f"quantized kernel path request {rid}: {got[rid]} != {w}"
