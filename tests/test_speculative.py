@@ -123,3 +123,77 @@ def test_spec_with_quantized_kv_matches_quantized_generator(target, draft, rng):
                                 draft_plan=dplan, gamma=3, quantized_kv=True)
     got = spec.greedy(prompt, 10)
     assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# speculative SAMPLING (Leviathan rejection scheme)
+# ---------------------------------------------------------------------------
+
+
+def test_speculative_accept_emits_exact_target_marginal():
+    """Monte-Carlo: over draft sampling + accept/resample, the first emitted
+    token's marginal equals the target distribution p_0 exactly — the core
+    guarantee of speculative sampling."""
+    from grasp_tpu.serving.speculative import speculative_accept
+
+    V, gamma, N = 4, 2, 20000
+    q = jnp.asarray([[0.7, 0.1, 0.1, 0.1], [0.25, 0.25, 0.25, 0.25]])
+    p = jnp.asarray([
+        [0.1, 0.2, 0.3, 0.4],
+        [0.4, 0.3, 0.2, 0.1],
+        [0.25, 0.25, 0.4, 0.1],
+    ])
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        drafts = jax.vmap(
+            lambda k, row: jax.random.categorical(k, jnp.log(row))
+        )(jax.random.split(kd, gamma), q).astype(jnp.int32)
+        a, corr = speculative_accept(ka, drafts, q, p)
+        return jnp.where(a >= 1, drafts[0], corr)
+
+    toks = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(0), N))
+    emp = np.bincount(np.asarray(toks), minlength=V) / N
+    tv = 0.5 * np.abs(emp - np.asarray(p[0])).sum()
+    assert tv < 0.02, (emp, np.asarray(p[0]), tv)
+
+
+def test_spec_sample_temperature_zero_is_greedy(target, draft, rng):
+    tconfig, tparams = target
+    dconfig, dparams, dplan = draft
+    prompt = rng.integers(1, tconfig.vocab_size, size=(7,)).astype(np.int32)
+    spec = SpeculativeGenerator(tparams, tconfig, dparams, dconfig,
+                                draft_plan=dplan, gamma=3)
+    assert spec.sample(prompt, 8, temperature=0.0) == spec.greedy(prompt, 8)
+
+
+def test_spec_sample_identical_draft_accepts_all(target, rng):
+    """p == q at every position => every draft accepted."""
+    tconfig, tparams = target
+    prompt = rng.integers(1, tconfig.vocab_size, size=(6,)).astype(np.int32)
+    spec = SpeculativeGenerator(tparams, tconfig, tparams, tconfig, gamma=3)
+    out = spec.sample(prompt, 9, temperature=1.2, seed=5)
+    assert len(out) == 9
+    assert spec.last_stats["acceptance_rate"] == 1.0, spec.last_stats
+
+
+def test_spec_sample_deterministic_and_within_target_support(target, draft, rng):
+    """Same seed -> same stream; with top_k=2 every emitted token lies in the
+    TARGET's top-2 given the prefix (the draft cannot leak tokens outside the
+    target's filtered support)."""
+    from grasp_tpu.models import forward
+
+    tconfig, tparams = target
+    dconfig, dparams, dplan = draft
+    prompt = rng.integers(1, tconfig.vocab_size, size=(6,)).astype(np.int32)
+    spec = SpeculativeGenerator(tparams, tconfig, dparams, dconfig,
+                                draft_plan=dplan, gamma=2)
+    a = spec.sample(prompt, 6, temperature=1.5, top_k=2, seed=11)
+    b = spec.sample(prompt, 6, temperature=1.5, top_k=2, seed=11)
+    assert a == b
+    seq = list(prompt)
+    for t in a:
+        logits = forward(tparams, jnp.asarray([seq]), config=tconfig)["logits"][0, -1]
+        top2 = set(np.asarray(jax.lax.top_k(logits, 2)[1]).tolist())
+        assert t in top2, (t, top2)
+        seq.append(t)
