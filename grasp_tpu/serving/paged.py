@@ -110,6 +110,11 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
     use_kernel = (
         jax.default_backend() == "tpu"
+        # the kernel requires lane-aligned head_dim (probed on v5e: hd=64
+        # fails block-shape checks for every head combo; hd=128 works) —
+        # LLaMA-2/Mistral/Qwen2 all have hd=128; TinyLlama (hd=64) takes the
+        # XLA gather path
+        and config.head_dim_ % 128 == 0
         and os.environ.get("GRASP_PAGED_KERNEL", "1") != "0"
     )
     # pages_per_compute_block must divide the per-sequence page count
