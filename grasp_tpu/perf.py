@@ -217,7 +217,9 @@ def decode_device_benchmark(
                 return nxt, cache, acc + logits.astype(jnp.float32).sum()
 
             tok0 = jnp.ones((ids.shape[0],), jnp.int32)
-            _, _, acc = jax.lax.fori_loop(0, k, body, (tok0, cache0, jnp.float32(0)))
+            # use the passed-in cache, not the closure — closing over cache0
+            # bakes the whole KV cache into the executable as a constant
+            _, _, acc = jax.lax.fori_loop(0, k, body, (tok0, cache, jnp.float32(0)))
             return acc
 
         float(run(params, cache0))  # compile + warm

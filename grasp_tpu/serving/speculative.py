@@ -73,7 +73,10 @@ def speculative_accept(
     q_d = q_probs[idx, drafts]
     k_u, k_r = jax.random.split(key)
     u = jax.random.uniform(k_u, (gamma,))
-    ok = u * q_d <= p_d  # u <= p/q without the 0/0 hazard
+    # strict <: differs from u <= p/q only on measure-zero events for p>0,
+    # and closes the u==0.0 leak that would accept a draft with target
+    # probability 0 (outside the filtered support)
+    ok = u * q_d < p_d
     a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32)))
 
     # residual distribution at the rejection point (row a, clamped for a=gamma)
@@ -342,6 +345,8 @@ class SpeculativeGenerator:
         tokens distributed exactly as target-only temperature/top-k/top-p
         sampling would — the draft only changes wall-clock. temperature=0 or
         top_k=1 routes to the exact greedy path."""
+        if max_new_tokens <= 0:
+            return []
         if temperature == 0.0 or top_k == 1:
             return self.greedy(prompt_ids, max_new_tokens, eos_token_id)
 
@@ -391,6 +396,8 @@ class SpeculativeGenerator:
         eos_token_id: Optional[int] = None,
     ) -> List[int]:
         """Greedy generation, bit-identical to the target-only Generator."""
+        if max_new_tokens <= 0:
+            return []
         ids = np.asarray(prompt_ids).reshape(1, -1).astype(np.int32)
         s = ids.shape[1]
         s_pad = _round_up(max(s, 1), _BUCKET)
