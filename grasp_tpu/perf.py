@@ -96,14 +96,83 @@ def estimate_forward_flops(
     }
 
 
+# High-water mark across device_memory() samples — the axon PJRT plugin
+# returns None from memory_stats() (and device_memory_profile() fatally
+# aborts the process — never call it there), so "peak" on that runtime is
+# the max over explicit samples: call device_memory() at stage boundaries.
+_hbm_peak_bytes: int = 0
+
+
+def _live_device_bytes(device) -> int:
+    """Sum of live jax.Array bytes resident on `device` (addressable shards).
+
+    Fallback telemetry for runtimes without allocator stats. Counts committed
+    arrays' per-device shards; under-counts XLA temp buffers inside a running
+    executable — combine with :func:`executable_memory` for those.
+    """
+    total = 0
+    for arr in jax.live_arrays():
+        try:
+            for shard in arr.addressable_shards:
+                if shard.device == device:
+                    total += int(shard.data.nbytes)
+        except Exception:  # deleted/donated arrays can race the walk
+            continue
+    return total
+
+
 def device_memory(device=None) -> Dict[str, int]:
-    """Live/peak HBM bytes for a device (0 on backends without stats)."""
+    """Live/peak HBM bytes for a device.
+
+    Uses PJRT allocator stats when the runtime provides them; otherwise
+    (axon) walks live arrays and maintains a process-level high-water mark
+    across calls. Replaces torch.cuda.memory_allocated/max_memory_allocated
+    (reference time_func.py:40-68).
+    """
+    global _hbm_peak_bytes
     device = device or jax.devices()[0]
     stats = getattr(device, "memory_stats", lambda: None)() or {}
+    in_use = int(stats.get("bytes_in_use", 0))
+    peak = int(stats.get("peak_bytes_in_use", 0))
+    if in_use == 0 and peak == 0:  # allocator stats unavailable (axon)
+        in_use = _live_device_bytes(device)
+        _hbm_peak_bytes = max(_hbm_peak_bytes, in_use)
+        peak = _hbm_peak_bytes
     return {
-        "bytes_in_use": int(stats.get("bytes_in_use", 0)),
-        "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", 0)),
+        "bytes_in_use": in_use,
+        "peak_bytes_in_use": peak,
         "bytes_limit": int(stats.get("bytes_limit", 0)),
+    }
+
+
+def reset_hbm_peak() -> None:
+    """Reset the sampled high-water mark (axon live-walk fallback only)."""
+    global _hbm_peak_bytes
+    _hbm_peak_bytes = 0
+
+
+def executable_memory(compiled) -> Dict[str, int]:
+    """XLA-reported memory footprint of a compiled executable.
+
+    `compiled` is the result of `jax.jit(f).lower(*args).compile()`. The
+    returned `peak_bytes` is the compiler's buffer-assignment peak — the
+    authoritative HBM requirement of one invocation (arguments + outputs +
+    live temporaries), independent of runtime telemetry.
+    """
+    ma = compiled.memory_analysis()
+    peak = int(getattr(ma, "peak_memory_in_bytes", 0)) or (
+        int(ma.argument_size_in_bytes)
+        + int(ma.output_size_in_bytes)
+        + int(ma.temp_size_in_bytes)
+        - int(ma.alias_size_in_bytes)
+    )
+    return {
+        "peak_bytes": peak,
+        "argument_bytes": int(ma.argument_size_in_bytes),
+        "output_bytes": int(ma.output_size_in_bytes),
+        "temp_bytes": int(ma.temp_size_in_bytes),
+        "alias_bytes": int(ma.alias_size_in_bytes),
+        "code_bytes": int(ma.generated_code_size_in_bytes),
     }
 
 
