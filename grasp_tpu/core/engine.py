@@ -130,6 +130,12 @@ class GraspEngine:
 
         self.redundant_layers: List[int] = []
         self.layer_importances: List[float] = []
+        # wall-clock per pipeline stage (bi_sweep / grad_sweep / svd /
+        # select_compile), accumulated across rounds. svd runs in a worker
+        # thread overlapped with grad_sweep in the dense path, so stage times
+        # can sum to more than the e2e wall — report both (bench_7b.py).
+        self.stage_times: Dict[str, float] = {}
+        self.stage_counts: Dict[str, int] = {}
         # per-module compression-ratio overrides, honored during selection
         # (reference: module.compression_ratio attr, modeling_grasp.py:399-400)
         self.module_ratios: Dict[str, float] = {}
@@ -141,6 +147,10 @@ class GraspEngine:
 
         self._bi_fns: Dict[Tuple, Any] = {}
         self._grad_fns: Dict[Tuple, Any] = {}
+
+    def _stage(self, name: str, dt: float) -> None:
+        self.stage_times[name] = self.stage_times.get(name, 0.0) + dt
+        self.stage_counts[name] = self.stage_counts.get(name, 0) + 1
 
     # ------------------------------------------------------------------
     # param-tree helpers
@@ -241,6 +251,7 @@ class GraspEngine:
         batch emits all per-layer scores at once.
         """
         logger.info("=======> Compute Block Influence")
+        t_stage = time.time()
         n_layers = self.config.num_hidden_layers
         importances = np.zeros(n_layers, dtype=np.float64)
 
@@ -281,6 +292,7 @@ class GraspEngine:
         self.layer_importances = importances.tolist()
         layers_to_remove = choose_prune_layers(importances, num_prune_layers, angular)
         self.redundant_layers = layers_to_remove
+        self._stage("bi_sweep", time.time() - t_stage)
         return self.layer_importances, layers_to_remove
 
     def remove_layers(
@@ -503,6 +515,8 @@ class GraspEngine:
 
         k_dict = {n: self._get_proj(n)["kernel"] for n in names}
         totals: Dict[str, jax.Array] = {}
+        t_stage = time.time()
+        first_batch = True
         for batch in calibration_batches:
             batch = self._place_batch(batch)
             _, grads = grad_fn(
@@ -510,21 +524,33 @@ class GraspEngine:
             )
             for n, g in grads.items():
                 totals[n] = g if n not in totals else totals[n] + g
+            if first_batch:
+                # first dispatch per plan includes the jit compile — record it
+                # separately so per-stage tables can split compile vs sweep
+                jax.block_until_ready(list(totals.values()))
+                self._stage("grad_first_batch", time.time() - t_stage)
+                first_batch = False
+        jax.block_until_ready(list(totals.values()))
+        self._stage("grad_sweep", time.time() - t_stage)
         return totals
 
     def _svd_of_dense(self, names: List[str]) -> Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]:
         """Host SVD of the named dense kernels (torch [out,in] layout), grouped
         by shape for batched factorization."""
+        t_stage = time.time()
         by_shape: Dict[Tuple[int, int], List[str]] = {}
         for n in names:
             kernel = self._get_proj(n)["kernel"]
             by_shape.setdefault(tuple(kernel.shape), []).append(n)
         out: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
         for shape, group in by_shape.items():
+            t_shape = time.time()
             stack = jnp.stack([self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in group])
             u, s, vh = svd(stack, method=self.svd_method, mesh=self.mesh)
             for i, n in enumerate(group):
                 out[n] = (u[i], s[i], vh[i])
+            self._stage(f"svd_{shape[1]}x{shape[0]}", time.time() - t_shape)
+        self._stage("svd", time.time() - t_stage)
         return out
 
     def compress_round(
@@ -575,6 +601,7 @@ class GraspEngine:
             if err:
                 raise err[0]
 
+        t_stage = time.time()
         indices_dict: Dict[str, np.ndarray] = {}
         for n in names:
             u, s, vh = svd_out[n]
@@ -611,6 +638,7 @@ class GraspEngine:
 
         self.indices_dict = indices_dict
         self.indices_log.update(indices_dict)
+        self._stage("select_compile", time.time() - t_stage)
         if cfg.verbose:
             for n, idx in indices_dict.items():
                 logger.info("%s: %s", n, idx[:128].tolist())
@@ -788,6 +816,7 @@ class GraspEngine:
             "rank_dict": dict(self.rank_dict),
             "layer_importances": list(self.layer_importances),
             "wall_clock_s": wall,
+            "stage_times_s": {k: round(v, 2) for k, v in self.stage_times.items()},
         }
 
     def _run_dense(self, layers_id, blocks, calibration_batches, cfg: GraspConfig) -> None:

@@ -230,6 +230,13 @@ def make_pipeline_loss(
         labels_mb = labels.reshape(M, b // M, s_len)
         embed_w = pparams["embed_tokens"]["weight"]
         # tied embeddings reuse embed^T as the head (llama._lm_logits parity)
+        if "lm_head" in pparams and "kernel" not in pparams["lm_head"]:
+            raise ValueError(
+                "pipeline training requires a floating-point lm_head "
+                f"(got keys {sorted(pparams['lm_head'])}); quantized heads "
+                "(kernel_q/kernel_q4) are a serving-side format — dequantize "
+                "before training"
+            )
         head_k = (
             pparams["lm_head"]["kernel"]
             if "lm_head" in pparams

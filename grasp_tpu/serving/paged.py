@@ -328,7 +328,12 @@ class ServingEngine:
                top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None) -> int:
         """Enqueue a request. temperature=0 (default) decodes greedily;
         otherwise temperature/top-k/top-p sampling with a per-request seed —
-        rows with different settings batch together in one decode step."""
+        rows with different settings batch together in one decode step.
+
+        seed=None defaults to the request id, so an *unseeded* sampled
+        request's output depends on its submission order within this engine
+        instance. Pass an explicit seed for output that depends only on the
+        request itself (docs/serving.md's determinism guarantee)."""
         if top_k > _MAX_TOP_K:
             raise ValueError(f"top_k={top_k} > supported max {_MAX_TOP_K}")
         need = -(-(len(np.asarray(prompt_ids).reshape(-1)) + max_new_tokens) // self.pool.page_size)

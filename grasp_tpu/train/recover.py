@@ -269,11 +269,16 @@ def make_eval_step(config: ModelConfig, plan: ModelPlan) -> Callable:
 
 def save_train_state(
     output_dir: str, step: int, params: Params, opt_state, history: Dict[str, Any],
-    save_total_limit: int = 3,
+    save_total_limit: int = 3, opt_step: Optional[int] = None,
 ) -> str:
     """Save {params, optimizer leaves, step, history} under output_dir/step_N,
     pruning to the newest `save_total_limit` checkpoints (HF Trainer
-    save_total_limit semantics, alpaca_grasp.py:187)."""
+    save_total_limit semantics, alpaca_grasp.py:187).
+
+    opt_step: optimizer-step counter at save time. Persisted so a resumed
+    token-weighted run keeps the exact eval/save/log cadence even when
+    epoch-tail flushes created partial accumulation groups (where
+    start_step // accum_steps would drift)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(output_dir, f"step_{step}"))
@@ -285,7 +290,7 @@ def save_train_state(
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "state"), state, force=True)
     with open(os.path.join(path, "train_meta.json"), "w") as f:
-        json.dump({"step": step, "history": history}, f)
+        json.dump({"step": step, "opt_step": opt_step, "history": history}, f)
 
     kept = sorted(
         (d for d in os.listdir(output_dir) if d.startswith("step_")),
@@ -316,6 +321,12 @@ def load_train_state(path: str, opt_state_template) -> Tuple[Params, Any, int, D
     opt_state = jax.tree.unflatten(treedef, leaves)
     params = jax.tree.map(jnp.asarray, state["params"])
     return params, opt_state, int(meta["step"]), meta["history"]
+
+
+def load_train_meta(path: str) -> Dict[str, Any]:
+    """The step/opt_step/history metadata saved alongside a train state."""
+    with open(os.path.join(os.path.abspath(path), "train_meta.json")) as f:
+        return json.load(f)
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
@@ -418,6 +429,7 @@ def recovery_train(
                 raise FileNotFoundError(f"no step_N checkpoints under {ckpt!r}")
             ckpt = found
         params, opt_state, start_step, history = load_train_state(ckpt, opt_state)
+        resumed_opt_step = load_train_meta(ckpt).get("opt_step")
         if mesh is not None:
             from grasp_tpu.parallel.mesh import shard_params
 
@@ -447,7 +459,12 @@ def recovery_train(
 
     best = (float("inf"), None)  # (eval loss, checkpoint path)
     step_i = 0
-    opt_i = start_step // max(accum_steps, 1)  # optimizer steps (grouped mode)
+    # Optimizer-step counter: restored from the checkpoint when present; the
+    # floor-division fallback (old checkpoints) assumes all prior groups were
+    # full and can drift the eval/save/log cadence across an epoch tail.
+    opt_i = start_step // max(accum_steps, 1)
+    if resume_from_checkpoint and resumed_opt_step is not None:
+        opt_i = int(resumed_opt_step)
     t0 = time.time()
     group: List[Dict[str, Any]] = []
 
@@ -461,7 +478,7 @@ def recovery_train(
         if output_dir:
             path = save_train_state(
                 output_dir, step_i, params, opt_state, history,
-                save_total_limit=save_total_limit,
+                save_total_limit=save_total_limit, opt_step=opt_i,
             )
             if eval_step and ev < best[0]:
                 best = (ev, path)
@@ -519,6 +536,8 @@ def recovery_train(
             # reference cadence: every eval_every OPTIMIZER steps (HF
             # global_step counts accumulation cycles, alpaca_grasp.py:184-186)
             at_opt_boundary = step_i % max(accum_steps, 1) == 0
+            if at_opt_boundary:
+                opt_i = step_i // max(accum_steps, 1)  # keep saved opt_step honest
             if at_opt_boundary and (step_i // max(accum_steps, 1)) % eval_every == 0:
                 _eval_and_save()
         if group:

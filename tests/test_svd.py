@@ -187,3 +187,30 @@ def test_gram_svd_batched(rng):
     for i, w in enumerate((w0, w1)):
         rec = (np.asarray(u[i]) * np.asarray(s[i])) @ np.asarray(vh[i])
         np.testing.assert_allclose(rec, w, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(48, 80), (96, 64)])
+def test_gram_device_svd_matches_gram(rng, shape):
+    """Fully on-device Gram SVD (fp32 eigh): same saliency top-k selection as
+    the host-eigh gram path and the exact factorization, plus truncated
+    reconstruction parity — the validation gate for using gram_device on the
+    7B bench shapes."""
+    from grasp_tpu.ops.saliency import select_topk, svd_saliency
+    from grasp_tpu.ops.svd import sigma_gradients
+
+    w, s_true = _spectrum_matrix(rng, *shape)
+    grad_w = jnp.asarray(rng.normal(size=w.shape).astype(np.float32))
+    k = min(*shape) // 3
+    idx = {}
+    for method in ("device", "gram_device"):
+        u, s, vh = svd(jnp.asarray(w), method=method)
+        sal = svd_saliency(sigma_gradients(u, vh, grad_w), s, "taylor")
+        idx[method] = np.asarray(select_topk(sal, k))
+    np.testing.assert_array_equal(idx["gram_device"], idx["device"])
+
+    u, s, vh = svd(jnp.asarray(w), method="gram_device")
+    np.testing.assert_allclose(np.asarray(s)[:k], s_true[:k], rtol=1e-3)
+    rec = (np.asarray(u)[:, :k] * np.asarray(s)[:k]) @ np.asarray(vh)[:k]
+    ue, se, vhe = svd(jnp.asarray(w), method="device")
+    rec_e = (np.asarray(ue)[:, :k] * np.asarray(se)[:k]) @ np.asarray(vhe)[:k]
+    np.testing.assert_allclose(rec, rec_e, rtol=2e-3, atol=2e-3)
