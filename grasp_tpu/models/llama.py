@@ -43,6 +43,11 @@ LayerPlan = Tuple[str, ...]
 ModelPlan = Tuple[LayerPlan, ...]
 
 DENSE, SVD, LOWRANK = "dense", "svd", "lowrank"
+# Dual-slot sum form y = x@kernel + (x@in_kernel)@out_kernel. Used by
+# pipeline parallelism to make heterogeneous GRASP plans (dense + low-rank
+# layers mixed) structurally uniform so layers stack/scan: the unused slot
+# holds exact zeros (parallel.pipeline.hybridize_layers).
+HYBRID = "hybrid"
 
 
 def default_plan(config: ModelConfig) -> ModelPlan:
@@ -218,6 +223,11 @@ def proj_apply(x: jax.Array, p: Params, kind: str, use_pallas: bool = False) -> 
             y = quant_matmul_int4(h, p["out_kernel_q4"], p["out_kernel_scale"])
             return y + bias if bias is not None else y
         return lowrank_apply(x, p["in_kernel"], p["out_kernel"], bias, use_pallas=use_pallas)
+    if kind == HYBRID:
+        y = dense_apply(x, p["kernel"], None) + lowrank_apply(
+            x, p["in_kernel"], p["out_kernel"], None, use_pallas=use_pallas
+        )
+        return y + bias if bias is not None else y
     raise ValueError(f"unknown projection kind {kind!r}")
 
 

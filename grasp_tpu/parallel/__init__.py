@@ -17,7 +17,10 @@ from grasp_tpu.parallel.seq_parallel import (  # noqa: F401
     seq_parallel_loss,
 )
 from grasp_tpu.parallel.pipeline import (  # noqa: F401
+    dehybridize_layers,
     from_pipeline_params,
+    hybrid_grad_mask,
+    hybridize_layers,
     make_pipeline_loss,
     make_pp_train_step,
     shard_pipeline_params,

@@ -25,10 +25,19 @@ Design (the scaling-book recipe, hand-rolled with XLA collectives):
   ring), with ``remat=True`` recomputing stage forwards to keep backward
   memory at O(depth) instead of O(ticks * depth).
 
-Requires a *uniform* per-layer plan/structure (every layer the same pytree:
-dense models, or GRASP models compiled with ``merge=True`` / uniform-rank
-low-rank plans) — heterogeneous plans pipeline-parallelize only after rank
-padding, which is out of scope here and documented in PARITY.md.
+The GPipe machinery requires a *uniform* per-layer plan/structure (layers
+must stack/scan). Heterogeneous GRASP plans — the framework's actual product:
+some layers dense, some low-rank with differing ranks — are made uniform by
+``hybridize_layers``: every projection slot that mixes kinds becomes the
+dual-slot sum form ``y = x@kernel + (x@in_kernel)@out_kernel`` where the
+unused slot (and any rank padding up to the slot max) holds exact zeros, so
+the forward is bit-equal to the heterogeneous model. ``hybrid_grad_mask``
+freezes the structural zeros during training (pass as ``grad_mask`` to
+``make_pp_train_step``), and ``dehybridize_layers`` recovers the original
+heterogeneous tree for checkpoint interop. Memory cost: the zero dense slot
+of compressed layers (~the dense size of the compressed layers, sharded over
+the pipe axis) — far below merge=True's full dense re-materialization, with
+no change to the stored checkpoint format.
 """
 
 from __future__ import annotations
@@ -65,6 +74,156 @@ def uniform_layer_plan(plan: ModelPlan) -> LayerPlan:
             "uniform-rank low-rank plan"
         )
     return plan[0]
+
+
+def _proj_group(proj: str) -> str:
+    from grasp_tpu.models.llama import ATTN_PROJS
+
+    return "self_attn" if proj in ATTN_PROJS else "mlp"
+
+
+def hybridize_layers(params: Params, plan: ModelPlan):
+    """Make a heterogeneous GRASP plan structurally uniform for pipelining.
+
+    Per projection slot (q_proj ... gate_proj) across all layers:
+      - all dense                      -> stays dense
+      - all low-rank, equal ranks      -> stays low-rank
+      - all low-rank, mixed ranks      -> low-rank zero-padded to the max rank
+      - dense and low-rank mixed       -> HYBRID dual-slot sum form
+    Zero columns/rows are exact, so the uniformized model's forward equals
+    the heterogeneous model's bit-for-bit (pinned in tests/test_pipeline.py).
+
+    Returns (new_params, layer_plan, spec) where layer_plan is the single
+    per-layer plan shared by every layer and spec records each (layer, proj)'s
+    original (kind, rank) for dehybridize_layers / hybrid_grad_mask.
+    """
+    from grasp_tpu.models.llama import DENSE, HYBRID, LOWRANK, PROJ_ORDER
+
+    n = len(plan)
+    resolved: List[Tuple[str, Optional[int]]] = []
+    for j, proj in enumerate(PROJ_ORDER):
+        kinds = {plan[i][j] for i in range(n)}
+        if not kinds <= {DENSE, LOWRANK}:
+            raise ValueError(
+                f"hybridize_layers supports dense/lowrank plans, got {kinds} "
+                f"for {proj} (compile svd modules first)"
+            )
+        if kinds == {DENSE}:
+            resolved.append((DENSE, None))
+            continue
+        ranks = [
+            params["layers"][i][_proj_group(proj)][proj]["in_kernel"].shape[1]
+            for i in range(n)
+            if plan[i][j] == LOWRANK
+        ]
+        r = max(ranks)
+        resolved.append((HYBRID if DENSE in kinds else LOWRANK, r))
+
+    spec = []  # per layer: list of (orig_kind, orig_rank or None)
+    new_layers = []
+    for i, layer in enumerate(params["layers"]):
+        new_layer = {k: v for k, v in layer.items() if k not in ("self_attn", "mlp")}
+        new_layer["self_attn"] = dict(layer["self_attn"])
+        new_layer["mlp"] = dict(layer["mlp"])
+        lspec = []
+        for j, proj in enumerate(PROJ_ORDER):
+            grp = _proj_group(proj)
+            mod = layer[grp][proj]
+            kind, r = resolved[j]
+            orig = plan[i][j]
+            if kind == DENSE:
+                lspec.append((DENSE, None))
+                continue
+            if orig == LOWRANK:
+                in_k, out_k = mod["in_kernel"], mod["out_kernel"]
+                r0 = in_k.shape[1]
+                lspec.append((LOWRANK, r0))
+                if r0 < r:
+                    in_k = jnp.pad(in_k, ((0, 0), (0, r - r0)))
+                    out_k = jnp.pad(out_k, ((0, r - r0), (0, 0)))
+                new_mod = {"in_kernel": in_k, "out_kernel": out_k}
+                if kind == HYBRID:
+                    in_f = in_k.shape[0]
+                    out_f = out_k.shape[1]
+                    new_mod["kernel"] = jnp.zeros((in_f, out_f), in_k.dtype)
+            else:  # orig dense inside a hybrid slot
+                lspec.append((DENSE, None))
+                kern = mod["kernel"]
+                new_mod = {
+                    "kernel": kern,
+                    "in_kernel": jnp.zeros((kern.shape[0], r), kern.dtype),
+                    "out_kernel": jnp.zeros((r, kern.shape[1]), kern.dtype),
+                }
+            if "bias" in mod:
+                new_mod["bias"] = mod["bias"]
+            new_layer[grp][proj] = new_mod
+        spec.append(lspec)
+        new_layers.append(new_layer)
+
+    layer_plan = tuple(kind for kind, _ in resolved)
+    return {**params, "layers": new_layers}, layer_plan, spec
+
+
+def dehybridize_layers(params: Params, spec) -> Params:
+    """Inverse of hybridize_layers: strip zero slots and rank padding.
+
+    Works on the params tree or any same-shaped tree (e.g. a gradient tree —
+    structural-zero slots are simply dropped, padded ranks sliced off)."""
+    from grasp_tpu.models.llama import DENSE, LOWRANK, PROJ_ORDER
+
+    out_layers = []
+    for i, layer in enumerate(params["layers"]):
+        new_layer = {k: v for k, v in layer.items() if k not in ("self_attn", "mlp")}
+        new_layer["self_attn"] = dict(layer["self_attn"])
+        new_layer["mlp"] = dict(layer["mlp"])
+        for j, proj in enumerate(PROJ_ORDER):
+            grp = _proj_group(proj)
+            mod = layer[grp][proj]
+            kind, r = spec[i][j]
+            if kind == DENSE:
+                new_mod = {"kernel": mod["kernel"]}
+            else:
+                new_mod = {
+                    "in_kernel": mod["in_kernel"][:, :r],
+                    "out_kernel": mod["out_kernel"][:r, :],
+                }
+            if "bias" in mod:
+                new_mod["bias"] = mod["bias"]
+            new_layer[grp][proj] = new_mod
+        out_layers.append(new_layer)
+    return {**params, "layers": out_layers}
+
+
+def hybrid_grad_mask(hparams: Params, spec) -> Params:
+    """1/0 mask over a hybridized tree: 0 on structural zeros (unused dual
+    slots and rank padding), 1 on real parameters. Multiply optimizer updates
+    by this (make_pp_train_step(grad_mask=...)) so the zeros stay exact."""
+    from grasp_tpu.models.llama import DENSE, PROJ_ORDER
+
+    mask = jax.tree.map(jnp.ones_like, hparams)
+    for i, lspec in enumerate(spec):
+        for j, (kind, r) in enumerate(lspec):
+            proj = PROJ_ORDER[j]
+            grp = _proj_group(proj)
+            mod = hparams["layers"][i][grp][proj]
+            mmod = mask["layers"][i][grp][proj]
+            if kind == DENSE:
+                if "in_kernel" in mod:  # dense original inside a hybrid slot
+                    mmod["in_kernel"] = jnp.zeros_like(mod["in_kernel"])
+                    mmod["out_kernel"] = jnp.zeros_like(mod["out_kernel"])
+            else:
+                if "kernel" in mod:  # lowrank original inside a hybrid slot
+                    mmod["kernel"] = jnp.zeros_like(mod["kernel"])
+                full_r = mod["in_kernel"].shape[1]
+                if r < full_r:
+                    col = (jnp.arange(full_r) < r).astype(mod["in_kernel"].dtype)
+                    mmod["in_kernel"] = jnp.broadcast_to(
+                        col[None, :], mod["in_kernel"].shape
+                    )
+                    mmod["out_kernel"] = jnp.broadcast_to(
+                        col[:, None], mod["out_kernel"].shape
+                    )
+    return mask
 
 
 def to_pipeline_params(params: Params, num_stages: int) -> Dict[str, Any]:
@@ -255,8 +414,13 @@ def make_pp_train_step(
     mesh: Mesh,
     num_microbatches: int,
     remat: bool = False,
+    grad_mask: Optional[Params] = None,
 ) -> Callable:
-    """Jitted pipeline-parallel SGD step on pipeline-layout params."""
+    """Jitted pipeline-parallel SGD step on pipeline-layout params.
+
+    grad_mask: optional 1/0 tree in PIPELINE layout (hybrid_grad_mask run
+    through to_pipeline_params) multiplied into the updates — keeps the
+    structural zeros of a hybridized heterogeneous plan exactly zero."""
     import optax
 
     loss_fn = make_pipeline_loss(config, layer_plan, mesh, num_microbatches, remat)
@@ -264,6 +428,8 @@ def make_pp_train_step(
     def step(pparams, opt_state, input_ids, labels):
         loss, grads = jax.value_and_grad(loss_fn)(pparams, input_ids, labels)
         updates, opt_state = optimizer.update(grads, opt_state, pparams)
+        if grad_mask is not None:
+            updates = jax.tree.map(lambda u, m: u * m, updates, grad_mask)
         pparams = optax.apply_updates(pparams, updates)
         return pparams, opt_state, loss
 
