@@ -158,6 +158,33 @@ def test_windowed_ppl_matches_reference_procedure(model_pair, rng):
     np.testing.assert_allclose(ours, ref_ppl, rtol=1e-3)
 
 
+def test_ppl_limit_semantics(rng):
+    """The reference's asymmetric limits survive the one-dispatch rewrite:
+    windowed stops AFTER window i==limit (limit+1 windows), row-wise stops
+    BEFORE row i==limit (limit rows)."""
+    import jax
+
+    from grasp_tpu.configs import ModelConfig
+    from grasp_tpu.eval.ppl import evaluate_perplexity
+    from grasp_tpu.models import init_params
+
+    config = ModelConfig.tiny(num_hidden_layers=2)
+    params = init_params(jax.random.PRNGKey(0), config)
+    corpus = rng.integers(0, config.vocab_size, size=(64 * 5,))
+    seqlen = 64
+
+    full = windowed_perplexity(params, config, corpus, seqlen=seqlen)
+    lim1 = windowed_perplexity(params, config, corpus, seqlen=seqlen, limit=1)
+    two_windows = windowed_perplexity(params, config, corpus[: 2 * seqlen], seqlen=seqlen)
+    np.testing.assert_allclose(lim1, two_windows, rtol=1e-6)
+    assert lim1 != full
+
+    rows = rng.integers(0, config.vocab_size, size=(4, 32))
+    r_lim = evaluate_perplexity(params, config, rows, limit=2)
+    r_two = evaluate_perplexity(params, config, rows[:2])
+    np.testing.assert_allclose(r_lim, r_two, rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # generation
 # ---------------------------------------------------------------------------
