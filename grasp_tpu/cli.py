@@ -133,6 +133,11 @@ def _compress_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--eval_ppl", type=str, default="")
     p.add_argument("--eval_tasks", type=str, default="")
+    p.add_argument("--task_specs", type=str, default=None,
+                   help="JSON file of declarative task specs (eval/task_spec.py) "
+                        "registered before evaluation — arbitrary lm-eval-0.3.0-"
+                        "style tasks as data, matching the reference's open task "
+                        "surface (evaluate_grasp.py:222-229)")
     p.add_argument("--num_fewshot", type=int, default=0)
     p.add_argument("--limit", type=int, default=-1)
     return p
@@ -270,6 +275,11 @@ def _run_evaluation(params, config, plan, tokenizer, args) -> dict:
             corpus = get_evaluation_corpus(ds.strip(), tokenizer, data_root=getattr(args, "data_root", "."))
             results[ds] = windowed_perplexity(params, config, corpus, plan=plan, limit=args.limit)
             logger.info("%s ppl: %s", ds, results[ds])
+    if getattr(args, "task_specs", None):
+        from grasp_tpu.eval.task_spec import load_task_specs
+
+        registered = load_task_specs(args.task_specs)
+        logger.info("registered task specs: %s", registered)
     tasks = (args.eval_tasks or "").strip()
     if tasks in ("longbench", "small_longbench"):
         from grasp_tpu.eval.longbench import (
@@ -305,6 +315,8 @@ def evaluate_main(argv=None) -> int:
     p.add_argument("--model_name", type=str, default=None)
     p.add_argument("--eval_ppl", type=str, default="wikitext2,ptb,c4")
     p.add_argument("--eval_tasks", type=str, default="")
+    p.add_argument("--task_specs", type=str, default=None,
+                   help="JSON file of declarative task specs (eval/task_spec.py)")
     p.add_argument("--num_fewshot", type=int, default=0)
     p.add_argument("--limit", type=int, default=-1)
     p.add_argument("--data_root", type=str, default=".")

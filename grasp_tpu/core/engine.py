@@ -109,6 +109,7 @@ class GraspEngine:
         svd_method: str = "auto",
         remat: bool = False,
         mesh=None,
+        scan_fwd: Optional[bool] = None,
     ):
         """mesh: optional jax.sharding.Mesh("data","model"). When given, the
         WHOLE pipeline runs mesh-parallel (SURVEY.md §7 step 5): params are
@@ -127,6 +128,18 @@ class GraspEngine:
         self.plan = plan or default_plan(config)
         self.svd_method = svd_method
         self.remat = remat
+        # Scanning over stacked layer groups cuts trace+compile time ~10x,
+        # but the stacks are runtime COPIES of the layer params — at 7B that
+        # doubles 12.5 GiB of weights and OOMs a single chip. Default: scan
+        # unless the per-layer params are too big to double alongside
+        # everything else (the 1.1B stacks ~2 GiB and still profits).
+        if scan_fwd is None:
+            layer_bytes = sum(
+                x.size * jnp.dtype(x.dtype).itemsize
+                for x in jax.tree.leaves(params["layers"])
+            )
+            scan_fwd = layer_bytes < 6e9
+        self.scan_fwd = scan_fwd
 
         self.redundant_layers: List[int] = []
         self.layer_importances: List[float] = []
@@ -275,6 +288,7 @@ class GraspEngine:
                         attention_mask=attention_mask,
                         output_hidden_states=True,
                         remat=self.remat,
+                        scan_layers=self.scan_fwd,
                     )
                     return bi_from_hiddens(out["hidden_states"], num_prune_layers, angular)
 
@@ -399,8 +413,9 @@ class GraspEngine:
     # Stage 3 — gradient collection
     # ------------------------------------------------------------------
 
-    def _make_grad_fn(self, plan: ModelPlan):
+    def _make_grad_fn(self, plan: ModelPlan, split_layers: Tuple[int, ...] = ()):
         config, remat = self.config, self.remat
+        scan_g = _scan_in_grads() and self.scan_fwd
 
         def loss_from_s(s_dict: Dict[str, jax.Array], params: Params, input_ids, attention_mask, labels):
             # graft trainable S leaves into the frozen tree
@@ -418,7 +433,8 @@ class GraspEngine:
             logits = forward(
                 params, input_ids, config=config, plan=plan,
                 attention_mask=attention_mask, remat=remat,
-                scan_layers=_scan_in_grads(),
+                scan_layers=scan_g,
+                split_layers=split_layers,
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 
@@ -441,9 +457,10 @@ class GraspEngine:
                 "no SVD modules found — call compress_block first (reference "
                 "modeling_grasp.py:334-335 contract)"
             )
-        key = ("grad", self.plan)
+        split = tuple(sorted({parse_module_name(n)[0] for n in names}))
+        key = ("grad", self.plan, split)
         if key not in self._grad_fns:
-            self._grad_fns[key] = self._make_grad_fn(self.plan)
+            self._grad_fns[key] = self._make_grad_fn(self.plan, split)
         grad_fn = self._grad_fns[key]
 
         s_dict = {n: self._get_proj(n)["s"] for n in names}
@@ -477,8 +494,9 @@ class GraspEngine:
     # bit-for-bit on selected indices against the reference path in
     # tests/test_engine_golden.py.
 
-    def _make_dense_grad_fn(self, plan: ModelPlan):
+    def _make_dense_grad_fn(self, plan: ModelPlan, split_layers: Tuple[int, ...] = ()):
         config, remat = self.config, self.remat
+        scan_g = _scan_in_grads() and self.scan_fwd
 
         def loss_from_kernels(k_dict: Dict[str, jax.Array], params: Params, input_ids, attention_mask, labels):
             layers = list(params["layers"])
@@ -492,10 +510,15 @@ class GraspEngine:
                 layer[group] = grp
                 layers[li] = layer
             params = {**params, "layers": layers}
+            # split_layers keeps the trainable layers out of the scan stacks —
+            # a trainable layer inside a stack turns the whole stack
+            # differentiable and the backward materializes model-sized zero
+            # gradients (compile-time OOM at 7B; see models.llama.forward)
             logits = forward(
                 params, input_ids, config=config, plan=plan,
                 attention_mask=attention_mask, remat=remat,
-                scan_layers=_scan_in_grads(),
+                scan_layers=scan_g,
+                split_layers=split_layers,
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 
@@ -508,9 +531,10 @@ class GraspEngine:
         for n in names:
             if "kernel" not in self._get_proj(n):
                 raise ValueError(f"{n} is not a dense projection")
-        key = ("dgrad", self.plan)
+        split = tuple(sorted({parse_module_name(n)[0] for n in names}))
+        key = ("dgrad", self.plan, split)
         if key not in self._grad_fns:
-            self._grad_fns[key] = self._make_dense_grad_fn(self.plan)
+            self._grad_fns[key] = self._make_dense_grad_fn(self.plan, split)
         grad_fn = self._grad_fns[key]
 
         k_dict = {n: self._get_proj(n)["kernel"] for n in names}
@@ -907,6 +931,23 @@ class GraspEngine:
                     defaults = list(ATTN_PROJS) if block_type == "attention" else list(MLP_PROJS)
                     tg = list(targets) if targets else defaults
                     rounds.append((layer_id, block_type, tg))
+
+            if self.svd_method == "gram_device":
+                # All-on-device SVD: prefetch-overlapping it with the TPU
+                # sweep would contend for HBM (at 7B the sweep alone peaks at
+                # 13.8 of 15.75 GiB) and for the chip itself. It costs seconds
+                # on the MXU — run it inline before each round's sweep.
+                from concurrent.futures import Future
+
+                for layer_id, block_type, tg in rounds:
+                    fut: Future = Future()
+                    fut.set_result(
+                        self._svd_of_dense([module_name(layer_id, p) for p in tg])
+                    )
+                    self.compress_round(
+                        layer_id, block_type, tg, calibration_batches, cfg, svd_future=fut
+                    )
+                return
 
             with ThreadPoolExecutor(max_workers=1) as pool:
                 futures = [

@@ -423,6 +423,23 @@ def evaluate_tasks(
         if limit and limit > 0:
             docs = docs[:limit]
 
+        if getattr(task, "generation", False):
+            # greedy_until task (declarative spec, eval/task_spec.py): score
+            # generations with the task's match rule, report as "acc" so the
+            # mean aggregation applies unchanged
+            ctxs = []
+            for doc in docs:
+                if num_fewshot > 0:
+                    shots = _fewshot_docs(task, doc, num_fewshot, rnd, train_pool, all_docs)
+                    ctxs.append(task.fewshot_context(doc, shots))
+                else:
+                    ctxs.append(task.context(doc))
+            gens = lm.greedy_until([(c, list(task.stops)) for c in ctxs])
+            hits = sum(bool(task.score(g, doc)) for g, doc in zip(gens, docs))
+            results[task_name] = {"acc": hits / max(len(docs), 1)}
+            logger.info("%s %s (%d docs)", task_name, results[task_name], len(docs))
+            continue
+
         requests: List[Tuple[str, str]] = []
         spans: List[Tuple[int, int, int]] = []  # (start, n_choices, gold)
         for doc in docs:
@@ -431,7 +448,7 @@ def evaluate_tasks(
                 ctx = task.fewshot_context(doc, shots)
             else:
                 ctx = task.context(doc)
-            if isinstance(task, Winogrande):
+            if hasattr(task, "requests"):  # partial-evaluation (winogrande-style)
                 reqs = task.requests(ctx, doc)
             else:
                 reqs = [(ctx, cont) for cont in task.choices(doc)]

@@ -400,6 +400,7 @@ def forward(
     output_hidden_states: bool = False,
     remat: bool = False,
     scan_layers: bool = True,
+    split_layers: Tuple[int, ...] = (),
 ) -> Dict[str, Any]:
     """Full-sequence forward pass.
 
@@ -408,6 +409,14 @@ def forward(
     inputs to each decoder layer (entry 0 = embedding output) and the final
     entry is the *final-norm applied* output of the last layer. The reference's
     block-influence consumes this exact tuple (modeling_grasp.py:180-183).
+
+    split_layers: layer ids forced OUT of any scan group (run unrolled).
+    Essential when differentiating w.r.t. one layer's kernels under
+    scan_layers: if the trainable layer sits inside a scan stack, the stack
+    becomes differentiable and the backward materializes full-model-sized
+    zero-gradient stacks (observed: 2x bf16[32,4096,11008] + 14 GiB
+    fragmentation on the 7B = compile-time OOM). Splitting the layer keeps
+    the stacks constant so their cotangents are never built.
     """
     if plan is None:
         plan = default_plan(config)
@@ -432,8 +441,14 @@ def forward(
     # Heterogeneous (compressed) layers fall out into their own groups and
     # stay unrolled.
     groups: List[Tuple[LayerPlan, List[int]]] = []
+    split = set(split_layers)
     for li in range(config.num_hidden_layers):
-        if groups and groups[-1][0] == plan[li]:
+        if (
+            groups
+            and groups[-1][0] == plan[li]
+            and li not in split
+            and groups[-1][1][-1] not in split
+        ):
             groups[-1][1].append(li)
         else:
             groups.append((plan[li], [li]))

@@ -85,7 +85,9 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     # complementary to the sampled live-array high-water mark.
     names0 = [module_name(config.num_hidden_layers - 1, p)
               for p in ("down_proj", "up_proj", "gate_proj")]
-    gf = engine._make_dense_grad_fn(engine.plan)
+    gf = engine._make_dense_grad_fn(
+        engine.plan, split_layers=(config.num_hidden_layers - 1,)
+    )
     k_dict = {n: engine._get_proj(n)["kernel"] for n in names0}
     b0 = batches[0]
     t_c = time.time()
