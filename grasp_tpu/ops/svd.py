@@ -98,7 +98,11 @@ def svd(
                 jax.ShapeDtypeStruct(w.shape[:-2] + (k, in_f), jnp.float32),
             )
             return jax.pure_callback(_host_svd, result_shape, w, vmap_method="sequential")
-        # eager: fetch to host, LAPACK (thread-parallel over the batch), return
+        # eager: fetch to host, LAPACK (thread-parallel over the batch), return.
+        # On a multi-host pod the stacked batch stripes across processes —
+        # each host factorizes its share, results allgathered (ROADMAP #3).
+        if w.ndim == 3 and w.shape[0] > 1 and jax.process_count() > 1:
+            return host_svd_sharded(w)
         u, s, vh = _host_svd(np.asarray(jax.device_get(w)))
         return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vh)
 
@@ -168,6 +172,60 @@ def lowrank_factors(
     else:
         raise ValueError(f"sigma_fuse {sigma_fuse!r} not supported (use 'UV' or 'U')")
     return in_kernel, out_kernel
+
+
+def host_svd_sharded(w: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Stripe a stacked host-LAPACK SVD across pod HOSTS by process index.
+
+    Single-chip hosts have one LAPACK; on a multi-host pod each host owns the
+    stripe ``w[process_index :: process_count]`` of the stacked matrices and
+    factorizes it locally (thread-parallel _host_svd), then the per-host
+    stripes are exchanged with ``multihost_utils.process_allgather`` so every
+    process returns the COMPLETE, identically-ordered (u, s, vh) — a drop-in
+    for ``svd(w, method="host")`` with host-count scaling (ROADMAP #3).
+    Falls back to the plain host path when running single-process.
+    """
+    n_proc = jax.process_count()
+    w_np = np.asarray(jax.device_get(w)).astype(np.float32)
+    if w_np.ndim == 2:
+        w_np = w_np[None]
+    b, out_f, in_f = w_np.shape
+    if n_proc == 1 or b == 1:
+        u, s, vh = _host_svd(w_np)
+        return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vh)
+
+    from jax.experimental import multihost_utils
+
+    pid = jax.process_index()
+    k = min(out_f, in_f)
+    stripe_len = -(-b // n_proc)  # every process pads its stripe to the max
+    mine = w_np[pid::n_proc]
+    if len(mine):
+        u_m, s_m, vh_m = _host_svd(mine)
+    else:
+        u_m = np.zeros((0, out_f, k), np.float32)
+        s_m = np.zeros((0, k), np.float32)
+        vh_m = np.zeros((0, k, in_f), np.float32)
+
+    def _pad(x):
+        pad = stripe_len - x.shape[0]
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x
+
+    gathered = multihost_utils.process_allgather(
+        (_pad(u_m), _pad(s_m), _pad(vh_m))
+    )  # each leaf: [n_proc, stripe_len, ...]
+
+    u = np.zeros((b, out_f, k), np.float32)
+    s = np.zeros((b, k), np.float32)
+    vh = np.zeros((b, k, in_f), np.float32)
+    for p in range(n_proc):
+        idx = np.arange(p, b, n_proc)
+        u[idx] = np.asarray(gathered[0][p])[: len(idx)]
+        s[idx] = np.asarray(gathered[1][p])[: len(idx)]
+        vh[idx] = np.asarray(gathered[2][p])[: len(idx)]
+    return jnp.asarray(u), jnp.asarray(s), jnp.asarray(vh)
 
 
 def _gram_svd(w: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
