@@ -1,2 +1,3 @@
 from grasp_tpu.serving.paged import PagePool, ServingEngine  # noqa: F401
+from grasp_tpu.serving.spec_paged import SpeculativeServingEngine  # noqa: F401
 from grasp_tpu.serving.speculative import SpeculativeGenerator  # noqa: F401

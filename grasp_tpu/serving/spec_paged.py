@@ -1,0 +1,339 @@
+"""Speculative decoding over the paged continuous-batching engine.
+
+Combines the two serving accelerations that were previously exclusive:
+:class:`~grasp_tpu.serving.paged.ServingEngine`'s paged KV + continuous
+batching (requests join/retire mid-flight, HBM tracks live tokens) and
+:class:`~grasp_tpu.serving.speculative.SpeculativeGenerator`'s draft/verify
+speculation (the target model advances gamma+1 tokens per forward instead
+of 1).
+
+Design:
+
+  - ONE page allocator: the draft and target have their own page ARRAYS
+    (their layer counts/shapes differ — a GRASP-compressed draft has the
+    same layout but different projection pytrees) sized identically, and a
+    request's page table indexes BOTH pools, so allocation/retirement
+    happens once per request (the "shared page pool" of VERDICT #10).
+  - batch-level speculation: per macro-step every live row drafts gamma
+    tokens (gamma batched single-token paged decodes on the draft pool,
+    reusing paged._paged_decode_fn), then the target verifies all rows in
+    ONE batched (gamma+1)-token paged forward (`_paged_verify_fn` — the
+    multi-token generalization of the decode: scatters the chunk's KV into
+    the pages and attends with per-row, per-query validity masks).
+  - greedy acceptance (longest prefix where the target argmax equals the
+    draft token, then the target's correction) — the emitted stream is
+    bit-identical to the non-speculative ServingEngine's greedy output,
+    pinned by tests/test_spec_paged.py.
+  - rejected positions leave stale KV in both pools; the per-row validity
+    mask (slot <= pos) hides them and the next chunk overwrites them in
+    place — the same argument as SpeculativeGenerator's dense caches.
+
+Sampled requests are NOT speculated here (batch-level Leviathan coupling
+across mixed per-row settings is a different trade); submit() rejects
+temperature > 0 — use ServingEngine for mixed sampling or
+SpeculativeGenerator.sample for single-stream speculative sampling.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.llama import (
+    PROJ_ORDER,
+    ModelPlan,
+    Params,
+    _lm_logits,
+    apply_rope,
+    default_plan,
+    proj_apply,
+    rms_norm,
+    rope_cos_sin,
+)
+from grasp_tpu.serving.paged import PagePool, ServingEngine, _paged_decode_fn
+
+
+def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int,
+                     chunk: int):
+    """Batched multi-token paged forward (the speculative verify step).
+
+    (params, toks [B, chunk], k_pages, v_pages, tables [B, P], pos [B],
+     live [B]) -> (logits [B, chunk, V], k_pages, v_pages)
+
+    pos[b] = cache slot of toks[b, 0]. Writes all `chunk` tokens' K/V into
+    the pages, then attends with a per-row validity-and-causality mask
+    (slot s visible to query i iff s <= pos + i). Gather-based attention:
+    the fused TPU paged kernel is single-query; at chunk = gamma+1 the
+    gather cost amortizes over the whole chunk, which is the point of
+    speculation.
+    """
+
+    def fn(params, toks, k_pages, v_pages, tables, pos, live):
+        L, nkv, num_pages, page_size, hd = k_pages.shape
+        b = toks.shape[0]
+        nh = config.num_attention_heads
+        t_max = max_pages_per_seq * page_size
+
+        positions = pos[:, None] + jnp.arange(chunk)[None, :]  # [B, chunk]
+        cos, sin = rope_cos_sin(positions, hd, config.rope_theta)
+
+        h = params["embed_tokens"]["weight"][toks]  # [B, chunk, d]
+
+        logical = positions // page_size            # [B, chunk]
+        offset = positions % page_size
+        phys = jnp.take_along_axis(tables, logical, axis=1)  # [B, chunk]
+        phys = jnp.where((live > 0)[:, None], phys, 0)
+
+        # mask [B, 1, chunk, t_max]: query i sees slots <= pos + i
+        slot_idx = jnp.arange(t_max)[None, None, :]
+        vis = (slot_idx <= positions[:, :, None]) & (live > 0)[:, None, None]
+        bias = jnp.where(vis, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
+
+        for li in range(config.num_hidden_layers):
+            lp = params["layers"][li]
+            kinds = dict(zip(PROJ_ORDER, plan[li]))
+
+            x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+            ap = lp["self_attn"]
+            q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, chunk, nh, hd).transpose(0, 2, 1, 3)
+            k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, chunk, nkv, hd).transpose(0, 2, 1, 3)
+            v = proj_apply(x, ap["v_proj"], kinds["v_proj"]).reshape(b, chunk, nkv, hd).transpose(0, 2, 1, 3)
+            q, k = apply_rope(q, k, cos, sin)
+
+            # scatter the chunk's K/V: for each (row, i) write [nkv, hd] at
+            # (li, :, phys[b,i], offset[b,i]). Flatten (B, chunk) into one
+            # advanced-index batch like the single-token decode does.
+            pf, of = phys.reshape(-1), offset.reshape(-1)
+            kw = k.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
+            vw = v.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
+            k_pages = k_pages.at[li, :, pf, of, :].set(
+                kw.astype(k_pages.dtype), mode="drop")
+            v_pages = v_pages.at[li, :, pf, of, :].set(
+                vw.astype(v_pages.dtype), mode="drop")
+
+            k_seq = k_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
+            v_seq = v_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
+            if nh != nkv:
+                k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
+                v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
+
+            scale = 1.0 / np.sqrt(hd)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * scale
+            scores = scores + bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
+                              preferred_element_type=q.dtype)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, chunk, nh * hd)
+            h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+
+            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+            if "moe" in lp:
+                from grasp_tpu.models.moe import moe_apply
+
+                h = h + moe_apply(x, lp["moe"], config)
+            else:
+                mp = lp["mlp"]
+                gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
+                up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
+                h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+
+        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+        return _lm_logits(h, params), k_pages, v_pages
+
+    return jax.jit(fn, donate_argnums=(2, 3))
+
+
+class SpeculativeServingEngine(ServingEngine):
+    """Continuous batching + paged KV + greedy speculation.
+
+    Inherits admission/retirement/page accounting from ServingEngine; the
+    target pool is `self.pool` (so _admit prefills the target unchanged) and
+    a draft pool rides the SAME page tables. step() advances every live row
+    up to gamma+1 tokens. Outputs are bit-identical to ServingEngine —
+    speculation changes wall-clock only.
+    """
+
+    def __init__(self, params: Params, config: ModelConfig,
+                 draft_params: Params, draft_config: ModelConfig,
+                 plan: Optional[ModelPlan] = None,
+                 draft_plan: Optional[ModelPlan] = None,
+                 gamma: int = 4, **kw):
+        if kw.get("quantized_kv"):
+            raise NotImplementedError(
+                "speculative paged serving is fp-KV only for now "
+                "(int8 verify would need the quantized multi-token scatter)")
+        if config.vocab_size != draft_config.vocab_size:
+            raise ValueError("draft and target must share a vocabulary")
+        super().__init__(params, config, plan=plan, **kw)
+        self.gamma = int(gamma)
+        self.dparams = draft_params
+        self.dconfig = draft_config
+        self.dplan = draft_plan or default_plan(draft_config)
+        self.dpool = PagePool(draft_config, self.pool.num_pages, self.pool.page_size)
+        self.dpool._free = self.pool._free  # ONE allocator: tables index both pools
+        self._ddecode = _paged_decode_fn(draft_config, self.dplan, self.max_pages_per_seq)
+        self._verify = _paged_verify_fn(config, self.plan, self.max_pages_per_seq,
+                                        chunk=self.gamma + 1)
+        self._dprefill_fns: Dict[Tuple[int, int], any] = {}
+        self.last_stats: Dict[str, float] = {"chunks": 0, "drafted": 0, "accepted": 0}
+
+    def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None) -> int:
+        if temperature != 0.0 and top_k != 1:
+            raise NotImplementedError(
+                "SpeculativeServingEngine is greedy-only (bit-identical "
+                "speculation); use ServingEngine for sampled requests")
+        # reserve chunk-overshoot slack: a macro-step may write up to gamma+1
+        # positions past the accepted stream before trimming
+        prompt = np.asarray(prompt_ids).reshape(-1)
+        need = -(-(len(prompt) + max_new_tokens + self.gamma + 1) // self.pool.page_size)
+        if need > self.max_pages_per_seq:
+            raise ValueError(
+                f"request needs {need} pages > max_pages_per_seq={self.max_pages_per_seq}")
+        return super().submit(prompt_ids, max_new_tokens, 0.0, 0, 1.0, seed)
+
+    # -- admission: also prefill the draft into the same pages ------------
+    def _admit(self, req, row):
+        need_extra = -(-(len(req.prompt) + req.max_new + self.gamma + 1)
+                       // self.pool.page_size)
+        super()._admit(req, row)
+        # top up the page count for chunk overshoot (super allocated without
+        # the slack; tables hold max_pages_per_seq entries either way)
+        if len(req.pages) < need_extra:
+            req.pages += self.pool.alloc(need_extra - len(req.pages))
+
+        from grasp_tpu.models.llama import init_kv_cache, prefill
+
+        ps = self.pool.page_size
+        s = len(req.prompt)
+        s_pad = -(-max(s, 1) // ps) * ps
+        key = (s_pad, s_pad)
+        if key not in self._dprefill_fns:
+            dconfig, dplan = self.dconfig, self.dplan
+
+            @jax.jit
+            def fn(params, ids, cache):
+                return prefill(params, ids, cache, config=dconfig, plan=dplan)
+
+            self._dprefill_fns[key] = fn
+        padded = np.zeros((1, s_pad), np.int32)
+        padded[0, :s] = req.prompt
+        dcache = init_kv_cache(self.dconfig, batch=1, max_len=s_pad)
+        _, dcache = self._dprefill_fns[key](self.dparams, jnp.asarray(padded), dcache)
+
+        n_pages = s_pad // ps
+        phys = jnp.asarray(req.pages[:n_pages], jnp.int32)
+
+        def to_pages(arr):
+            return (arr[0].reshape(arr.shape[1], n_pages, ps, arr.shape[-1])
+                    .transpose(1, 0, 2, 3))
+
+        for li in range(self.dconfig.num_hidden_layers):
+            self.dpool.k_pages = self.dpool.k_pages.at[li, :, phys].set(
+                to_pages(dcache[li]["k"]).astype(self.dpool.k_pages.dtype))
+            self.dpool.v_pages = self.dpool.v_pages.at[li, :, phys].set(
+                to_pages(dcache[li]["v"]).astype(self.dpool.v_pages.dtype))
+
+    def _retire(self, req) -> None:
+        super()._retire(req)  # single allocator: pages return once, serve both pools
+
+    # -- the speculative macro-step ---------------------------------------
+    def step(self) -> None:
+        for row in range(self.max_batch):
+            if self._live[row] is None and self._pending:
+                nxt = self._pending[0]
+                need = -(-(len(nxt.prompt) + nxt.max_new + self.gamma + 1)
+                         // self.pool.page_size)
+                if need > self.pool.free_pages:
+                    break
+                self._admit(self._pending.pop(0), row)
+
+        live_reqs = [r for r in self._live if r is not None]
+        if not live_reqs:
+            return
+
+        # emit the token computed by the previous step / prefill
+        for r in list(self._live):
+            if r is None:
+                continue
+            tok = int(self._next_tok[r.row])
+            if tok == self.eos:
+                self._retire(r)
+            else:
+                r.out.append(tok)
+                if len(r.out) >= r.max_new:
+                    self._retire(r)
+
+        live_reqs = [r for r in self._live if r is not None]
+        if not live_reqs:
+            return
+
+        tables = np.zeros((self.max_batch, self.max_pages_per_seq), np.int32)
+        pos0 = np.zeros(self.max_batch, np.int32)
+        live = np.zeros(self.max_batch, np.int32)
+        for r in live_reqs:
+            tables[r.row, : len(r.pages)] = r.pages
+            pos0[r.row] = r.pos
+            live[r.row] = 1
+        tables_j = jnp.asarray(tables)
+
+        # --- draft phase: gamma+1 batched single-token paged decodes (the
+        # last one only lands d_gamma's KV, mirroring SpeculativeGenerator)
+        drafts = np.zeros((self.max_batch, self.gamma), np.int32)
+        dtok = jnp.asarray(self._next_tok)
+        for i in range(self.gamma + 1):
+            dlogits, self.dpool.k_pages, self.dpool.v_pages, _, _ = self._ddecode(
+                self.dparams, dtok, self.dpool.k_pages, self.dpool.v_pages,
+                self.dpool.k_scales, self.dpool.v_scales,
+                tables_j, jnp.asarray(pos0 + i), jnp.asarray(live),
+            )
+            dtok = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+            if i < self.gamma:
+                drafts[:, i] = np.asarray(dtok)
+
+        # --- target verify: one batched (gamma+1)-token paged forward ---
+        verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
+        tlogits, self.pool.k_pages, self.pool.v_pages = self._verify(
+            self.params, jnp.asarray(verify_in), self.pool.k_pages,
+            self.pool.v_pages, tables_j, jnp.asarray(pos0), jnp.asarray(live),
+        )
+        targets = np.asarray(jnp.argmax(tlogits, axis=-1), np.int32)  # [B, g+1]
+
+        # --- acceptance + emission per row (host bookkeeping) ---
+        self.last_stats["chunks"] += len(live_reqs)
+        self.last_stats["drafted"] += len(live_reqs) * self.gamma
+        for r in list(self._live):
+            if r is None:
+                continue
+            row = r.row
+            matches = np.cumprod(targets[row, : self.gamma] == drafts[row])
+            a = int(matches.sum())
+            self.last_stats["accepted"] += a
+            # emitted this macro-step: verify_in[1..a] (= d_1..d_a, already
+            # counted as the NEXT tokens) then targets[a] as the new pending
+            # token. verify_in[0] was emitted at the top of step().
+            chunk = list(drafts[row, :a]) + [int(targets[row, a])]
+            # r.pos currently counts tokens whose KV is final through
+            # verify_in[0]; advance past the accepted region
+            r.pos += a + 1
+            for j, tok in enumerate(chunk):
+                is_last = j == len(chunk) - 1
+                if is_last:
+                    self._next_tok[row] = tok  # pending, emitted next step
+                    break
+                if tok == self.eos:
+                    self._retire(r)
+                    break
+                r.out.append(tok)
+                if len(r.out) >= r.max_new:
+                    self._retire(r)
+                    break
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.last_stats["accepted"] / max(self.last_stats["drafted"], 1)
