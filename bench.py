@@ -167,6 +167,27 @@ def main():
                 json.dump({"rc": -1, "summary": f"error: {type(e).__name__}",
                            "passed": False}, f)
 
+    # ---- 7B north-star bench: live when GRASP_BENCH_7B=1 (adds ~35-45 min
+    # on one chip), otherwise attach the recorded BENCH_7B.json (produced by
+    # scripts/bench_7b.py on this machine's chip) so the round artifact
+    # always carries the 7B evidence ----
+    if os.environ.get("GRASP_BENCH_7B") == "1" and jax.default_backend() not in ("cpu",):
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "bench_7b", os.path.join(repo, "scripts", "bench_7b.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            details["7b"] = mod.run_7b_bench()
+        except Exception as e:
+            details["7b_error"] = f"{type(e).__name__}: {e}"[:200]
+    else:
+        recorded = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_7B.json")
+        if os.path.exists(recorded):
+            with open(recorded) as f:
+                details["7b_recorded"] = json.load(f)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     vs = None
     if os.path.exists(baseline_path):

@@ -87,6 +87,23 @@ def _scan_in_grads() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _prime(fn, *args, **kwargs) -> None:
+    """AOT-compile a jitted fn before its first dispatch.
+
+    On the axon TPU runtime the jit compile-dispatch path retains a
+    PERSISTENT copy of every large argument (measured: a full second
+    12.55 GiB of model params alive after the first 7B sweep dispatch,
+    which then OOMed the per-round on-device SVD). Lowering + compiling
+    ahead of time populates the same dispatch cache — the subsequent call
+    is a cache hit with no copies. Priming is an optimization: any failure
+    falls back to normal dispatch.
+    """
+    try:
+        fn.lower(*args, **kwargs).compile()
+    except Exception as e:  # pragma: no cover - depends on backend quirks
+        logger.debug("prime failed (falling back to dispatch): %s", e)
+
+
 def module_name(layer_id: int, proj: str) -> str:
     """Reference-compatible module path, e.g. 'model.layers.3.self_attn.q_proj'."""
     group = "self_attn" if proj in ATTN_PROJS else "mlp"
@@ -164,6 +181,12 @@ class GraspEngine:
     def _stage(self, name: str, dt: float) -> None:
         self.stage_times[name] = self.stage_times.get(name, 0.0) + dt
         self.stage_counts[name] = self.stage_counts.get(name, 0) + 1
+        # stage boundaries are the natural HBM sampling points on runtimes
+        # without allocator stats (perf.device_memory high-water fallback)
+        if jax.default_backend() not in ("cpu",):
+            from grasp_tpu.perf import device_memory
+
+            device_memory()
 
     # ------------------------------------------------------------------
     # param-tree helpers
@@ -294,8 +317,13 @@ class GraspEngine:
 
                 self._bi_fns[key] = bi_step
             bi_step = self._bi_fns[key]
+            primed = False
             for batch in calibration_batches:
                 batch = self._place_batch(batch)
+                if not primed:
+                    _prime(bi_step, self.params, batch["input_ids"],
+                           batch.get("attention_mask"), plan=self.plan)
+                    primed = True
                 scores = np.asarray(
                     bi_step(self.params, batch["input_ids"], batch.get("attention_mask"), plan=self.plan)
                 )
@@ -470,6 +498,9 @@ class GraspEngine:
         nbatches = 0
         for batch in calibration_batches:
             batch = self._place_batch(batch)
+            if nbatches == 0:
+                _prime(grad_fn, s_dict, self.params, batch["input_ids"],
+                       batch.get("attention_mask"), batch["labels"])
             loss, grads = grad_fn(
                 s_dict, self.params, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
             )
@@ -543,6 +574,9 @@ class GraspEngine:
         first_batch = True
         for batch in calibration_batches:
             batch = self._place_batch(batch)
+            if first_batch:
+                _prime(grad_fn, k_dict, self.params, batch["input_ids"],
+                       batch.get("attention_mask"), batch["labels"])
             _, grads = grad_fn(
                 k_dict, self.params, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
             )
@@ -569,10 +603,26 @@ class GraspEngine:
         out: Dict[str, Tuple[jax.Array, jax.Array, jax.Array]] = {}
         for shape, group in by_shape.items():
             t_shape = time.time()
-            stack = jnp.stack([self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in group])
-            u, s, vh = svd(stack, method=self.svd_method, mesh=self.mesh)
-            for i, n in enumerate(group):
-                out[n] = (u[i], s[i], vh[i])
+            # gram_device on big matrices: one matrix at a time — an fp32
+            # stack of three 4096x11008 kernels plus its eigh workspace spikes
+            # HBM ~1.8 GiB, which a 7B run cannot spare; the per-matrix eigh
+            # is MXU-efficient at these sizes anyway
+            unstacked = (
+                self.svd_method == "gram_device"
+                and min(shape) * max(shape) >= 2048 * 2048
+            )
+            if unstacked:
+                for n in group:
+                    w = self._get_proj(n)["kernel"].T.astype(jnp.float32)
+                    u, s, vh = svd(w, method=self.svd_method, mesh=self.mesh)
+                    out[n] = (u, s, vh)
+            else:
+                stack = jnp.stack(
+                    [self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in group]
+                )
+                u, s, vh = svd(stack, method=self.svd_method, mesh=self.mesh)
+                for i, n in enumerate(group):
+                    out[n] = (u[i], s[i], vh[i])
             self._stage(f"svd_{shape[1]}x{shape[0]}", time.time() - t_shape)
         self._stage("svd", time.time() - t_stage)
         return out
@@ -585,13 +635,18 @@ class GraspEngine:
         calibration_batches: Sequence[Batch],
         cfg: GraspConfig,
         svd_future=None,
+        svd_after: bool = False,
     ) -> bool:
         """One (layer, block) compression round via the dense-gradient path,
         with the host SVD overlapped with the TPU gradient sweep.
 
         svd_future: optional concurrent.futures.Future resolving to
         {name: (u, s, vh)} — supplied by run()'s cross-round prefetcher (every
-        SVD factors *original* dense weights, so they can all start at t=0)."""
+        SVD factors *original* dense weights, so they can all start at t=0).
+        svd_after: run the SVD inline AFTER the sweep instead of overlapped —
+        for all-on-device SVD (gram_device) at 7B scale, where fp32 factors
+        resident during the sweep push HBM past the limit (the sweep alone
+        peaks at 13.8 of 15.75 GiB)."""
         import threading
 
         if target_layer_types is None:
@@ -604,10 +659,15 @@ class GraspEngine:
             raise ValueError(f"values in target layer types not valid, should be one of {defaults}")
 
         names = [module_name(layer_id, p) for p in targets]
+        logger.info("compress round: layer %d %s (%d targets)",
+                    layer_id, block_type, len(names))
 
         if svd_future is not None:
             grads = self.get_dense_gradients(names, calibration_batches)
             svd_out = svd_future.result()
+        elif svd_after:
+            grads = self.get_dense_gradients(names, calibration_batches)
+            svd_out = self._svd_of_dense(names)
         else:
             svd_out = {}
             err: List[BaseException] = []
@@ -659,6 +719,11 @@ class GraspEngine:
                 if bias is not None:
                     new["bias"] = bias
                 self._set_proj(n, new, "lowrank")
+            # free this module's fp32 factors/grads before the next module —
+            # at 7B each (u, vh) pair is ~250 MB of HBM
+            svd_out.pop(n, None)
+            grads.pop(n, None)
+            del u, s, vh, ut, st, vht
 
         self.indices_dict = indices_dict
         self.indices_log.update(indices_dict)
@@ -935,17 +1000,13 @@ class GraspEngine:
             if self.svd_method == "gram_device":
                 # All-on-device SVD: prefetch-overlapping it with the TPU
                 # sweep would contend for HBM (at 7B the sweep alone peaks at
-                # 13.8 of 15.75 GiB) and for the chip itself. It costs seconds
-                # on the MXU — run it inline before each round's sweep.
-                from concurrent.futures import Future
-
+                # 13.8 of 15.75 GiB — fp32 factors resident during the sweep
+                # OOMed the first 7B run) and for the chip itself. It costs
+                # seconds on the MXU — run it inline AFTER each round's sweep.
                 for layer_id, block_type, tg in rounds:
-                    fut: Future = Future()
-                    fut.set_result(
-                        self._svd_of_dense([module_name(layer_id, p) for p in tg])
-                    )
                     self.compress_round(
-                        layer_id, block_type, tg, calibration_batches, cfg, svd_future=fut
+                        layer_id, block_type, tg, calibration_batches, cfg,
+                        svd_after=True,
                     )
                 return
 

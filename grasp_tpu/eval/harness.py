@@ -151,17 +151,36 @@ class EvalLM:
 
     def greedy_until(self, requests: Sequence[Tuple[str, Sequence[str]]]) -> List[str]:
         """lm-eval BaseLM.greedy_until equivalent: generate until any stop
-        string (or max_gen_toks), returning the decoded continuations."""
+        string (or max_gen_toks), returning the decoded continuations.
+
+        Requests decode `batch_size` at a time through the one-dispatch
+        batched generator (left-padded rows, whole continuation in one device
+        loop) — per-request dispatch pays ~35-40 ms of tunnel latency on this
+        container. Stop STRINGS are applied on the decoded text per request
+        (they are request-specific), exactly as before."""
         from grasp_tpu.eval.generate import Generator
 
         if not hasattr(self, "_generator"):
             self._generator = Generator(self.params, self.config, self.plan)
-        outs = []
         eos = getattr(self.tokenizer, "eos_token_id", None)
-        for context, stops in requests:
-            ids = self.tok_encode(context)[-(self.max_length - self.max_gen_toks):]
-            new_ids = self._generator.greedy(np.asarray(ids, np.int32), self.max_gen_toks,
-                                             eos_token_id=eos)
+
+        prompts = [
+            np.asarray(self.tok_encode(context)[-(self.max_length - self.max_gen_toks):],
+                       np.int32)
+            for context, _ in requests
+        ]
+        all_ids: List[List[int]] = []
+        for start in range(0, len(prompts), self.batch_size):
+            chunk = prompts[start : start + self.batch_size]
+            if len(chunk) == 1:
+                all_ids.append(self._generator.greedy(chunk[0], self.max_gen_toks,
+                                                      eos_token_id=eos))
+            else:
+                all_ids.extend(self._generator.greedy_batch(chunk, self.max_gen_toks,
+                                                            eos_token_id=eos))
+
+        outs = []
+        for (_, stops), new_ids in zip(requests, all_ids):
             text = self.tokenizer.decode(new_ids, skip_special_tokens=True)
             for stop in stops or []:
                 idx = text.find(stop)

@@ -289,6 +289,9 @@ def _gram_svd_device_jit(wf: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array
     return u, s, jnp.swapaxes(v, -1, -2)
 
 
+_gram_primed_shapes: set = set()
+
+
 def _gram_svd_device(w: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Gram-matrix thin SVD entirely on device (fp32 eigh on the TPU).
 
@@ -300,7 +303,19 @@ def _gram_svd_device(w: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     shape class in tests/test_svd.py (gram_device vs host) and measured for
     the 7B bench shapes in scripts/bench_7b.py before use.
     """
-    return _gram_svd_device_jit(w.astype(jnp.float32))
+    wf = w.astype(jnp.float32)
+    key = (wf.shape, str(wf.dtype))
+    if key not in _gram_primed_shapes:
+        # AOT-prime: the axon jit compile-dispatch path retains persistent
+        # argument copies (see core.engine._prime); lower+compile avoids it
+        try:
+            _gram_svd_device_jit.lower(
+                jax.ShapeDtypeStruct(wf.shape, wf.dtype)
+            ).compile()
+        except Exception:
+            pass
+        _gram_primed_shapes.add(key)
+    return _gram_svd_device_jit(wf)
 
 
 @jax.jit

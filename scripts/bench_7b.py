@@ -28,6 +28,7 @@ SVD + grad sweep + select + compile, descending layer order).
 
 import dataclasses
 import json
+import logging
 import os
 import sys
 import time
@@ -35,6 +36,9 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(message)s")
 
 
 def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
