@@ -112,10 +112,20 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         jax.default_backend() == "tpu"
         # the kernel requires lane-aligned head_dim (probed on v5e: hd=64
         # fails block-shape checks for every head combo; hd=128 works) —
-        # LLaMA-2/Mistral/Qwen2 all have hd=128; TinyLlama (hd=64) takes the
-        # XLA gather path
+        # LLaMA-2/Mistral/Qwen2 all have hd=128; TinyLlama (hd=64) routes
+        # through our own sub-lane kernel below
         and config.head_dim_ % 128 == 0
         and os.environ.get("GRASP_PAGED_KERNEL", "1") != "0"
+    )
+    # sub-lane head dims (TinyLlama's hd=64): our own paged kernel — pages
+    # read in place via scalar-prefetched tables, online softmax across page
+    # steps (ops/pallas_paged64.py). fp pools only; int8 keeps the gather.
+    use_kernel64 = (
+        not use_kernel
+        and jax.default_backend() == "tpu"
+        and config.head_dim_ < 128
+        and not quantized
+        and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
     )
     # pages_per_compute_block must divide the per-sequence page count
     ppcb = max(d for d in range(1, min(4, max_pages_per_seq) + 1)
@@ -172,7 +182,15 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 v_pages = v_pages.at[li, :, phys, offset, :].set(
                     v[:, :, 0, :].astype(v_pages.dtype), mode="drop")
 
-            if use_kernel:
+            if use_kernel64:
+                from grasp_tpu.ops.pallas_paged64 import paged_attention_hd64
+
+                lengths = jnp.where(live > 0, pos + 1, 1)
+                attn = paged_attention_hd64(
+                    q[:, :, 0, :].astype(h.dtype), k_pages[li], v_pages[li],
+                    lengths, tables,
+                )[:, :, None, :]  # [B, nh, 1, hd]
+            elif use_kernel:
                 # fused TPU paged attention: reads pages via the page table
                 # inside the kernel — no gathered [B, nkv, T, hd] copy
                 from jax.experimental.pallas.ops.tpu.paged_attention import (

@@ -231,6 +231,46 @@ def test_paged_attention_kernel_on_tpu(rng):
 @pytest.mark.skipif(
     not any(d.platform == "tpu" for d in jax.devices()), reason="needs a real TPU"
 )
+def test_paged_attention_hd64_kernel_on_tpu(rng):
+    """Sub-lane head dims (TinyLlama's hd=64) route through our own paged
+    kernel (ops/pallas_paged64.py) — outputs must match the dense-cache
+    Generator AND the gather path token for token."""
+    import os
+
+    config = ModelConfig.tiny(
+        hidden_size=128, num_attention_heads=2, num_key_value_heads=2,
+        num_hidden_layers=2,  # head_dim = 64
+    )
+    assert config.head_dim_ == 64
+    params = init_params(jax.random.PRNGKey(5), config)
+    prompts = _prompts(config, rng, [5, 11, 30])
+    max_new = 4
+
+    gen = Generator(params, config)
+    want = [gen.greedy(p, max_new) for p in prompts]
+
+    srv = ServingEngine(params, config, num_pages=24, page_size=16,
+                        max_batch=3, max_pages_per_seq=4)
+    rids = [srv.submit(p, max_new) for p in prompts]
+    got = srv.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w, f"hd64 kernel request {rid}: {got[rid]} != {w}"
+
+    os.environ["GRASP_PAGED64_KERNEL"] = "0"
+    try:
+        srv2 = ServingEngine(params, config, num_pages=24, page_size=16,
+                             max_batch=3, max_pages_per_seq=4)
+        rids2 = [srv2.submit(p, max_new) for p in prompts]
+        got2 = srv2.run()
+        for rid, w in zip(rids2, want):
+            assert got2[rid] == w, f"gather path request {rid}: {got2[rid]} != {w}"
+    finally:
+        del os.environ["GRASP_PAGED64_KERNEL"]
+
+
+@pytest.mark.skipif(
+    not any(d.platform == "tpu" for d in jax.devices()), reason="needs a real TPU"
+)
 def test_paged_attention_kernel_quantized_pool_on_tpu(rng):
     """int8 page pool through the kernel's QuantizedTensor input: matches the
     quantized-kv Generator token for token (scale conventions reconciled)."""
