@@ -104,18 +104,30 @@ _hbm_peak_bytes: int = 0
 
 
 def _live_device_bytes(device) -> int:
-    """Sum of live jax.Array bytes resident on `device` (addressable shards).
+    """Sum of live jax.Array bytes resident on `device`.
 
-    Fallback telemetry for runtimes without allocator stats. Counts committed
-    arrays' per-device shards; under-counts XLA temp buffers inside a running
-    executable — combine with :func:`executable_memory` for those.
+    Fallback telemetry for runtimes without allocator stats. Uses ONLY
+    sharding metadata — never touches shard *data*: on the axon runtime,
+    accessing `shard.data` retains a persistent per-array copy, so a
+    telemetry walk was silently duplicating the entire resident model
+    (measured: a second 12.55 GiB of 7B params after each sampled stage,
+    OOMing the compression pipeline it was meant to observe). Per-device
+    bytes = shard_shape elements x itemsize when the device participates
+    (exact for replicated and sharded layouts alike). Under-counts XLA temp
+    buffers inside a running executable — combine with
+    :func:`executable_memory` for those.
     """
     total = 0
     for arr in jax.live_arrays():
         try:
-            for shard in arr.addressable_shards:
-                if shard.device == device:
-                    total += int(shard.data.nbytes)
+            sharding = arr.sharding
+            if device not in sharding.device_set:
+                continue
+            shard_shape = sharding.shard_shape(arr.shape)
+            n = 1
+            for d in shard_shape:
+                n *= int(d)
+            total += n * arr.dtype.itemsize
         except Exception:  # deleted/donated arrays can race the walk
             continue
     return total
