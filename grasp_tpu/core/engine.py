@@ -87,6 +87,16 @@ def _scan_in_grads() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _force_done(tree) -> None:
+    """Honest completion barrier: fetch one real element of every leaf.
+
+    jax.block_until_ready returns early for some graphs through the axon
+    tunnel (CLAUDE.md); an actual device->host byte transfer cannot lie.
+    """
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def _prime(fn, *args, **kwargs) -> None:
     """AOT-compile a jitted fn before its first dispatch.
 
@@ -585,10 +595,14 @@ class GraspEngine:
             if first_batch:
                 # first dispatch per plan includes the jit compile — record it
                 # separately so per-stage tables can split compile vs sweep
-                jax.block_until_ready(list(totals.values()))
+                _force_done(totals)
                 self._stage("grad_first_batch", time.time() - t_stage)
                 first_batch = False
-        jax.block_until_ready(list(totals.values()))
+        # block_until_ready can LIE through the axon tunnel (returns before
+        # the queued work drains, CLAUDE.md) — fetch a real element so the
+        # stage boundary is honest and the next stage isn't billed for the
+        # sweep's tail
+        _force_done(totals)
         self._stage("grad_sweep", time.time() - t_stage)
         return totals
 
@@ -623,6 +637,7 @@ class GraspEngine:
                 u, s, vh = svd(stack, method=self.svd_method, mesh=self.mesh)
                 for i, n in enumerate(group):
                     out[n] = (u[i], s[i], vh[i])
+            _force_done([out[n][1] for n in group])  # honest stage boundary
             self._stage(f"svd_{shape[1]}x{shape[0]}", time.time() - t_shape)
         self._stage("svd", time.time() - t_stage)
         return out
