@@ -628,7 +628,19 @@ class GraspEngine:
             if unstacked:
                 for n in group:
                     w = self._get_proj(n)["kernel"].T.astype(jnp.float32)
-                    u, s, vh = svd(w, method=self.svd_method, mesh=self.mesh)
+                    try:
+                        u, s, vh = svd(w, method=self.svd_method, mesh=self.mesh)
+                        _force_done([s])
+                    except Exception as e:
+                        # transient HBM pressure (allocator fragmentation
+                        # right after a sweep): free what we can and retry
+                        # once before surfacing
+                        logger.warning("svd retry for %s after %s", n, e)
+                        import gc
+
+                        gc.collect()
+                        u, s, vh = svd(w, method=self.svd_method, mesh=self.mesh)
+                        _force_done([s])
                     out[n] = (u, s, vh)
             else:
                 stack = jnp.stack(
@@ -682,6 +694,11 @@ class GraspEngine:
             svd_out = svd_future.result()
         elif svd_after:
             grads = self.get_dense_gradients(names, calibration_batches)
+            # park the summed grads on the host during the SVD — the on-device
+            # eigh needs every spare HBM byte next to 12.55 GiB of 7B params
+            t_off = time.time()
+            grads = {k: np.asarray(jax.device_get(v)) for k, v in grads.items()}
+            self._stage("grad_offload", time.time() - t_off)
             svd_out = self._svd_of_dense(names)
         else:
             svd_out = {}

@@ -113,7 +113,22 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     )
 
     t0 = time.time()
-    summary = engine.run(batches, cfg)
+    try:
+        summary = engine.run(batches, cfg)
+    except Exception:
+        # dump residency for the post-mortem (metadata-only walk)
+        import collections
+
+        by_shape = collections.Counter()
+        total = 0
+        for a in jax.live_arrays():
+            by_shape[(str(a.shape), str(a.dtype))] += 1
+            total += a.nbytes
+        print(f"LIVE AT FAILURE: {total/2**30:.2f} GiB", file=sys.stderr)
+        for k, c in by_shape.most_common(12):
+            print("   ", k, "x", c, file=sys.stderr)
+        print("stage_times:", engine.stage_times, file=sys.stderr)
+        raise
     wall = time.time() - t0
 
     result["e2e_wall_s"] = round(wall, 1)
