@@ -699,7 +699,26 @@ class GraspEngine:
             t_off = time.time()
             grads = {k: np.asarray(jax.device_get(v)) for k, v in grads.items()}
             self._stage("grad_offload", time.time() - t_off)
-            svd_out = self._svd_of_dense(names)
+            # fully per-matrix pipeline: factor -> project -> truncate ->
+            # compile -> FREE before touching the next matrix. Keeping even
+            # one finished matrix's fp32 factors (~0.43 GiB) resident during
+            # the next eigh (1.6 GiB workspace) OOMed the 7B run.
+            t_stage = time.time()
+            indices_dict: Dict[str, np.ndarray] = {}
+            for n in names:
+                t_m = time.time()
+                out_one = self._svd_of_dense([n])
+                u, s, vh = out_one.pop(n)
+                self._select_compile_one(n, u, s, vh, grads.pop(n).T, cfg, indices_dict)
+                del u, s, vh
+                self._stage("svd_select_one", time.time() - t_m)
+            self.indices_dict = indices_dict
+            self.indices_log.update(indices_dict)
+            self._stage("select_compile", time.time() - t_stage)
+            if cfg.verbose:
+                for n, idx in indices_dict.items():
+                    logger.info("%s: %s", n, idx[:128].tolist())
+            return False
         else:
             svd_out = {}
             err: List[BaseException] = []
@@ -720,42 +739,10 @@ class GraspEngine:
         t_stage = time.time()
         indices_dict: Dict[str, np.ndarray] = {}
         for n in names:
-            u, s, vh = svd_out[n]
-            grad_w = grads[n].T  # dL/dkernel [in,out] -> torch-layout dL/dW [out,in]
-            sg = sigma_gradients(u, vh, grad_w)
-            importance = svd_saliency(sg, s, cfg.metric)
-            ratio = self.module_ratios.get(n, cfg.compression_ratio)
-            if ratio is not None:
-                k = preserve_rank(vh.shape[1], u.shape[0], ratio)
-                indices = np.asarray(select_topk(importance, k))
-            else:
-                assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
-                indices = np.asarray(adaptive_rank_selection(np.asarray(importance), cfg.threshold_ratio))
-            indices_dict[n] = indices
-            self.grasp_values_dict[n] = {
-                "svd_importance": np.round(np.asarray(importance), 3).tolist(),
-                "svd_value": np.round(np.asarray(s), 3).tolist(),
-            }
-
-            ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
-            self.rank_dict[n] = int(st.shape[0])
-            bias = self._get_proj(n).get("bias")
-            if cfg.merge:
-                new: Params = {"kernel": merge_svd(ut, st, vht).T}
-                if bias is not None:
-                    new["bias"] = bias
-                self._set_proj(n, new, "dense")
-            else:
-                in_kernel, out_kernel = lowrank_factors(ut, st, vht, cfg.sigma_fuse)
-                new = {"in_kernel": in_kernel, "out_kernel": out_kernel}
-                if bias is not None:
-                    new["bias"] = bias
-                self._set_proj(n, new, "lowrank")
-            # free this module's fp32 factors/grads before the next module —
-            # at 7B each (u, vh) pair is ~250 MB of HBM
-            svd_out.pop(n, None)
-            grads.pop(n, None)
-            del u, s, vh, ut, st, vht
+            u, s, vh = svd_out.pop(n)
+            # dL/dkernel [in,out] -> torch-layout dL/dW [out,in]
+            self._select_compile_one(n, u, s, vh, grads.pop(n).T, cfg, indices_dict)
+            del u, s, vh
 
         self.indices_dict = indices_dict
         self.indices_log.update(indices_dict)
@@ -764,6 +751,48 @@ class GraspEngine:
             for n, idx in indices_dict.items():
                 logger.info("%s: %s", n, idx[:128].tolist())
         return False
+
+    def _select_compile_one(
+        self,
+        n: str,
+        u: jax.Array,
+        s: jax.Array,
+        vh: jax.Array,
+        grad_w,
+        cfg: GraspConfig,
+        indices_dict: Dict[str, np.ndarray],
+    ) -> None:
+        """Saliency-project, select, truncate, and compile ONE module."""
+        sg = sigma_gradients(u, vh, jnp.asarray(grad_w))
+        importance = svd_saliency(sg, s, cfg.metric)
+        ratio = self.module_ratios.get(n, cfg.compression_ratio)
+        if ratio is not None:
+            k = preserve_rank(vh.shape[1], u.shape[0], ratio)
+            indices = np.asarray(select_topk(importance, k))
+        else:
+            assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
+            indices = np.asarray(adaptive_rank_selection(np.asarray(importance), cfg.threshold_ratio))
+        indices_dict[n] = indices
+        self.grasp_values_dict[n] = {
+            "svd_importance": np.round(np.asarray(importance), 3).tolist(),
+            "svd_value": np.round(np.asarray(s), 3).tolist(),
+        }
+
+        ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
+        self.rank_dict[n] = int(st.shape[0])
+        bias = self._get_proj(n).get("bias")
+        if cfg.merge:
+            new: Params = {"kernel": merge_svd(ut, st, vht).T}
+            if bias is not None:
+                new["bias"] = bias
+            self._set_proj(n, new, "dense")
+        else:
+            in_kernel, out_kernel = lowrank_factors(ut, st, vht, cfg.sigma_fuse)
+            new = {"in_kernel": in_kernel, "out_kernel": out_kernel}
+            if bias is not None:
+                new["bias"] = bias
+            self._set_proj(n, new, "lowrank")
+        _force_done([self._get_proj(n).get("in_kernel", self._get_proj(n).get("kernel"))])
 
     # ------------------------------------------------------------------
     # Stage 4 — rank selection

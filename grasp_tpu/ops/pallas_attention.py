@@ -33,8 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 # single source of block sizes: the backward reuses the forward residuals
-# (m, l), whose padded length is derived from these
-_BLOCK_Q, _BLOCK_K = 256, 256
+# (m, l), whose padded length is derived from these. Env-tunable for block
+# sweeps (scripts/sweep_flash_blocks.py); 256/256 measured best at 4k on v5e.
+import os as _os
+
+_BLOCK_Q = int(_os.environ.get("GRASP_FLASH_BQ", "256"))
+_BLOCK_K = int(_os.environ.get("GRASP_FLASH_BK", "256"))
 
 
 def _round_up(x: int, m: int) -> int:
