@@ -188,6 +188,20 @@ class GraspConfig:
     # identical (validated in tests/test_engine_golden.py).
     grad_mode: str = "dense"
 
+    # prefix split for sequential dense sweeps: layers below the lowest
+    # redundant layer are NEVER modified across rounds, so each round's grad
+    # graph can start at that boundary — a prefix forward compiled ONCE serves
+    # every round, and per-round grad graphs cover only the compressed tail
+    # (at 7B: 7 of 32 layers). Values: "off" (monolithic graphs, the
+    # reference-literal shape), "recompute" (prefix re-run per batch per
+    # round — saves compile time only), "cache" (prefix activations computed
+    # once and kept on device — also saves the prefix FLOPs every round;
+    # costs batches x B x S x hidden bf16 of HBM, 2.14 GiB at the 7B bench),
+    # "auto" (recompute when the split saves >= 4 layers, else off).
+    # Identical results: the prefix computes the same values every round
+    # (pinned by tests/test_engine_prefix.py).
+    prefix: str = "auto"
+
     # recovery (GRASP*)
     recovery: bool = False
     data_path: str = "yahma/alpaca-cleaned"

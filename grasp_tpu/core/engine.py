@@ -59,11 +59,14 @@ from grasp_tpu.ops.saliency import (
     svd_saliency,
 )
 from grasp_tpu.ops.svd import (
+    gram_basis,
     lowrank_factors,
     merge_svd,
     sigma_gradients,
     svd,
     truncate_svd,
+    ufree_sigma_saliency,
+    ufree_truncate,
 )
 
 logger = logging.getLogger("grasp_tpu")
@@ -187,6 +190,7 @@ class GraspEngine:
 
         self._bi_fns: Dict[Tuple, Any] = {}
         self._grad_fns: Dict[Tuple, Any] = {}
+        self._set_prefix(0, "off")
 
     def _stage(self, name: str, dt: float) -> None:
         self.stage_times[name] = self.stage_times.get(name, 0.0) + dt
@@ -535,11 +539,16 @@ class GraspEngine:
     # bit-for-bit on selected indices against the reference path in
     # tests/test_engine_golden.py.
 
-    def _make_dense_grad_fn(self, plan: ModelPlan, split_layers: Tuple[int, ...] = ()):
+    def _make_dense_grad_fn(
+        self,
+        plan: ModelPlan,
+        split_layers: Tuple[int, ...] = (),
+        start_layer: int = 0,
+    ):
         config, remat = self.config, self.remat
         scan_g = _scan_in_grads() and self.scan_fwd
 
-        def loss_from_kernels(k_dict: Dict[str, jax.Array], params: Params, input_ids, attention_mask, labels):
+        def loss_from_kernels(k_dict: Dict[str, jax.Array], params: Params, hidden_in, input_ids, attention_mask, labels):
             layers = list(params["layers"])
             for name, kern in k_dict.items():
                 li, group, proj = parse_module_name(name)
@@ -560,10 +569,54 @@ class GraspEngine:
                 attention_mask=attention_mask, remat=remat,
                 scan_layers=scan_g,
                 split_layers=split_layers,
+                start_layer=start_layer,
+                hidden_in=hidden_in,
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 
         return jax.jit(jax.value_and_grad(loss_from_kernels))
+
+    # -- prefix split (cfg.prefix): sequential rounds never modify layers
+    # below min(redundant) — run them once per batch (or once per run with
+    # "cache") through a fn compiled ONCE, so each round's grad graph covers
+    # only the compressed tail. See configs.GraspConfig.prefix.
+
+    def _set_prefix(self, layer: int, mode: str) -> None:
+        self._prefix_layer = 0 if mode == "off" else layer
+        self._prefix_cache = {} if (mode == "cache" and self._prefix_layer) else None
+        self._prefix_fns: Dict[Any, Any] = {}
+
+    def _get_prefix_fn(self):
+        sl = self._prefix_layer
+        # canonical suffix entries: layers >= sl are untraced, but they are
+        # part of the closure identity — normalize so every round reuses the
+        # SAME compiled prefix
+        plan_key = self.plan[:sl] + default_plan(self.config)[sl:]
+        if plan_key not in self._prefix_fns:
+            config, remat, scan_g = self.config, self.remat, self.scan_fwd
+
+            @jax.jit
+            def prefix_fn(params, input_ids, attention_mask):
+                return forward(
+                    params, input_ids, config=config, plan=plan_key,
+                    attention_mask=attention_mask, remat=remat,
+                    scan_layers=scan_g, stop_layer=sl,
+                )["hidden"]
+
+            self._prefix_fns[plan_key] = prefix_fn
+        return self._prefix_fns[plan_key]
+
+    def _prefix_hidden(self, i: int, batch: Batch, primed: bool):
+        """Boundary activation for batch i (cached across rounds in "cache")."""
+        if self._prefix_cache is not None and i in self._prefix_cache:
+            return self._prefix_cache[i]
+        fn = self._get_prefix_fn()
+        if not primed:
+            _prime(fn, self.params, batch["input_ids"], batch.get("attention_mask"))
+        h0 = fn(self.params, batch["input_ids"], batch.get("attention_mask"))
+        if self._prefix_cache is not None:
+            self._prefix_cache[i] = h0
+        return h0
 
     def get_dense_gradients(
         self, names: List[str], calibration_batches: Iterable[Batch]
@@ -573,22 +626,24 @@ class GraspEngine:
             if "kernel" not in self._get_proj(n):
                 raise ValueError(f"{n} is not a dense projection")
         split = tuple(sorted({parse_module_name(n)[0] for n in names}))
-        key = ("dgrad", self.plan, split)
+        sl = self._prefix_layer if all(li >= self._prefix_layer for li in split) else 0
+        key = ("dgrad", self.plan, split, sl)
         if key not in self._grad_fns:
-            self._grad_fns[key] = self._make_dense_grad_fn(self.plan, split)
+            self._grad_fns[key] = self._make_dense_grad_fn(self.plan, split, sl)
         grad_fn = self._grad_fns[key]
 
         k_dict = {n: self._get_proj(n)["kernel"] for n in names}
         totals: Dict[str, jax.Array] = {}
         t_stage = time.time()
         first_batch = True
-        for batch in calibration_batches:
+        for i, batch in enumerate(calibration_batches):
             batch = self._place_batch(batch)
+            h0 = self._prefix_hidden(i, batch, not first_batch) if sl else None
             if first_batch:
-                _prime(grad_fn, k_dict, self.params, batch["input_ids"],
+                _prime(grad_fn, k_dict, self.params, h0, batch["input_ids"],
                        batch.get("attention_mask"), batch["labels"])
             _, grads = grad_fn(
-                k_dict, self.params, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
+                k_dict, self.params, h0, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
             )
             for n, g in grads.items():
                 totals[n] = g if n not in totals else totals[n] + g
@@ -694,24 +749,36 @@ class GraspEngine:
             svd_out = svd_future.result()
         elif svd_after:
             grads = self.get_dense_gradients(names, calibration_batches)
-            # park the summed grads on the host during the SVD — the on-device
-            # eigh needs every spare HBM byte next to 12.55 GiB of 7B params
-            t_off = time.time()
-            grads = {k: np.asarray(jax.device_get(v)) for k, v in grads.items()}
-            self._stage("grad_offload", time.time() - t_off)
-            # fully per-matrix pipeline: factor -> project -> truncate ->
-            # compile -> FREE before touching the next matrix. Keeping even
-            # one finished matrix's fp32 factors (~0.43 GiB) resident during
-            # the next eigh (1.6 GiB workspace) OOMed the 7B run.
             t_stage = time.time()
             indices_dict: Dict[str, np.ndarray] = {}
-            for n in names:
-                t_m = time.time()
-                out_one = self._svd_of_dense([n])
-                u, s, vh = out_one.pop(n)
-                self._select_compile_one(n, u, s, vh, grads.pop(n).T, cfg, indices_dict)
-                del u, s, vh
-                self._stage("svd_select_one", time.time() - t_m)
+            if self.svd_method == "gram_device":
+                # U-free gram selection: the large singular factor is never
+                # materialized (see _select_compile_one_ufree), so the whole
+                # per-matrix working set is ~4 gram-sized fp32 buffers — the
+                # summed grads can stay on device (no host offload round-trip,
+                # which cost 176 s through this container's tunnel at 7B).
+                for n in names:
+                    t_m = time.time()
+                    self._select_compile_one_ufree(n, grads.pop(n), cfg, indices_dict)
+                    self._stage("svd_select_one", time.time() - t_m)
+            else:
+                # park the summed grads on the host during the SVD — the
+                # on-device eigh needs every spare HBM byte next to 12.55 GiB
+                # of 7B params
+                t_off = time.time()
+                grads = {k: np.asarray(jax.device_get(v)) for k, v in grads.items()}
+                self._stage("grad_offload", time.time() - t_off)
+                # fully per-matrix pipeline: factor -> project -> truncate ->
+                # compile -> FREE before touching the next matrix. Keeping even
+                # one finished matrix's fp32 factors (~0.43 GiB) resident
+                # during the next eigh (1.6 GiB workspace) OOMed the 7B run.
+                for n in names:
+                    t_m = time.time()
+                    out_one = self._svd_of_dense([n])
+                    u, s, vh = out_one.pop(n)
+                    self._select_compile_one(n, u, s, vh, grads.pop(n).T, cfg, indices_dict)
+                    del u, s, vh
+                    self._stage("svd_select_one", time.time() - t_m)
             self.indices_dict = indices_dict
             self.indices_log.update(indices_dict)
             self._stage("select_compile", time.time() - t_stage)
@@ -752,22 +819,20 @@ class GraspEngine:
                 logger.info("%s: %s", n, idx[:128].tolist())
         return False
 
-    def _select_compile_one(
+    def _select_indices(
         self,
         n: str,
-        u: jax.Array,
+        importance: jax.Array,
         s: jax.Array,
-        vh: jax.Array,
-        grad_w,
+        in_f: int,
+        out_f: int,
         cfg: GraspConfig,
         indices_dict: Dict[str, np.ndarray],
-    ) -> None:
-        """Saliency-project, select, truncate, and compile ONE module."""
-        sg = sigma_gradients(u, vh, jnp.asarray(grad_w))
-        importance = svd_saliency(sg, s, cfg.metric)
+    ) -> np.ndarray:
+        """Rank selection (fixed ratio or adaptive) + inspection bookkeeping."""
         ratio = self.module_ratios.get(n, cfg.compression_ratio)
         if ratio is not None:
-            k = preserve_rank(vh.shape[1], u.shape[0], ratio)
+            k = preserve_rank(in_f, out_f, ratio)
             indices = np.asarray(select_topk(importance, k))
         else:
             assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
@@ -777,8 +842,12 @@ class GraspEngine:
             "svd_importance": np.round(np.asarray(importance), 3).tolist(),
             "svd_value": np.round(np.asarray(s), 3).tolist(),
         }
+        return indices
 
-        ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
+    def _compile_truncated(
+        self, n: str, ut: jax.Array, st: jax.Array, vht: jax.Array, cfg: GraspConfig
+    ) -> None:
+        """Materialize the compiled module (merged dense or low-rank pair)."""
         self.rank_dict[n] = int(st.shape[0])
         bias = self._get_proj(n).get("bias")
         if cfg.merge:
@@ -793,6 +862,51 @@ class GraspEngine:
                 new["bias"] = bias
             self._set_proj(n, new, "lowrank")
         _force_done([self._get_proj(n).get("in_kernel", self._get_proj(n).get("kernel"))])
+
+    def _select_compile_one(
+        self,
+        n: str,
+        u: jax.Array,
+        s: jax.Array,
+        vh: jax.Array,
+        grad_w,
+        cfg: GraspConfig,
+        indices_dict: Dict[str, np.ndarray],
+    ) -> None:
+        """Saliency-project, select, truncate, and compile ONE module."""
+        sg = sigma_gradients(u, vh, jnp.asarray(grad_w))
+        importance = svd_saliency(sg, s, cfg.metric)
+        indices = self._select_indices(
+            n, importance, s, vh.shape[1], u.shape[0], cfg, indices_dict
+        )
+        ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
+        self._compile_truncated(n, ut, st, vht, cfg)
+
+    def _select_compile_one_ufree(
+        self,
+        n: str,
+        grad_kernel: jax.Array,
+        cfg: GraspConfig,
+        indices_dict: Dict[str, np.ndarray],
+    ) -> None:
+        """Gram-path selection WITHOUT materializing the large singular factor.
+
+        Saliency via the substitution u_i = W v_i / sigma_i (ops.svd
+        ufree_sigma_saliency): only the gram eigh, two gram-sized matmuls, and
+        a k-column reconstruction run — vs the full-U path's extra
+        out_f x min-dim fp32 factor (180 MB at the 7B mlp shapes) and its
+        projection einsum. Index agreement pinned by
+        tests/test_svd.py::test_ufree_gram_selection_matches_full.
+        grad_kernel: dL/d(kernel) in jax [in, out] layout.
+        """
+        w = self._get_proj(n)["kernel"].T  # torch layout [out, in]
+        s, basis, side = gram_basis(w)
+        importance = ufree_sigma_saliency(w, grad_kernel.T, s, basis, side, cfg.metric)
+        indices = self._select_indices(
+            n, importance, s, w.shape[1], w.shape[0], cfg, indices_dict
+        )
+        ut, st, vht = ufree_truncate(w, s, basis, side, jnp.asarray(indices))
+        self._compile_truncated(n, ut, st, vht, cfg)
 
     # ------------------------------------------------------------------
     # Stage 4 — rank selection
@@ -1013,31 +1127,7 @@ class GraspEngine:
             indices_dict: Dict[str, np.ndarray] = {}
             for n in names:
                 u, s, vh = svd_out[n]
-                sg = sigma_gradients(u, vh, grads[n].T)
-                importance = svd_saliency(sg, s, cfg.metric)
-                ratio = self.module_ratios.get(n, cfg.compression_ratio)
-                if ratio is not None:
-                    k = preserve_rank(vh.shape[1], u.shape[0], ratio)
-                    indices = np.asarray(select_topk(importance, k))
-                else:
-                    assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
-                    indices = np.asarray(adaptive_rank_selection(np.asarray(importance), cfg.threshold_ratio))
-                indices_dict[n] = indices
-                self.grasp_values_dict[n] = {
-                    "svd_importance": np.round(np.asarray(importance), 3).tolist(),
-                    "svd_value": np.round(np.asarray(s), 3).tolist(),
-                }
-                ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
-                self.rank_dict[n] = int(st.shape[0])
-                bias = self._get_proj(n).get("bias")
-                if cfg.merge:
-                    new: Params = {"kernel": merge_svd(ut, st, vht).T}
-                else:
-                    in_kernel, out_kernel = lowrank_factors(ut, st, vht, cfg.sigma_fuse)
-                    new = {"in_kernel": in_kernel, "out_kernel": out_kernel}
-                if bias is not None:
-                    new["bias"] = bias
-                self._set_proj(n, new, "dense" if cfg.merge else "lowrank")
+                self._select_compile_one(n, u, s, vh, grads[n].T, cfg, indices_dict)
             self.indices_dict = indices_dict
             self.indices_log.update(indices_dict)
         else:
@@ -1058,25 +1148,37 @@ class GraspEngine:
                     tg = list(targets) if targets else defaults
                     rounds.append((layer_id, block_type, tg))
 
-            if self.svd_method == "gram_device":
-                # All-on-device SVD: prefetch-overlapping it with the TPU
-                # sweep would contend for HBM (at 7B the sweep alone peaks at
-                # 13.8 of 15.75 GiB — fp32 factors resident during the sweep
-                # OOMed the first 7B run) and for the chip itself. It costs
-                # seconds on the MXU — run it inline AFTER each round's sweep.
-                for layer_id, block_type, tg in rounds:
-                    self.compress_round(
-                        layer_id, block_type, tg, calibration_batches, cfg,
-                        svd_after=True,
-                    )
-                return
+            # prefix split: rounds only ever modify layers >= p_min, so the
+            # sweep graphs can start at that boundary (see GraspConfig.prefix)
+            p_min = min((lid for lid, _, _ in rounds), default=0)
+            mode = cfg.prefix
+            if mode == "auto":
+                mode = "recompute" if p_min >= 4 else "off"
+            self._set_prefix(p_min, mode)
 
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                futures = [
-                    pool.submit(self._svd_of_dense, [module_name(lid, p) for p in tg])
-                    for lid, bt, tg in rounds
-                ]
-                for (layer_id, block_type, tg), fut in zip(rounds, futures):
-                    self.compress_round(
-                        layer_id, block_type, tg, calibration_batches, cfg, svd_future=fut
-                    )
+            try:
+                if self.svd_method == "gram_device":
+                    # All-on-device SVD: prefetch-overlapping it with the TPU
+                    # sweep would contend for HBM (at 7B the sweep alone peaks
+                    # at 13.8 of 15.75 GiB — fp32 factors resident during the
+                    # sweep OOMed the first 7B run) and for the chip itself. It
+                    # costs seconds on the MXU — run it inline AFTER each
+                    # round's sweep.
+                    for layer_id, block_type, tg in rounds:
+                        self.compress_round(
+                            layer_id, block_type, tg, calibration_batches, cfg,
+                            svd_after=True,
+                        )
+                    return
+
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    futures = [
+                        pool.submit(self._svd_of_dense, [module_name(lid, p) for p in tg])
+                        for lid, bt, tg in rounds
+                    ]
+                    for (layer_id, block_type, tg), fut in zip(rounds, futures):
+                        self.compress_round(
+                            layer_id, block_type, tg, calibration_batches, cfg, svd_future=fut
+                        )
+            finally:
+                self._set_prefix(0, "off")

@@ -401,6 +401,9 @@ def forward(
     remat: bool = False,
     scan_layers: bool = True,
     split_layers: Tuple[int, ...] = (),
+    start_layer: int = 0,
+    stop_layer: Optional[int] = None,
+    hidden_in: Optional[jax.Array] = None,
 ) -> Dict[str, Any]:
     """Full-sequence forward pass.
 
@@ -417,11 +420,23 @@ def forward(
     zero-gradient stacks (observed: 2x bf16[32,4096,11008] + 14 GiB
     fragmentation on the 7B = compile-time OOM). Splitting the layer keeps
     the stacks constant so their cotangents are never built.
+
+    start_layer/stop_layer/hidden_in: run only layers [start_layer,
+    stop_layer). With stop_layer set, returns {"hidden": h} — the input to
+    layer stop_layer, no final norm/logits. With start_layer > 0, hidden_in
+    supplies that boundary activation instead of the embedding. Splitting the
+    forward at the lowest-compressed-layer boundary lets the sequential
+    compression sweep skip (or cache) the prefix that no round ever modifies
+    (reference sweeps re-run the full model per round, grasp.py:81-126).
     """
     if plan is None:
         plan = default_plan(config)
     b, s = input_ids.shape
-    h = params["embed_tokens"]["weight"][input_ids]
+    if start_layer > 0:
+        assert hidden_in is not None, "start_layer > 0 requires hidden_in"
+        h = hidden_in
+    else:
+        h = params["embed_tokens"]["weight"][input_ids]
 
     if positions is None:
         positions = jnp.arange(s)[None, :].repeat(b, axis=0)
@@ -442,7 +457,8 @@ def forward(
     # stay unrolled.
     groups: List[Tuple[LayerPlan, List[int]]] = []
     split = set(split_layers)
-    for li in range(config.num_hidden_layers):
+    stop = config.num_hidden_layers if stop_layer is None else stop_layer
+    for li in range(start_layer, stop):
         if (
             groups
             and groups[-1][0] == plan[li]
@@ -479,6 +495,9 @@ def forward(
                 if output_hidden_states:
                     hidden_states.append(h)
                 h = body(params["layers"][i], h)
+
+    if stop_layer is not None:
+        return {"hidden": h}
 
     h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
     if output_hidden_states:

@@ -318,6 +318,122 @@ def _gram_svd_device(w: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return _gram_svd_device_jit(wf)
 
 
+# ---------------------------------------------------------------------------
+# U-free gram-path selection (7B fast path)
+#
+# With the thin SVD obtained from the Gram matrix of the SMALLER side, the
+# larger factor never has to be materialized for saliency: substituting
+# u_i = W v_i / sigma_i into dL/dsigma_i = u_i^T G v_i gives
+#     dL/dsigma_i = v_i^T (W^T G) v_i / sigma_i
+# so Taylor importance |sigma_i * dL/dsigma_i| = |diag(V^T (W^T G) V)| and the
+# gradient metric is that divided by sigma_i. Only the KEPT k columns of U are
+# reconstructed afterwards (u_k = W v_k / sigma_k) — at GRASP ratios that is
+# ~7% of the full-U reconstruction FLOPs and none of its 180 MB fp32
+# footprint (llama2-7b mlp shapes). Mirror identities hold for the out-side
+# gram (v_i^T = u_i^T W / sigma_i → dL/dsigma_i = u_i^T (G W^T) u_i / sigma_i).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _gram_basis_jit(wf: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    hi = jax.lax.Precision.HIGHEST
+    out_f, in_f = wf.shape[-2:]
+    if out_f <= in_f:  # basis spans the OUTPUT space (columns of U)
+        g = jnp.matmul(wf, jnp.swapaxes(wf, -1, -2), precision=hi)
+    else:  # basis spans the INPUT space (columns of V)
+        g = jnp.matmul(jnp.swapaxes(wf, -1, -2), wf, precision=hi)
+    lam, b = jnp.linalg.eigh(g)  # ascending
+    lam, b = lam[..., ::-1], b[..., :, ::-1]
+    s = jnp.sqrt(jnp.clip(lam, 0.0, None))
+    return s, b
+
+
+def gram_basis(w: jax.Array) -> Tuple[jax.Array, jax.Array, str]:
+    """Singular values + the small-side singular basis of ``w`` ([out, in]).
+
+    Returns (s, basis, side): side "u" means basis columns are left singular
+    vectors (out_f <= in_f), side "v" means right singular vectors. Runs
+    entirely on device (fp32 gram + eigh); AOT-primed per shape like
+    _gram_svd_device.
+    """
+    wf = w.astype(jnp.float32)
+    key = ("basis", wf.shape, str(wf.dtype))
+    if key not in _gram_primed_shapes:
+        try:
+            _gram_basis_jit.lower(jax.ShapeDtypeStruct(wf.shape, wf.dtype)).compile()
+        except Exception:
+            pass
+        _gram_primed_shapes.add(key)
+    s, b = _gram_basis_jit(wf)
+    side = "u" if wf.shape[-2] <= wf.shape[-1] else "v"
+    return s, b, side
+
+
+@jax.jit
+def _ufree_q_v(wf, gf, v):
+    hi = jax.lax.Precision.HIGHEST
+    m = jnp.matmul(jnp.swapaxes(wf, -1, -2), gf, precision=hi)  # [in, in]
+    mv = jnp.matmul(m, v, precision=hi)
+    return jnp.sum(v * mv, axis=-2)  # diag(V^T M V)
+
+
+@jax.jit
+def _ufree_q_u(wf, gf, u):
+    hi = jax.lax.Precision.HIGHEST
+    n = jnp.matmul(gf, jnp.swapaxes(wf, -1, -2), precision=hi)  # [out, out]
+    nu = jnp.matmul(n, u, precision=hi)
+    return jnp.sum(u * nu, axis=-2)
+
+
+def ufree_sigma_saliency(
+    w: jax.Array, grad_w: jax.Array, s: jax.Array, basis: jax.Array, side: str,
+    metric: str = "taylor",
+) -> jax.Array:
+    """Selection importance per singular direction WITHOUT materializing the
+    large factor. w/grad_w in torch layout [out, in]; (s, basis, side) from
+    :func:`gram_basis`. metric: "taylor" -> |sigma dL/dsigma|, "gradient" ->
+    |dL/dsigma| (reference modeling_grasp.py:392-395 semantics)."""
+    wf = w.astype(jnp.float32)
+    gf = grad_w.astype(jnp.float32)
+    q = _ufree_q_v(wf, gf, basis) if side == "v" else _ufree_q_u(wf, gf, basis)
+    if metric == "taylor":
+        return jnp.abs(q)
+    if metric == "gradient":
+        s_safe = jnp.maximum(s, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
+        return jnp.abs(q) / s_safe
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+@jax.jit
+def _ufree_trunc_v(wf, vk, sk):
+    hi = jax.lax.Precision.HIGHEST
+    uk = jnp.matmul(wf, vk, precision=hi) / sk[..., None, :]
+    return uk, jnp.swapaxes(vk, -1, -2)
+
+
+@jax.jit
+def _ufree_trunc_u(wf, uk, sk):
+    hi = jax.lax.Precision.HIGHEST
+    vhk = jnp.matmul(jnp.swapaxes(uk, -1, -2), wf, precision=hi) / sk[..., :, None]
+    return uk, vhk
+
+
+def ufree_truncate(
+    w: jax.Array, s: jax.Array, basis: jax.Array, side: str, indices: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Truncated (u, s, vh) reconstructing ONLY the kept columns of the large
+    factor. Index order is preserved (reference truncation semantics)."""
+    sk = s[..., indices]
+    s_safe = jnp.maximum(sk, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
+    bk = basis[..., :, indices]
+    wf = w.astype(jnp.float32)
+    if side == "v":
+        uk, vhk = _ufree_trunc_v(wf, bk, s_safe)
+    else:
+        uk, vhk = _ufree_trunc_u(wf, bk, s_safe)
+    return uk, sk, vhk
+
+
 @jax.jit
 def sigma_gradients(u: jax.Array, vh: jax.Array, grad_w: jax.Array) -> jax.Array:
     """Project a dense weight gradient onto the singular directions.

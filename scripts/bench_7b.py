@@ -52,6 +52,7 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     batch = int(batch or os.environ.get("GRASP_BENCH_7B_BATCH", 8))
     mode = mode or os.environ.get("GRASP_BENCH_7B_MODE", "sequential")
     svd_method = svd_method or os.environ.get("GRASP_BENCH_7B_SVD", "gram_device")
+    prefix = os.environ.get("GRASP_BENCH_7B_PREFIX", "auto")
 
     result = {
         "model": "llama2-7b (random init, bf16)",
@@ -60,6 +61,7 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
             "num_prune_layers": 7, "compression_ratio": 0.9, "metric": "taylor",
             "num_samples": samples, "seq_len": seq_len, "batch": batch,
             "sweep": mode, "svd_method": svd_method, "remat": True,
+            "prefix": prefix,
         },
         "date": time.strftime("%Y-%m-%d"),
     }
@@ -95,7 +97,7 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     k_dict = {n: engine._get_proj(n)["kernel"] for n in names0}
     b0 = batches[0]
     t_c = time.time()
-    compiled = gf.lower(k_dict, engine.params, b0["input_ids"], None, b0["labels"]).compile()
+    compiled = gf.lower(k_dict, engine.params, None, b0["input_ids"], None, b0["labels"]).compile()
     result["grad_fn_compile_s"] = round(time.time() - t_c, 1)
     exe_mem = executable_memory(compiled)
     result["grad_fn_xla_peak_gib"] = round(exe_mem["peak_bytes"] / 2**30, 2)
@@ -110,6 +112,7 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
         num_samples=samples,
         seq_len=seq_len,
         batch_size=batch,
+        prefix=prefix,
     )
 
     t0 = time.time()
@@ -160,16 +163,18 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     st = summary["stage_times_s"]
     compiles = st.get("grad_first_batch", 0.0)  # compile + 1 batch per round
     sweep_total = st.get("grad_sweep", 0.0) + st.get("bi_sweep", 0.0)
-    svd_total = st.get("svd", 0.0)
-    other = max(wall - sweep_total - st.get("select_compile", 0.0), 0.0)
-    # svd overlaps the sweep when it runs on the host; on-device it serializes
-    # (single chip). Extrapolate: compiles stay, parallel compute / 8.
-    proj8 = compiles + (sweep_total - compiles) / 8.0 + svd_total / 8.0 \
-        + st.get("select_compile", 0.0) + other / 8.0
+    select = st.get("select_compile", 0.0)
+    other = max(wall - sweep_total - select, 0.0)
+    # Extrapolation: compiles stay serial (one compile service). Sweeps dp-
+    # shard over 8 chips. The select/eigh phase fans its per-matrix work
+    # (3-4 independent eighs per round) across chips — capped at the round's
+    # matrix count, so /3.5 not /8.
+    proj8 = compiles + (sweep_total - compiles) / 8.0 + select / 3.5 + other / 8.0
     result["v5e8_projection_s"] = round(proj8, 1)
     result["v5e8_projection_note"] = (
-        "compiles kept serial; sweeps+svd+misc divided by 8 (dp sharding + "
-        "svd fan-out, parity pinned by tests/test_parallel_engine.py); "
+        "compiles kept serial; sweeps+misc divided by 8 (dp sharding, parity "
+        "pinned by tests/test_parallel_engine.py); per-round select/eigh "
+        "divided by 3.5 (per-matrix fan-out capped by matrices per round); "
         "per-dispatch tunnel tax left in (conservative)"
     )
 

@@ -1,0 +1,87 @@
+"""Prefix-split sequential sweeps: identical selection to monolithic graphs.
+
+cfg.prefix starts every round's gradient graph at the lowest-redundant-layer
+boundary (layers below it are never modified across sequential rounds —
+reference grasp.py:75-126 compresses descending layer ids). "recompute" runs
+the prefix per batch through a once-compiled fn; "cache" keeps the boundary
+activations on device across rounds. Both must reproduce the monolithic
+("off") pipeline exactly: same selected indices, same compiled factors.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grasp_tpu.configs import GraspConfig, ModelConfig
+from grasp_tpu.core.engine import GraspEngine
+from grasp_tpu.models import init_params
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = ModelConfig.tiny(num_hidden_layers=6, hidden_size=64, num_attention_heads=4,
+                              num_key_value_heads=2, intermediate_size=128)
+    params = init_params(jax.random.PRNGKey(0), config)
+    return config, params
+
+
+def _batches(config, n=2, rows=4, seq=17):
+    rng = np.random.default_rng(7)
+    out = []
+    for _ in range(n):
+        ids = rng.integers(0, config.vocab_size, size=(rows, seq))
+        out.append({
+            "input_ids": jnp.asarray(ids[:, :-1]),
+            "labels": jnp.asarray(ids[:, 1:]),
+        })
+    return out
+
+
+def _run(tiny, prefix, svd_method="auto"):
+    config, params = tiny
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config, svd_method=svd_method)
+    cfg = GraspConfig(layers_id=[5, 4], compression_ratio=0.5, metric="taylor",
+                      grad_mode="dense", sweep="sequential", prefix=prefix)
+    engine.run(_batches(config), cfg)
+    return engine
+
+
+@pytest.mark.parametrize("prefix", ["recompute", "cache"])
+def test_prefix_split_matches_monolithic(tiny, prefix):
+    base = _run(tiny, "off")
+    split = _run(tiny, prefix)
+    assert base.rank_dict == split.rank_dict
+    assert set(base.indices_log) == set(split.indices_log)
+    for name in base.indices_log:
+        np.testing.assert_array_equal(
+            base.indices_log[name], split.indices_log[name],
+            err_msg=f"selected indices diverged for {name} under prefix={prefix}",
+        )
+    # compiled low-rank factors bit-identical (prefix computes the same
+    # boundary values the monolithic graph computes inline)
+    for li in (4, 5):
+        for group in ("self_attn", "mlp"):
+            for proj, mod in base.params["layers"][li][group].items():
+                if "in_kernel" in mod:
+                    other = split.params["layers"][li][group][proj]
+                    np.testing.assert_allclose(
+                        np.asarray(mod["in_kernel"]), np.asarray(other["in_kernel"]),
+                        rtol=0, atol=0, err_msg=f"layer {li} {group}.{proj}",
+                    )
+
+
+def test_prefix_ufree_gram_device_matches(tiny):
+    """The 7B execution shape: gram_device SVD + U-free selection + prefix
+    split, vs the default pipeline — rank parity and index agreement (fp32
+    gram vs LAPACK can differ on near-ties, so indices compare as SETS per
+    module with >= 90% overlap; tiny random models have clustered spectra)."""
+    base = _run(tiny, "off")
+    dev = _run(tiny, "recompute", svd_method="gram_device")
+    assert base.rank_dict == dev.rank_dict
+    for name in base.indices_log:
+        a = set(np.asarray(base.indices_log[name]).tolist())
+        b = set(np.asarray(dev.indices_log[name]).tolist())
+        overlap = len(a & b) / max(len(a), 1)
+        assert overlap >= 0.9, f"{name}: index overlap {overlap:.2f}"

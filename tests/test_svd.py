@@ -214,3 +214,44 @@ def test_gram_device_svd_matches_gram(rng, shape):
     ue, se, vhe = svd(jnp.asarray(w), method="device")
     rec_e = (np.asarray(ue)[:, :k] * np.asarray(se)[:k]) @ np.asarray(vhe)[:k]
     np.testing.assert_allclose(rec, rec_e, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("shape,metric", [
+    ((48, 80), "taylor"), ((80, 48), "taylor"), ((64, 64), "taylor"),
+    ((48, 80), "gradient"),
+])
+def test_ufree_gram_selection_matches_full(rng, shape, metric):
+    """U-free gram selection (|diag(B^T (W^T G) B)| with u_i = W v_i / s_i
+    substituted — no large-factor materialization) picks the same top-k as
+    the full-SVD saliency path, and its truncated product reconstructs the
+    same low-rank matrix. This is the gate for the 7B select path."""
+    from grasp_tpu.ops.saliency import select_topk, svd_saliency
+    from grasp_tpu.ops.svd import (
+        gram_basis,
+        sigma_gradients,
+        ufree_sigma_saliency,
+        ufree_truncate,
+    )
+
+    w, _ = _spectrum_matrix(rng, *shape)
+    grad_w = jnp.asarray(rng.normal(size=w.shape).astype(np.float32))
+    k = min(*shape) // 3
+
+    u, s, vh = svd(jnp.asarray(w), method="device")
+    sal_full = svd_saliency(sigma_gradients(u, vh, grad_w), s, metric)
+    idx_full = np.asarray(select_topk(sal_full, k))
+
+    s2, basis, side = gram_basis(jnp.asarray(w))
+    sal = ufree_sigma_saliency(jnp.asarray(w), grad_w, s2, basis, side, metric)
+    idx = np.asarray(select_topk(sal, k))
+    np.testing.assert_array_equal(idx, idx_full)
+
+    ut, st, vht = ufree_truncate(jnp.asarray(w), s2, basis, side, jnp.asarray(idx))
+    assert ut.shape == (shape[0], k) and vht.shape == (k, shape[1])
+    rec = (np.asarray(ut) * np.asarray(st)) @ np.asarray(vht)
+    uf, sf, vhf = truncate_svd(u, s, vh, jnp.asarray(idx_full))
+    rec_full = (np.asarray(uf) * np.asarray(sf)) @ np.asarray(vhf)
+    np.testing.assert_allclose(rec, rec_full, rtol=2e-3, atol=2e-3)
+    # orthonormality of the reconstructed thin factor
+    large = np.asarray(ut) if side == "v" else np.asarray(vht).T
+    np.testing.assert_allclose(large.T @ large, np.eye(k), atol=2e-3)
