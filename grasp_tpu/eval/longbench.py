@@ -184,9 +184,35 @@ SMALL_LONGBENCH_DATASETS = list(_TASKS["small_datasets"])
 _FIRST_LINE_TASKS = set(_TASKS["first_line_tasks"])
 
 
+_VICUNA_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the user's "
+    "questions."
+)
+
+
 def build_chat(prompt: str, model_name: str) -> str:
-    """Chat-format wrapper per model family (reference :279-301; families whose
-    toolchains aren't present here map to identity)."""
+    """Chat-format wrapper per model family (reference :279-301).
+
+    The reference delegates to each family's toolchain (fastchat conversation
+    templates, the ChatGLM tokenizers' build_prompt/build_chat_input); those
+    packages aren't importable here, so the wrappers reproduce the exact
+    strings those toolchains emit:
+      - vicuna/longchat: fastchat "vicuna" template (ADD_COLON_TWO, sep " ")
+        -> "<system> USER: <prompt> ASSISTANT:"
+      - chatglm (-> chatglm2-6b in the reference's model2path): the
+        tokenizer's build_prompt single-turn string
+      - chatglm3: build_chat_input's token sequence rendered as text — the
+        <|user|>/<|assistant|> role specials are in that family's vocab, so
+        encoding with its tokenizer reproduces the reference ids (our
+        tokenizer-level approximation; build_chat_input itself returns ids)
+    """
+    if "chatglm3" in model_name:
+        return f"<|user|>\n{prompt}<|assistant|>"
+    if "chatglm" in model_name:
+        return f"[Round 1]\n\n问：{prompt}\n\n答："
+    if "longchat" in model_name or "vicuna" in model_name:
+        return f"{_VICUNA_SYSTEM} USER: {prompt} ASSISTANT:"
     if "llama2" in model_name:
         return f"[INST]{prompt}[/INST]"
     if "xgen" in model_name:

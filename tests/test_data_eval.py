@@ -363,3 +363,21 @@ def test_longbench_end_to_end_with_override(model_pair):
             samples_override=samples, output_dir=td, max_length=256,
         )
     assert "lcc" in scores and 0.0 <= scores["lcc"] <= 100.0
+
+
+def test_build_chat_family_wrappers():
+    """Chat wrappers emit exactly what the reference toolchains produce
+    (reference eval_longbench.py:279-301; fastchat vicuna template and the
+    ChatGLM tokenizers reproduced as strings — their packages aren't
+    importable here)."""
+    from grasp_tpu.eval.longbench import build_chat
+
+    p = "What is 2+2?"
+    assert build_chat(p, "llama2-7b-chat-4k") == f"[INST]{p}[/INST]"
+    assert build_chat(p, "chatglm2-6b") == f"[Round 1]\n\n问：{p}\n\n答："
+    assert build_chat(p, "chatglm3-6b-32k") == f"<|user|>\n{p}<|assistant|>"
+    v = build_chat(p, "vicuna-v1.5-7b-16k")
+    assert v.endswith(f"USER: {p} ASSISTANT:") and v.startswith("A chat between")
+    assert build_chat(p, "longchat-v1.5-7b-32k") == v
+    assert build_chat(p, "internlm-7b-8k") == f"<|User|>:{p}<eoh>\n<|Bot|>:"
+    assert build_chat(p, "some-base-model") == p
