@@ -59,14 +59,13 @@ from grasp_tpu.ops.saliency import (
     svd_saliency,
 )
 from grasp_tpu.ops.svd import (
-    gram_basis,
     lowrank_factors,
     merge_svd,
     sigma_gradients,
     svd,
     truncate_svd,
-    ufree_sigma_saliency,
-    ufree_truncate,
+    ufree_select,
+    ufree_truncate_kernel,
 )
 
 logger = logging.getLogger("grasp_tpu")
@@ -892,20 +891,25 @@ class GraspEngine:
         """Gram-path selection WITHOUT materializing the large singular factor.
 
         Saliency via the substitution u_i = W v_i / sigma_i (ops.svd
-        ufree_sigma_saliency): only the gram eigh, two gram-sized matmuls, and
+        ufree_select): only the gram eigh, two gram-sized matmuls, and
         a k-column reconstruction run — vs the full-U path's extra
         out_f x min-dim fp32 factor (180 MB at the 7B mlp shapes) and its
-        projection einsum. Index agreement pinned by
+        projection einsum. Both dispatches operate on the NATIVE [in, out]
+        kernel with transpose/cast in-graph and are AOT-primed — the eager
+        torch-layout variant allocated ~900 MB of per-matrix device copies
+        and OOMed the 7B run at 13.37 GiB live. Index agreement pinned by
         tests/test_svd.py::test_ufree_gram_selection_matches_full.
         grad_kernel: dL/d(kernel) in jax [in, out] layout.
         """
-        w = self._get_proj(n)["kernel"].T  # torch layout [out, in]
-        s, basis, side = gram_basis(w)
-        importance = ufree_sigma_saliency(w, grad_kernel.T, s, basis, side, cfg.metric)
+        kernel = self._get_proj(n)["kernel"]  # [in, out]
+        s, basis, side, importance = ufree_select(kernel, grad_kernel, cfg.metric)
+        in_f, out_f = kernel.shape[-2], kernel.shape[-1]
         indices = self._select_indices(
-            n, importance, s, w.shape[1], w.shape[0], cfg, indices_dict
+            n, importance, s, in_f, out_f, cfg, indices_dict
         )
-        ut, st, vht = ufree_truncate(w, s, basis, side, jnp.asarray(indices))
+        ut, st, vht = ufree_truncate_kernel(
+            kernel, s, basis, side, jnp.asarray(indices)
+        )
         self._compile_truncated(n, ut, st, vht, cfg)
 
     # ------------------------------------------------------------------

@@ -17,6 +17,7 @@ conventions are normalized identically either way.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -432,6 +433,114 @@ def ufree_truncate(
     else:
         uk, vhk = _ufree_trunc_u(wf, bk, s_safe)
     return uk, sk, vhk
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def _ufree_select_jit(kernel, grad_kernel, metric):
+    """Fused gram + eigh + saliency on the NATIVE [in, out] kernel layout.
+
+    All transposes and fp32 casts live inside the graph: XLA folds them into
+    the dot dimension numbers instead of materializing device copies, and the
+    scheduler keeps the grad cast out of the eigh's live range. The eager
+    torch-layout path (gram_basis + ufree_sigma_saliency) allocated ~900 MB
+    of avoidable per-matrix copies at the 7B mlp shapes (eager .T, eager
+    .astype(fp32) x3, plus the axon dispatch path's persistent argument
+    copies) — that OOMed the 7B run at 13.37 GiB live.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    wf = jnp.swapaxes(kernel, -1, -2).astype(jnp.float32)  # torch layout [out, in]
+    gf = jnp.swapaxes(grad_kernel, -1, -2).astype(jnp.float32)
+    out_f, in_f = wf.shape[-2:]
+    if out_f <= in_f:  # basis spans the OUTPUT space (columns of U)
+        g = jnp.matmul(wf, jnp.swapaxes(wf, -1, -2), precision=hi)
+    else:  # basis spans the INPUT space (columns of V)
+        g = jnp.matmul(jnp.swapaxes(wf, -1, -2), wf, precision=hi)
+    lam, b = jnp.linalg.eigh(g)  # ascending
+    lam, b = lam[..., ::-1], b[..., :, ::-1]
+    s = jnp.sqrt(jnp.clip(lam, 0.0, None))
+    if out_f <= in_f:  # side "u": q_i = u_i^T (G W^T) u_i
+        n = jnp.matmul(gf, jnp.swapaxes(wf, -1, -2), precision=hi)
+        q = jnp.sum(b * jnp.matmul(n, b, precision=hi), axis=-2)
+    else:  # side "v": q_i = v_i^T (W^T G) v_i
+        m = jnp.matmul(jnp.swapaxes(wf, -1, -2), gf, precision=hi)
+        q = jnp.sum(b * jnp.matmul(m, b, precision=hi), axis=-2)
+    if metric == "taylor":
+        imp = jnp.abs(q)
+    else:  # "gradient"
+        s_safe = jnp.maximum(s, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
+        imp = jnp.abs(q) / s_safe
+    return s, b, imp
+
+
+def ufree_select(
+    kernel: jax.Array, grad_kernel: jax.Array, metric: str = "taylor"
+) -> Tuple[jax.Array, jax.Array, str, jax.Array]:
+    """One-dispatch U-free selection on the native [in, out] kernel.
+
+    Returns (s, basis, side, importance); (s, basis, side) feed
+    :func:`ufree_truncate_kernel`. AOT-primed per shape (axon dispatch-copy
+    trap); no eager transpose/cast ever touches HBM outside the graph.
+    """
+    if metric not in ("taylor", "gradient"):
+        raise ValueError(f"unknown metric {metric!r}")
+    key = ("ufree_sel", kernel.shape, str(kernel.dtype), grad_kernel.shape,
+           str(grad_kernel.dtype), metric)
+    if key not in _gram_primed_shapes:
+        try:
+            _ufree_select_jit.lower(
+                jax.ShapeDtypeStruct(kernel.shape, kernel.dtype),
+                jax.ShapeDtypeStruct(grad_kernel.shape, grad_kernel.dtype),
+                metric=metric,
+            ).compile()
+        except Exception:
+            pass
+        _gram_primed_shapes.add(key)
+    s, b, imp = _ufree_select_jit(kernel, grad_kernel, metric=metric)
+    side = "u" if kernel.shape[-1] <= kernel.shape[-2] else "v"
+    return s, b, side, imp
+
+
+@partial(jax.jit, static_argnames=("side",))
+def _ufree_trunc_kernel_jit(kernel, s, basis, indices, side):
+    hi = jax.lax.Precision.HIGHEST
+    wf = jnp.swapaxes(kernel, -1, -2).astype(jnp.float32)  # torch layout
+    sk = s[..., indices]
+    s_safe = jnp.maximum(sk, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
+    bk = basis[..., :, indices]
+    if side == "v":
+        uk = jnp.matmul(wf, bk, precision=hi) / s_safe[..., None, :]
+        vhk = jnp.swapaxes(bk, -1, -2)
+    else:
+        vhk = jnp.matmul(jnp.swapaxes(bk, -1, -2), wf, precision=hi) / s_safe[..., :, None]
+        uk = bk
+    return uk, sk, vhk
+
+
+def ufree_truncate_kernel(
+    kernel: jax.Array, s: jax.Array, basis: jax.Array, side: str,
+    indices: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Truncated (u, s, vh) from the native [in, out] kernel + gram basis.
+
+    Same math as :func:`ufree_truncate` (index order preserved, reference
+    truncation semantics) with the transpose/cast in-graph and the dispatch
+    AOT-primed per (shape, k)."""
+    indices = jnp.asarray(indices)
+    key = ("ufree_trunc", kernel.shape, str(kernel.dtype),
+           int(indices.shape[-1]), side)
+    if key not in _gram_primed_shapes:
+        try:
+            _ufree_trunc_kernel_jit.lower(
+                jax.ShapeDtypeStruct(kernel.shape, kernel.dtype),
+                jax.ShapeDtypeStruct(s.shape, s.dtype),
+                jax.ShapeDtypeStruct(basis.shape, basis.dtype),
+                jax.ShapeDtypeStruct(indices.shape, indices.dtype),
+                side=side,
+            ).compile()
+        except Exception:
+            pass
+        _gram_primed_shapes.add(key)
+    return _ufree_trunc_kernel_jit(kernel, s, basis, indices, side=side)
 
 
 @jax.jit

@@ -255,3 +255,18 @@ def test_ufree_gram_selection_matches_full(rng, shape, metric):
     # orthonormality of the reconstructed thin factor
     large = np.asarray(ut) if side == "v" else np.asarray(vht).T
     np.testing.assert_allclose(large.T @ large, np.eye(k), atol=2e-3)
+
+    # the fused kernel-layout path (what the engine dispatches at 7B:
+    # native [in, out] kernel, transpose/cast in-graph, one primed jit)
+    # must agree with the eager torch-layout reference above
+    from grasp_tpu.ops.svd import ufree_select, ufree_truncate_kernel
+
+    kernel = jnp.asarray(w).T  # jax [in, out] layout
+    s3, basis3, side3, sal3 = ufree_select(kernel, grad_w.T, metric)
+    assert side3 == side
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s2), rtol=1e-5, atol=1e-5)
+    idx3 = np.asarray(select_topk(sal3, k))
+    np.testing.assert_array_equal(idx3, idx_full)
+    ut3, st3, vht3 = ufree_truncate_kernel(kernel, s3, basis3, side3, jnp.asarray(idx3))
+    rec3 = (np.asarray(ut3) * np.asarray(st3)) @ np.asarray(vht3)
+    np.testing.assert_allclose(rec3, rec_full, rtol=2e-3, atol=2e-3)
