@@ -50,6 +50,7 @@ from grasp_tpu.models.llama import (
     hf_causal_lm_loss,
     plan_set,
 )
+from grasp_tpu.models.moe import MOE_PARTS
 from grasp_tpu.ops.saliency import (
     adaptive_rank_selection,
     bi_from_hiddens,
@@ -116,9 +117,38 @@ def _prime(fn, *args, **kwargs) -> None:
         logger.debug("prime failed (falling back to dispatch): %s", e)
 
 
+def _resolve_targets(defaults: List[str], targets) -> List[str]:
+    """Target list vs a block's defaults, translating reference dense-MLP
+    names to Mixtral expert parts on MoE blocks (gate_proj->w1, up_proj->w3,
+    down_proj->w2 — the HF naming correspondence) so reference-style configs
+    run unchanged on MoE models."""
+    tg = list(targets) if targets else list(defaults)
+    if list(defaults) == list(MOE_PARTS) and all(t in MLP_PROJS for t in tg):
+        m = {"gate_proj": "w1", "down_proj": "w2", "up_proj": "w3"}
+        tg = [m[t] for t in tg]
+    return tg
+
+
+def _prime_strict(fn, *args, **kwargs) -> None:
+    """AOT-compile, surfacing failures (background-prefetch worker logs them)."""
+    fn.lower(*args, **kwargs).compile()
+
+
+def _prime_ufree_pair(prime_sel, prime_trunc, kern_sds, metric, idx_shape, side):
+    prime_sel(kern_sds, kern_sds, metric)
+    prime_trunc(kern_sds, idx_shape, side)
+
+
 def module_name(layer_id: int, proj: str) -> str:
-    """Reference-compatible module path, e.g. 'model.layers.3.self_attn.q_proj'."""
-    group = "self_attn" if proj in ATTN_PROJS else "mlp"
+    """Reference-compatible module path, e.g. 'model.layers.3.self_attn.q_proj'.
+
+    Stacked MoE expert parts (w1/w2/w3, models.moe) live under the HF Mixtral
+    group name: 'model.layers.3.block_sparse_moe.w1' — ONE module per part
+    covering all experts (the [E] axis is batched, not enumerated)."""
+    if proj in MOE_PARTS:
+        group = "block_sparse_moe"
+    else:
+        group = "self_attn" if proj in ATTN_PROJS else "mlp"
     return f"model.layers.{layer_id}.{group}.{proj}"
 
 
@@ -207,14 +237,58 @@ class GraspEngine:
 
     def _get_proj(self, name: str) -> Params:
         layer_id, group, proj = parse_module_name(name)
+        if group == "block_sparse_moe":
+            # stacked-expert parts are raw arrays in the experts dict; present
+            # them through the same {"kernel": ...} / {"in_kernel": ...}
+            # contract the rest of the engine speaks (view, not a copy)
+            ex = self.params["layers"][layer_id]["moe"]["experts"]
+            if proj in ex:
+                return {"kernel": ex[proj]}
+            view: Params = {}
+            if proj + "_a" in ex:
+                view["in_kernel"] = ex[proj + "_a"]
+                view["out_kernel"] = ex[proj + "_b"]
+            return view
         return self.params["layers"][layer_id][group][proj]
 
     def _set_proj(self, name: str, new_params: Params, kind: str) -> None:
         layer_id, group, proj = parse_module_name(name)
+        if group == "block_sparse_moe":
+            # compressed experts are params-keyed (like the quantized forms):
+            # moe_apply dispatches on the presence of w*_a/w*_b — the static
+            # plan tracks only dense-layer projections
+            if self.mesh is not None:
+                new_params = self._place_moe_part(new_params)
+            ex = dict(self.params["layers"][layer_id]["moe"]["experts"])
+            ex.pop(proj, None)
+            if kind == "dense":
+                ex[proj] = new_params["kernel"]
+                ex.pop(proj + "_a", None)
+                ex.pop(proj + "_b", None)
+            else:
+                ex[proj + "_a"] = new_params["in_kernel"]
+                ex[proj + "_b"] = new_params["out_kernel"]
+            self.params["layers"][layer_id]["moe"]["experts"] = ex
+            return
         if self.mesh is not None:
             new_params = self._place_proj(proj, new_params)
         self.params["layers"][layer_id][group][proj] = new_params
         self.plan = plan_set(self.plan, layer_id, proj, kind)
+
+    def _place_moe_part(self, new_params: Params) -> Params:
+        """Expert-parallel placement: shard the leading [E] axis over the
+        model axis when it divides (parallel.mesh.moe_specs semantics)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from grasp_tpu.parallel.mesh import MODEL_AXIS
+
+        placed = {}
+        for key, value in new_params.items():
+            ok = value.shape[0] % self.mesh.shape[MODEL_AXIS] == 0
+            spec = P(MODEL_AXIS, *([None] * (value.ndim - 1))) if ok else P()
+            placed[key] = jax.device_put(value, NamedSharding(self.mesh, spec))
+        return placed
 
     def _place_proj(self, proj: str, new_params: Params) -> Params:
         """Place a freshly-built projection subtree on the mesh (TP spec for
@@ -389,6 +463,21 @@ class GraspEngine:
     # Stage 2 — SVD-ify a block
     # ------------------------------------------------------------------
 
+    def _block_targets(self, layer_id: int, block_type: str) -> List[str]:
+        """Default target projections of one block.
+
+        "mlp" on a Mixtral-family layer resolves to the stacked MoE expert
+        parts (w1/w2/w3) — a beyond-reference extension: the reference's
+        target names are hardcoded to dense gate/up/down_proj
+        (modeling_grasp.py:248)."""
+        if block_type == "attention":
+            return list(ATTN_PROJS)
+        if block_type == "mlp":
+            if "moe" in self.params["layers"][layer_id]:
+                return list(MOE_PARTS)
+            return list(MLP_PROJS)
+        raise NotImplementedError(f"block type {block_type} not supported")
+
     def compress_block(
         self,
         layer_id: int,
@@ -410,20 +499,16 @@ class GraspEngine:
         if target_layer_types is None:
             return True
 
-        if block_type == "attention":
-            defaults = list(ATTN_PROJS)
-        elif block_type == "mlp":
-            if "moe" in self.params["layers"][layer_id]:
-                raise NotImplementedError(
-                    "GRASP compression of sparse-MoE expert MLPs is not "
-                    "supported (Mixtral-family layers compress their "
-                    "attention block only; pass block_type='attention')"
-                )
-            defaults = list(MLP_PROJS)
-        else:
-            raise NotImplementedError(f"block type {block_type} not supported")
+        if block_type == "mlp" and "moe" in self.params["layers"][layer_id]:
+            raise NotImplementedError(
+                "SVD-module (grad_mode='svd') compression of sparse-MoE "
+                "expert MLPs is not supported — the dense-gradient path "
+                "(grad_mode='dense', the default) compresses stacked experts "
+                "batched over the [E] axis (see compress_round)"
+            )
+        defaults = self._block_targets(layer_id, block_type)
 
-        targets = list(target_layer_types) if target_layer_types else defaults
+        targets = _resolve_targets(defaults, target_layer_types)
         if not all(t in defaults for t in targets):
             raise ValueError(f"values in target layer types not valid, should be one of {defaults}")
 
@@ -552,11 +637,16 @@ class GraspEngine:
             for name, kern in k_dict.items():
                 li, group, proj = parse_module_name(name)
                 layer = dict(layers[li])
-                grp = dict(layer[group])
-                mod = dict(grp[proj])
-                mod["kernel"] = kern
-                grp[proj] = mod
-                layer[group] = grp
+                if group == "block_sparse_moe":
+                    moe = dict(layer["moe"])
+                    moe["experts"] = {**moe["experts"], proj: kern}
+                    layer["moe"] = moe
+                else:
+                    grp = dict(layer[group])
+                    mod = dict(grp[proj])
+                    mod["kernel"] = kern
+                    grp[proj] = mod
+                    layer[group] = grp
                 layers[li] = layer
             params = {**params, "layers": layers}
             # split_layers keeps the trainable layers out of the scan stacks —
@@ -660,6 +750,162 @@ class GraspEngine:
         self._stage("grad_sweep", time.time() - t_stage)
         return totals
 
+    def _start_compile_prefetch(self, rounds, calibration_batches, cfg: GraspConfig):
+        """Compile every round's graphs AHEAD of their first dispatch.
+
+        The gram_device 7B run is compile-bound: each of the 14 rounds pays a
+        ~30 s remote compile for its suffix grad graph (the plan changes every
+        round) plus per-shape selection/truncation compiles — 420 s +
+        most of 527 s of the 1301 s e2e, all serial with the chip idle.
+        Both are fully determined BEFORE any sweep runs when ranks come from
+        a fixed compression_ratio: round r's plan is round r-1's plan with
+        its targets switched to rank-k low-rank (k = preserve_rank), and the
+        param tree evolves shape-deterministically. So: build every round's
+        jit fn (main thread, cheap tracing closures) and hand ShapeDtypeStruct
+        lowering + compilation to a daemon worker — the XLA client compiles on
+        the host/compile service while the TPU runs earlier rounds' sweeps.
+        The sweep's own _prime then hits a warm cache.
+
+        Returns a stop() callable (sets a flag the worker checks between
+        tasks). No-ops (returns None) for adaptive selection (ranks unknown
+        upfront), mesh runs (lowering would need shardings), or empty rounds.
+        """
+        import os
+        import threading
+
+        if self.mesh is not None or cfg.compression_ratio is None or not rounds:
+            return None
+        # On CPU the compiles are local and the worker would fight the main
+        # loop for the same cores (this container has ONE) — prefetch only
+        # pays when compilation happens off-thread (remote service / TPU
+        # toolchain). GRASP_COMPILE_PREFETCH=1/0 overrides for tests.
+        knob = os.environ.get("GRASP_COMPILE_PREFETCH")
+        if knob == "0" or (knob != "1" and jax.default_backend() == "cpu"):
+            return None
+        try:
+            batch0 = calibration_batches[0]
+        except (TypeError, IndexError, KeyError):
+            return None
+
+        sds = jax.ShapeDtypeStruct
+        as_sds = lambda x: sds(jnp.shape(x), x.dtype)  # noqa: E731
+        ids_sds = as_sds(batch0["input_ids"])
+        labels_sds = as_sds(batch0["labels"])
+        mask = batch0.get("attention_mask")
+        mask_sds = as_sds(mask) if mask is not None else None
+
+        sim = jax.tree.map(as_sds, self.params)
+        plan = self.plan
+        sl = self._prefix_layer
+        h0_sds = None
+        if sl and all(lid >= sl for lid, _, _ in rounds):
+            try:
+                h0_sds = jax.eval_shape(self._get_prefix_fn(), sim, ids_sds, mask_sds)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                logger.debug("prefix eval_shape failed, no compile prefetch: %s", e)
+                return None
+
+        tasks: List[Tuple[str, Any]] = []
+        seen_primes = set()
+        for layer_id, block_type, tg in rounds:
+            targets = _resolve_targets(self._block_targets(layer_id, block_type), tg)
+            names = [module_name(layer_id, p) for p in targets]
+            split = (layer_id,)
+            this_sl = sl if layer_id >= sl else 0
+            key = ("dgrad", plan, split, this_sl)
+            if key not in self._grad_fns:
+                self._grad_fns[key] = self._make_dense_grad_fn(plan, split, this_sl)
+            gf = self._grad_fns[key]
+            k_sds = {}
+            for n in names:
+                li, group, proj = parse_module_name(n)
+                if group == "block_sparse_moe":
+                    k_sds[n] = sim["layers"][li]["moe"]["experts"][proj]
+                else:
+                    k_sds[n] = sim["layers"][li][group][proj]["kernel"]
+            args = (k_sds, sim, h0_sds if this_sl else None, ids_sds, mask_sds, labels_sds)
+            tasks.append((f"dgrad L{layer_id} {block_type}",
+                          partial(_prime_strict, gf, *args)))
+
+            # selection/truncation primes + simulate this round's compression
+            for n in names:
+                kern = k_sds[n]
+                in_f, out_f = kern.shape[-2], kern.shape[-1]
+                ratio = self.module_ratios.get(n, cfg.compression_ratio)
+                k = preserve_rank(in_f, out_f, ratio)
+                if self.svd_method == "gram_device" and not cfg.merge:
+                    from grasp_tpu.ops.svd import (
+                        ufree_prime_select,
+                        ufree_prime_truncate,
+                    )
+
+                    side = "u" if out_f <= in_f else "v"
+                    idx_shape = kern.shape[:-2] + (k,)
+                    pkey = (kern.shape, str(kern.dtype), k, cfg.metric)
+                    if pkey not in seen_primes:
+                        seen_primes.add(pkey)
+                        tasks.append((
+                            f"ufree {kern.shape} k={k}",
+                            partial(_prime_ufree_pair, ufree_prime_select,
+                                    ufree_prime_truncate, kern, cfg.metric,
+                                    idx_shape, side),
+                        ))
+                sim, plan = self._sim_compress_shapes(sim, plan, n, k, cfg.merge)
+
+        stop = {"flag": False}
+
+        def _worker():
+            for desc, task in tasks:
+                if stop["flag"]:
+                    return
+                try:
+                    task()
+                except Exception as e:  # pragma: no cover - backend quirks
+                    logger.debug("compile prefetch failed (%s): %s", desc, e)
+
+        th = threading.Thread(target=_worker, daemon=True, name="grasp-compile-prefetch")
+        th.start()
+
+        def _stop():
+            stop["flag"] = True
+
+        return _stop
+
+    def _sim_compress_shapes(self, sim, plan, name: str, k: int, merge: bool):
+        """Advance the ShapeDtypeStruct param tree + plan past one module's
+        compression (mirrors _compile_truncated/_set_proj exactly)."""
+        sds = jax.ShapeDtypeStruct
+        li, group, proj = parse_module_name(name)
+        layers = list(sim["layers"])
+        layer = dict(layers[li])
+        if group == "block_sparse_moe":
+            moe = dict(layer["moe"])
+            ex = dict(moe["experts"])
+            kern = ex.pop(proj)
+            lead, (in_f, out_f), dt = kern.shape[:-2], kern.shape[-2:], kern.dtype
+            if merge:
+                ex[proj] = kern
+            else:
+                ex[proj + "_a"] = sds(lead + (in_f, k), dt)
+                ex[proj + "_b"] = sds(lead + (k, out_f), dt)
+            moe["experts"] = ex
+            layer["moe"] = moe
+        else:
+            grp = dict(layer[group])
+            mod = dict(grp[proj])
+            kern = mod.pop("kernel")
+            (in_f, out_f), dt = kern.shape, kern.dtype
+            if merge:
+                mod["kernel"] = kern
+            else:
+                mod["in_kernel"] = sds((in_f, k), dt)
+                mod["out_kernel"] = sds((k, out_f), dt)
+            grp[proj] = mod
+            layer[group] = grp
+            plan = plan_set(plan, li, proj, "dense" if merge else "lowrank")
+        layers[li] = layer
+        return {**sim, "layers": layers}, plan
+
     def _svd_of_dense(self, names: List[str]) -> Dict[str, Tuple[jax.Array, jax.Array, jax.Array]]:
         """Host SVD of the named dense kernels (torch [out,in] layout), grouped
         by shape for batched factorization."""
@@ -677,11 +923,11 @@ class GraspEngine:
             # is MXU-efficient at these sizes anyway
             unstacked = (
                 self.svd_method == "gram_device"
-                and min(shape) * max(shape) >= 2048 * 2048
+                and min(shape[-2:]) * max(shape[-2:]) >= 2048 * 2048
             )
             if unstacked:
                 for n in group:
-                    w = self._get_proj(n)["kernel"].T.astype(jnp.float32)
+                    w = jnp.swapaxes(self._get_proj(n)["kernel"], -1, -2).astype(jnp.float32)
                     try:
                         u, s, vh = svd(w, method=self.svd_method, mesh=self.mesh)
                         _force_done([s])
@@ -698,13 +944,13 @@ class GraspEngine:
                     out[n] = (u, s, vh)
             else:
                 stack = jnp.stack(
-                    [self._get_proj(n)["kernel"].T.astype(jnp.float32) for n in group]
+                    [jnp.swapaxes(self._get_proj(n)["kernel"], -1, -2).astype(jnp.float32) for n in group]
                 )
                 u, s, vh = svd(stack, method=self.svd_method, mesh=self.mesh)
                 for i, n in enumerate(group):
                     out[n] = (u[i], s[i], vh[i])
             _force_done([out[n][1] for n in group])  # honest stage boundary
-            self._stage(f"svd_{shape[1]}x{shape[0]}", time.time() - t_shape)
+            self._stage(f"svd_{shape[-1]}x{shape[-2]}", time.time() - t_shape)
         self._stage("svd", time.time() - t_stage)
         return out
 
@@ -732,10 +978,8 @@ class GraspEngine:
 
         if target_layer_types is None:
             return True
-        defaults = list(ATTN_PROJS) if block_type == "attention" else list(MLP_PROJS)
-        if block_type not in ("attention", "mlp"):
-            raise NotImplementedError(f"block type {block_type} not supported")
-        targets = list(target_layer_types) if target_layer_types else defaults
+        defaults = self._block_targets(layer_id, block_type)
+        targets = _resolve_targets(defaults, target_layer_types)
         if not all(t in defaults for t in targets):
             raise ValueError(f"values in target layer types not valid, should be one of {defaults}")
 
@@ -775,7 +1019,7 @@ class GraspEngine:
                     t_m = time.time()
                     out_one = self._svd_of_dense([n])
                     u, s, vh = out_one.pop(n)
-                    self._select_compile_one(n, u, s, vh, grads.pop(n).T, cfg, indices_dict)
+                    self._select_compile_one(n, u, s, vh, jnp.swapaxes(grads.pop(n), -1, -2), cfg, indices_dict)
                     del u, s, vh
                     self._stage("svd_select_one", time.time() - t_m)
             self.indices_dict = indices_dict
@@ -807,7 +1051,7 @@ class GraspEngine:
         for n in names:
             u, s, vh = svd_out.pop(n)
             # dL/dkernel [in,out] -> torch-layout dL/dW [out,in]
-            self._select_compile_one(n, u, s, vh, grads.pop(n).T, cfg, indices_dict)
+            self._select_compile_one(n, u, s, vh, jnp.swapaxes(grads.pop(n), -1, -2), cfg, indices_dict)
             del u, s, vh
 
         self.indices_dict = indices_dict
@@ -832,9 +1076,17 @@ class GraspEngine:
         ratio = self.module_ratios.get(n, cfg.compression_ratio)
         if ratio is not None:
             k = preserve_rank(in_f, out_f, ratio)
+            # batched importance ([E, m], stacked MoE experts): per-expert
+            # top-k in one lax.top_k over the last axis — same tie order
             indices = np.asarray(select_topk(importance, k))
         else:
             assert cfg.threshold_ratio, "Please provide Taylor threshold to select rank adaptively"
+            if np.ndim(importance) > 1:
+                raise NotImplementedError(
+                    "adaptive (threshold_ratio) rank selection over stacked "
+                    "MoE experts is not supported — per-expert ranks would be "
+                    "ragged; use a fixed compression_ratio"
+                )
             indices = np.asarray(adaptive_rank_selection(np.asarray(importance), cfg.threshold_ratio))
         indices_dict[n] = indices
         self.grasp_values_dict[n] = {
@@ -847,16 +1099,23 @@ class GraspEngine:
         self, n: str, ut: jax.Array, st: jax.Array, vht: jax.Array, cfg: GraspConfig
     ) -> None:
         """Materialize the compiled module (merged dense or low-rank pair)."""
-        self.rank_dict[n] = int(st.shape[0])
-        bias = self._get_proj(n).get("bias")
+        self.rank_dict[n] = int(st.shape[-1])
+        mod = self._get_proj(n)
+        bias = mod.get("bias")
+        # compiled factors take the ORIGINAL kernel's dtype: the SVD runs fp32
+        # (so does the reference's — torch.linalg.svd has no half kernels) but
+        # leaving fp32 factors inside a bf16 model silently upcasts every
+        # compressed matmul to fp32 on the MXU (~2x slower). fp32 models are
+        # untouched, so golden factor parity is unaffected.
+        dt = mod["kernel"].dtype if "kernel" in mod else jnp.dtype(self.config.dtype)
         if cfg.merge:
-            new: Params = {"kernel": merge_svd(ut, st, vht).T}
+            new: Params = {"kernel": jnp.swapaxes(merge_svd(ut, st, vht), -1, -2).astype(dt)}
             if bias is not None:
                 new["bias"] = bias
             self._set_proj(n, new, "dense")
         else:
             in_kernel, out_kernel = lowrank_factors(ut, st, vht, cfg.sigma_fuse)
-            new = {"in_kernel": in_kernel, "out_kernel": out_kernel}
+            new = {"in_kernel": in_kernel.astype(dt), "out_kernel": out_kernel.astype(dt)}
             if bias is not None:
                 new["bias"] = bias
             self._set_proj(n, new, "lowrank")
@@ -876,7 +1135,7 @@ class GraspEngine:
         sg = sigma_gradients(u, vh, jnp.asarray(grad_w))
         importance = svd_saliency(sg, s, cfg.metric)
         indices = self._select_indices(
-            n, importance, s, vh.shape[1], u.shape[0], cfg, indices_dict
+            n, importance, s, vh.shape[-1], u.shape[-2], cfg, indices_dict
         )
         ut, st, vht = truncate_svd(u, s, vh, jnp.asarray(indices))
         self._compile_truncated(n, ut, st, vht, cfg)
@@ -1104,8 +1363,8 @@ class GraspEngine:
                 for block_type, targets in blocks:
                     if targets is None:
                         continue
-                    defaults = list(ATTN_PROJS) if block_type == "attention" else list(MLP_PROJS)
-                    tg = list(targets) if targets else defaults
+                    defaults = self._block_targets(layer_id, block_type)
+                    tg = _resolve_targets(defaults, targets)
                     if not all(t in defaults for t in tg):
                         raise ValueError(f"invalid targets {tg} for {block_type}")
                     names += [module_name(layer_id, p) for p in tg]
@@ -1131,7 +1390,7 @@ class GraspEngine:
             indices_dict: Dict[str, np.ndarray] = {}
             for n in names:
                 u, s, vh = svd_out[n]
-                self._select_compile_one(n, u, s, vh, grads[n].T, cfg, indices_dict)
+                self._select_compile_one(n, u, s, vh, jnp.swapaxes(grads[n], -1, -2), cfg, indices_dict)
             self.indices_dict = indices_dict
             self.indices_log.update(indices_dict)
         else:
@@ -1148,8 +1407,8 @@ class GraspEngine:
                     if targets is None:
                         logger.info("=======> Skip Compressing This Block")
                         continue
-                    defaults = list(ATTN_PROJS) if block_type == "attention" else list(MLP_PROJS)
-                    tg = list(targets) if targets else defaults
+                    defaults = self._block_targets(layer_id, block_type)
+                    tg = _resolve_targets(defaults, targets)
                     rounds.append((layer_id, block_type, tg))
 
             # prefix split: rounds only ever modify layers >= p_min, so the
@@ -1167,12 +1426,22 @@ class GraspEngine:
                     # at 13.8 of 15.75 GiB — fp32 factors resident during the
                     # sweep OOMed the first 7B run) and for the chip itself. It
                     # costs seconds on the MXU — run it inline AFTER each
-                    # round's sweep.
-                    for layer_id, block_type, tg in rounds:
-                        self.compress_round(
-                            layer_id, block_type, tg, calibration_batches, cfg,
-                            svd_after=True,
-                        )
+                    # round's sweep. Meanwhile a daemon worker compiles every
+                    # LATER round's graphs (plan evolution is shape-
+                    # deterministic under a fixed ratio) so per-round compiles
+                    # overlap the sweeps instead of serializing with them.
+                    stop_prefetch = self._start_compile_prefetch(
+                        rounds, calibration_batches, cfg
+                    )
+                    try:
+                        for layer_id, block_type, tg in rounds:
+                            self.compress_round(
+                                layer_id, block_type, tg, calibration_batches, cfg,
+                                svd_after=True,
+                            )
+                    finally:
+                        if stop_prefetch is not None:
+                            stop_prefetch()
                     return
 
                 with ThreadPoolExecutor(max_workers=1) as pool:

@@ -456,18 +456,29 @@ def forward(
     # Heterogeneous (compressed) layers fall out into their own groups and
     # stay unrolled.
     groups: List[Tuple[LayerPlan, List[int]]] = []
+    group_keys: List[Any] = []
     split = set(split_layers)
     stop = config.num_hidden_layers if stop_layer is None else stop_layer
+
+    def _stack_key(li):
+        # layers are stackable iff plan AND params pytree (structure + leaf
+        # shapes) agree — params-keyed transforms (quantized or GRASP-
+        # compressed MoE experts, models.moe) don't show up in the plan
+        leaves, treedef = jax.tree.flatten(params["layers"][li])
+        return (plan[li], treedef, tuple(jnp.shape(x) for x in leaves))
+
     for li in range(start_layer, stop):
+        key = _stack_key(li)
         if (
             groups
-            and groups[-1][0] == plan[li]
+            and group_keys[-1] == key
             and li not in split
             and groups[-1][1][-1] not in split
         ):
             groups[-1][1].append(li)
         else:
             groups.append((plan[li], [li]))
+            group_keys.append(key)
 
     flash_ok = attention_mask is None  # flash kernel handles pure-causal masks only
 

@@ -80,6 +80,31 @@ def moe_apply(x: jax.Array, mp: Dict[str, Any], config: ModelConfig) -> jax.Arra
     combine = router_weights(logits, config.num_experts_per_tok).astype(x.dtype)
 
     ex = mp["experts"]
+    if any(p + "_a" in ex for p in MOE_PARTS):
+        # GRASP-compressed experts (core.engine compress_round on a MoE
+        # layer): part p replaced by stacked low-rank factors p_a [E, in, k],
+        # p_b [E, k, out] — two batched MXU einsums per part; uncompressed
+        # parts stay dense. Mixing with quantized expert forms is unsupported
+        # (quantize-after-compress is a serving-side follow-up).
+        if any(p + "_q" in ex or p + "_q4" in ex for p in MOE_PARTS):
+            raise NotImplementedError(
+                "experts mixing GRASP low-rank and quantized parts"
+            )
+
+        def lmm(xin, p):
+            eq_in = "etf,efk->etk" if xin.ndim == 3 else "td,edk->etk"
+            if p + "_a" in ex:
+                h_ = jnp.einsum(eq_in, xin, ex[p + "_a"], preferred_element_type=x.dtype)
+                return jnp.einsum("etk,eko->eto", h_, ex[p + "_b"], preferred_element_type=x.dtype)
+            return jnp.einsum(eq_in, xin, ex[p], preferred_element_type=x.dtype)
+
+        g = lmm(xt, "w1")
+        u = lmm(xt, "w3")
+        h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+        y_e = lmm(h, "w2")
+        y = jnp.einsum("etd,te->td", y_e, combine, preferred_element_type=x.dtype)
+        return y.reshape(b, s, d)
+
     if "w1_q4" in ex:  # nibble-packed int4 experts (ops.quant): scales [E, G, out]
         from grasp_tpu.ops.quant import unpack_int4
 

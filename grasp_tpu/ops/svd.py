@@ -143,7 +143,16 @@ def truncate_svd(
     """Slice the kept singular triplets, preserving index order.
 
     Reference modeling_grasp.py:440-442 (S[idx], U[:, idx], Vh[idx, :]).
+    Batched form (leading axes, e.g. stacked MoE experts): indices [..., k]
+    selects per-matrix triplets via take_along_axis.
     """
+    if jnp.ndim(indices) > 1:
+        idx = jnp.asarray(indices)
+        return (
+            jnp.take_along_axis(u, idx[..., None, :], axis=-1),
+            jnp.take_along_axis(s, idx, axis=-1),
+            jnp.take_along_axis(vh, idx[..., :, None], axis=-2),
+        )
     return u[..., :, indices], s[..., indices], vh[..., indices, :]
 
 
@@ -500,13 +509,50 @@ def ufree_select(
     return s, b, side, imp
 
 
+def ufree_prime_select(kernel_sds, grad_sds, metric: str) -> None:
+    """AOT-compile the selection graph for one (shape, dtype, metric) ahead
+    of use — e.g. from a background thread overlapped with the gradient
+    sweeps (core.engine._start_compile_prefetch). Marks the shape primed only
+    AFTER the compile lands so a concurrent dispatch never skips its own
+    priming on a cold cache."""
+    key = ("ufree_sel", tuple(kernel_sds.shape), str(kernel_sds.dtype),
+           tuple(grad_sds.shape), str(grad_sds.dtype), metric)
+    if key in _gram_primed_shapes:
+        return
+    _ufree_select_jit.lower(kernel_sds, grad_sds, metric=metric).compile()
+    _gram_primed_shapes.add(key)
+
+
+def ufree_prime_truncate(kernel_sds, idx_shape, side: str) -> None:
+    """AOT-compile the truncation graph for one (shape, k) ahead of use."""
+    key = ("ufree_trunc", tuple(kernel_sds.shape), str(kernel_sds.dtype),
+           tuple(idx_shape), side)
+    if key in _gram_primed_shapes:
+        return
+    lead = kernel_sds.shape[:-2]
+    m = min(kernel_sds.shape[-2:])
+    f32 = jnp.float32
+    _ufree_trunc_kernel_jit.lower(
+        kernel_sds,
+        jax.ShapeDtypeStruct(lead + (m,), f32),
+        jax.ShapeDtypeStruct(lead + (m, m), f32),
+        jax.ShapeDtypeStruct(tuple(idx_shape), jnp.int32),
+        side=side,
+    ).compile()
+    _gram_primed_shapes.add(key)
+
+
 @partial(jax.jit, static_argnames=("side",))
 def _ufree_trunc_kernel_jit(kernel, s, basis, indices, side):
     hi = jax.lax.Precision.HIGHEST
     wf = jnp.swapaxes(kernel, -1, -2).astype(jnp.float32)  # torch layout
-    sk = s[..., indices]
+    if indices.ndim > 1:  # batched (stacked experts): per-matrix gather
+        sk = jnp.take_along_axis(s, indices, axis=-1)
+        bk = jnp.take_along_axis(basis, indices[..., None, :], axis=-1)
+    else:
+        sk = s[..., indices]
+        bk = basis[..., :, indices]
     s_safe = jnp.maximum(sk, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
-    bk = basis[..., :, indices]
     if side == "v":
         uk = jnp.matmul(wf, bk, precision=hi) / s_safe[..., None, :]
         vhk = jnp.swapaxes(bk, -1, -2)
@@ -527,7 +573,7 @@ def ufree_truncate_kernel(
     AOT-primed per (shape, k)."""
     indices = jnp.asarray(indices)
     key = ("ufree_trunc", kernel.shape, str(kernel.dtype),
-           int(indices.shape[-1]), side)
+           tuple(indices.shape), side)
     if key not in _gram_primed_shapes:
         try:
             _ufree_trunc_kernel_jit.lower(
@@ -556,10 +602,11 @@ def sigma_gradients(u: jax.Array, vh: jax.Array, grad_w: jax.Array) -> jax.Array
     dense kernel (no model surgery, no plan recompile), the SVD runs on host
     concurrently, and this einsum projects on the MXU afterwards.
 
-    Shapes (torch layout): u [out, r], vh [r, in], grad_w [out, in].
+    Shapes (torch layout): u [out, r], vh [r, in], grad_w [out, in];
+    leading batch axes (stacked experts) broadcast through the ellipsis.
     """
     return jnp.einsum(
-        "or,oi,ri->r",
+        "...or,...oi,...ri->...r",
         u.astype(jnp.float32), grad_w.astype(jnp.float32), vh.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )

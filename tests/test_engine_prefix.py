@@ -85,3 +85,27 @@ def test_prefix_ufree_gram_device_matches(tiny):
         b = set(np.asarray(dev.indices_log[name]).tolist())
         overlap = len(a & b) / max(len(a), 1)
         assert overlap >= 0.9, f"{name}: index overlap {overlap:.2f}"
+
+
+def test_compile_prefetch_identical_results(tiny, monkeypatch):
+    """The background compile prefetcher (engine._start_compile_prefetch)
+    only warms compile caches — selected indices and compiled factors are
+    bit-identical with it forced on (it is off by default on CPU)."""
+    monkeypatch.setenv("GRASP_COMPILE_PREFETCH", "0")
+    base = _run(tiny, "recompute", svd_method="gram_device")
+    monkeypatch.setenv("GRASP_COMPILE_PREFETCH", "1")
+    pre = _run(tiny, "recompute", svd_method="gram_device")
+    assert base.rank_dict == pre.rank_dict
+    for name in base.indices_log:
+        np.testing.assert_array_equal(
+            base.indices_log[name], pre.indices_log[name], err_msg=name
+        )
+    for li in (4, 5):
+        for group in ("self_attn", "mlp"):
+            for proj, mod in base.params["layers"][li][group].items():
+                if "in_kernel" in mod:
+                    other = pre.params["layers"][li][group][proj]
+                    np.testing.assert_allclose(
+                        np.asarray(mod["in_kernel"]), np.asarray(other["in_kernel"]),
+                        rtol=0, atol=0, err_msg=f"layer {li} {group}.{proj}",
+                    )
