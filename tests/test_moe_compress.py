@@ -195,3 +195,52 @@ def test_moe_compressed_expert_parallel_forward(moe_model, batches):
     np.testing.assert_allclose(
         np.asarray(ref, np.float32), np.asarray(out, np.float32), rtol=2e-4, atol=2e-4
     )
+
+
+def test_recovery_step_trains_compressed_experts(moe_model, batches):
+    """GRASP* recovery on a compressed MoE model: gradients flow through the
+    stacked low-rank expert einsums and only the redundant layer updates
+    (train.recover.trainable_mask is structural, so the w*_a/w*_b factor
+    keys are covered automatically)."""
+    import optax
+
+    from grasp_tpu.train import make_train_step
+    from grasp_tpu.train.recover import trainable_mask
+
+    config, params = moe_model
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config)
+    cfg = GraspConfig(
+        num_prune_layers=1, compression_ratio=0.4,
+        attn_target_layer_types=None,
+    )
+    engine.run(batches, cfg)
+    lid = engine.redundant_layers[0]
+
+    mask = trainable_mask(engine.params, [lid])
+    assert mask["layers"][lid]["moe"]["experts"]["w1_a"] is True
+
+    labels = jax.tree.map(lambda t: "train" if t else "freeze", mask)
+    tx = optax.multi_transform(
+        {"train": optax.adamw(1e-3), "freeze": optax.set_to_zero()}, labels
+    )
+    step = make_train_step(config, engine.plan, tx)
+    before = {
+        k: np.asarray(v)
+        for k, v in engine.params["layers"][lid]["moe"]["experts"].items()
+    }
+    frozen_li = (lid + 1) % config.num_hidden_layers
+    frozen_before = np.asarray(
+        engine.params["layers"][frozen_li]["moe"]["experts"]["w1"]
+    )
+    p = jax.tree.map(jnp.array, engine.params)
+    opt = tx.init(jax.tree.map(jnp.array, engine.params))
+    ids = batches[0]["input_ids"]
+    p, opt, loss = step(p, opt, ids, ids, None)
+    assert np.isfinite(float(loss))
+    after = p["layers"][lid]["moe"]["experts"]
+    assert any(
+        not np.array_equal(before[k], np.asarray(after[k])) for k in before
+    ), "compressed expert factors did not train"
+    np.testing.assert_array_equal(
+        frozen_before, np.asarray(p["layers"][frozen_li]["moe"]["experts"]["w1"])
+    )
