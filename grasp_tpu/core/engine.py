@@ -139,6 +139,39 @@ def _prime_ufree_pair(prime_sel, prime_trunc, kern_sds, metric, idx_shape, side)
     prime_trunc(kern_sds, idx_shape, side)
 
 
+def _gram_select_groups(names, shape_of, ratio_of):
+    """Group same-(kernel shape, ratio) modules of one round for ONE batched
+    gram selection: TPU eigh is iteration-bound, so a [G]-stacked eigh costs
+    ~one serial eigh (measured 9.7 s per serial 4096^2 eigh on the 7B select
+    stage — qkvo rounds stack 4x, gate/up 2x). Stacking needs a common rank
+    (fixed ratio) and a bounded fp32 working set; GRASP_GRAM_STACK=0 forces
+    the per-matrix path (parity pinned by tests)."""
+    import os
+
+    by: Dict[Tuple, List[str]] = {}
+    order: List[Tuple] = []
+    for n in names:
+        key = (tuple(shape_of(n)), ratio_of(n))
+        if key not in by:
+            by[key] = []
+            order.append(key)
+        by[key].append(n)
+    allow = os.environ.get("GRASP_GRAM_STACK") != "0"
+    out = []
+    for shape, ratio in order:
+        group = by[(shape, ratio)]
+        stacked = (
+            allow
+            and len(group) > 1
+            and ratio is not None
+            # wf+gf fp32 in-graph working set cap (~2 GB fits next to 7B
+            # params + grads in the post-sweep HBM headroom)
+            and 8 * int(np.prod(shape)) * len(group) <= 2_000_000_000
+        )
+        out.append((group, shape, ratio, stacked))
+    return out
+
+
 def module_name(layer_id: int, proj: str) -> str:
     """Reference-compatible module path, e.g. 'model.layers.3.self_attn.q_proj'.
 
@@ -827,11 +860,14 @@ class GraspEngine:
             tasks.append((f"dgrad L{layer_id} {block_type}",
                           partial(_prime_strict, gf, *args)))
 
-            # selection/truncation primes + simulate this round's compression
-            for n in names:
-                kern = k_sds[n]
-                in_f, out_f = kern.shape[-2], kern.shape[-1]
-                ratio = self.module_ratios.get(n, cfg.compression_ratio)
+            # selection/truncation primes (mirroring compress_round's
+            # same-shape stacking) + simulate this round's compression
+            for g_names, shape, ratio, stacked in _gram_select_groups(
+                names,
+                lambda n: k_sds[n].shape,
+                lambda n: self.module_ratios.get(n, cfg.compression_ratio),
+            ):
+                in_f, out_f = shape[-2], shape[-1]
                 k = preserve_rank(in_f, out_f, ratio)
                 if self.svd_method == "gram_device" and not cfg.merge:
                     from grasp_tpu.ops.svd import (
@@ -839,18 +875,21 @@ class GraspEngine:
                         ufree_prime_truncate,
                     )
 
+                    full = ((len(g_names),) + shape) if stacked else shape
+                    kern = sds(full, k_sds[g_names[0]].dtype)
                     side = "u" if out_f <= in_f else "v"
-                    idx_shape = kern.shape[:-2] + (k,)
-                    pkey = (kern.shape, str(kern.dtype), k, cfg.metric)
+                    idx_shape = full[:-2] + (k,)
+                    pkey = (full, str(kern.dtype), k, cfg.metric)
                     if pkey not in seen_primes:
                         seen_primes.add(pkey)
                         tasks.append((
-                            f"ufree {kern.shape} k={k}",
+                            f"ufree {full} k={k}",
                             partial(_prime_ufree_pair, ufree_prime_select,
                                     ufree_prime_truncate, kern, cfg.metric,
                                     idx_shape, side),
                         ))
-                sim, plan = self._sim_compress_shapes(sim, plan, n, k, cfg.merge)
+                for n in g_names:
+                    sim, plan = self._sim_compress_shapes(sim, plan, n, k, cfg.merge)
 
         stop = {"flag": False}
 
@@ -1000,9 +1039,22 @@ class GraspEngine:
                 # per-matrix working set is ~4 gram-sized fp32 buffers — the
                 # summed grads can stay on device (no host offload round-trip,
                 # which cost 176 s through this container's tunnel at 7B).
-                for n in names:
+                sel_groups = _gram_select_groups(
+                    names,
+                    lambda n: self._get_proj(n)["kernel"].shape,
+                    lambda n: self.module_ratios.get(n, cfg.compression_ratio),
+                )
+                for g_names, _, _, stacked in sel_groups:
                     t_m = time.time()
-                    self._select_compile_one_ufree(n, grads.pop(n), cfg, indices_dict)
+                    if stacked:
+                        self._select_compile_group_ufree(
+                            g_names, grads, cfg, indices_dict
+                        )
+                    else:
+                        for n in g_names:
+                            self._select_compile_one_ufree(
+                                n, grads.pop(n), cfg, indices_dict
+                            )
                     self._stage("svd_select_one", time.time() - t_m)
             else:
                 # park the summed grads on the host during the SVD — the
@@ -1170,6 +1222,41 @@ class GraspEngine:
             kernel, s, basis, side, jnp.asarray(indices)
         )
         self._compile_truncated(n, ut, st, vht, cfg)
+
+    def _select_compile_group_ufree(
+        self,
+        group: List[str],
+        grads: Dict[str, jax.Array],
+        cfg: GraspConfig,
+        indices_dict: Dict[str, np.ndarray],
+    ) -> None:
+        """Batched U-free selection for SAME-shape modules of one round.
+
+        Stacks the G kernels/grads and runs ONE [G]-batched gram eigh +
+        saliency + truncation (ops.svd handles arbitrary leading axes — the
+        same machinery that batches MoE experts). Row-wise results match the
+        per-matrix path (tests/test_engine_prefix.py::
+        test_gram_stacked_selection_matches_per_matrix)."""
+        kernels = jnp.stack([self._get_proj(n)["kernel"] for n in group])
+        gstack = jnp.stack([grads.pop(n) for n in group])
+        s, basis, side, importance = ufree_select(kernels, gstack, cfg.metric)
+        del gstack
+        in_f, out_f = kernels.shape[-2], kernels.shape[-1]
+        ratio = self.module_ratios.get(group[0], cfg.compression_ratio)
+        k = preserve_rank(in_f, out_f, ratio)
+        idx = np.asarray(select_topk(importance, k))
+        ut, st, vht = ufree_truncate_kernel(
+            kernels, s, basis, side, jnp.asarray(idx)
+        )
+        del kernels
+        imp_np, s_np = np.asarray(importance), np.asarray(s)
+        for i, n in enumerate(group):
+            indices_dict[n] = idx[i]
+            self.grasp_values_dict[n] = {
+                "svd_importance": np.round(imp_np[i], 3).tolist(),
+                "svd_value": np.round(s_np[i], 3).tolist(),
+            }
+            self._compile_truncated(n, ut[i], st[i], vht[i], cfg)
 
     # ------------------------------------------------------------------
     # Stage 4 — rank selection

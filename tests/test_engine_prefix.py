@@ -87,6 +87,32 @@ def test_prefix_ufree_gram_device_matches(tiny):
         assert overlap >= 0.9, f"{name}: index overlap {overlap:.2f}"
 
 
+def test_gram_stacked_selection_matches_per_matrix(tiny, monkeypatch):
+    """Same-(shape, ratio) modules of a round run ONE [G]-batched gram eigh
+    (engine._select_compile_group_ufree) instead of G serial ones. Batched
+    eigh is row-independent, so selected indices and compiled factors are
+    bit-identical to the per-matrix path (GRASP_GRAM_STACK=0)."""
+    monkeypatch.setenv("GRASP_GRAM_STACK", "0")
+    per = _run(tiny, "recompute", svd_method="gram_device")
+    monkeypatch.setenv("GRASP_GRAM_STACK", "1")
+    stacked = _run(tiny, "recompute", svd_method="gram_device")
+    assert per.rank_dict == stacked.rank_dict
+    assert set(per.indices_log) == set(stacked.indices_log)
+    for name in per.indices_log:
+        np.testing.assert_array_equal(
+            per.indices_log[name], stacked.indices_log[name], err_msg=name
+        )
+    for li in (4, 5):
+        for group in ("self_attn", "mlp"):
+            for proj, mod in per.params["layers"][li][group].items():
+                if "in_kernel" in mod:
+                    other = stacked.params["layers"][li][group][proj]
+                    np.testing.assert_allclose(
+                        np.asarray(mod["in_kernel"]), np.asarray(other["in_kernel"]),
+                        rtol=0, atol=0, err_msg=f"layer {li} {group}.{proj}",
+                    )
+
+
 def test_compile_prefetch_identical_results(tiny, monkeypatch):
     """The background compile prefetcher (engine._start_compile_prefetch)
     only warms compile caches — selected indices and compiled factors are
