@@ -30,6 +30,7 @@ layer automatically.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from functools import partial
@@ -139,13 +140,27 @@ def _prime_ufree_pair(prime_sel, prime_trunc, kern_sds, metric, idx_shape, side)
     prime_trunc(kern_sds, idx_shape, side)
 
 
+# Stacked-eigh arena model, measured via perf.executable_memory on
+# (G, 4096, 4096) fp32 builds: peak = (17.6 + 2.7*G) n^2-sized fp32
+# temporaries (QDWH workspace) -> G=1: 1.36 GiB, G=2: 1.67, G=4: 2.05.
+# Post-sweep 7B headroom is ~2 GiB (G=4 OOMed on chip, G=2 ran), so chunk
+# stacks to keep one eigh executable's arena under _EIGH_ARENA_BUDGET.
+_EIGH_ARENA_BASE = 18.0   # intercept, in n^2 fp32 temporaries
+_EIGH_ARENA_SLOPE = 3.0   # per stacked matrix
+_EIGH_ARENA_BUDGET = float(
+    __import__("os").environ.get("GRASP_EIGH_BUDGET", 1_700_000_000)
+)
+
+
 def _gram_select_groups(names, shape_of, ratio_of):
     """Group same-(kernel shape, ratio) modules of one round for ONE batched
-    gram selection: TPU eigh is iteration-bound, so a [G]-stacked eigh costs
+    gram EIGH: TPU eigh is iteration-bound, so a [G]-stacked eigh costs
     ~one serial eigh (measured 9.7 s per serial 4096^2 eigh on the 7B select
-    stage — qkvo rounds stack 4x, gate/up 2x). Stacking needs a common rank
-    (fixed ratio) and a bounded fp32 working set; GRASP_GRAM_STACK=0 forces
-    the per-matrix path (parity pinned by tests)."""
+    stage — qkvo rounds stack 4x, gate/up 2x). Only the eigh is batched
+    (_select_compile_group_ufree); the gram/saliency matmuls stay per-matrix
+    so the stacked working set is G gram-sized fp32 buffers, not G full
+    kernels+grads. Stacking needs a common rank (fixed ratio);
+    GRASP_GRAM_STACK=0 forces the per-matrix path (parity pinned by tests)."""
     import os
 
     by: Dict[Tuple, List[str]] = {}
@@ -160,15 +175,21 @@ def _gram_select_groups(names, shape_of, ratio_of):
     out = []
     for shape, ratio in order:
         group = by[(shape, ratio)]
-        stacked = (
-            allow
-            and len(group) > 1
-            and ratio is not None
-            # wf+gf fp32 in-graph working set cap (~2 GB fits next to 7B
-            # params + grads in the post-sweep HBM headroom)
-            and 8 * int(np.prod(shape)) * len(group) <= 2_000_000_000
+        m = min(shape[-2:])
+        lead = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+        if not (allow and len(group) > 1 and ratio is not None):
+            out.append((group, shape, ratio, False))
+            continue
+        # Chunk so one stacked-eigh executable's arena fits the headroom
+        # (see _EIGH_ARENA_* above); chunks of 1 take the per-matrix path.
+        per = lead * m * m * 4
+        cmax = max(
+            1, int((_EIGH_ARENA_BUDGET / per - _EIGH_ARENA_BASE)
+                   // _EIGH_ARENA_SLOPE)
         )
-        out.append((group, shape, ratio, stacked))
+        for i in range(0, len(group), cmax):
+            chunk = group[i:i + cmax]
+            out.append((chunk, shape, ratio, len(chunk) > 1))
     return out
 
 
@@ -871,23 +892,34 @@ class GraspEngine:
                 k = preserve_rank(in_f, out_f, ratio)
                 if self.svd_method == "gram_device" and not cfg.merge:
                     from grasp_tpu.ops.svd import (
+                        ufree_prime_eigh_multi,
                         ufree_prime_select,
                         ufree_prime_truncate,
                     )
 
-                    full = ((len(g_names),) + shape) if stacked else shape
-                    kern = sds(full, k_sds[g_names[0]].dtype)
+                    kern = sds(shape, k_sds[g_names[0]].dtype)
                     side = "u" if out_f <= in_f else "v"
-                    idx_shape = full[:-2] + (k,)
-                    pkey = (full, str(kern.dtype), k, cfg.metric)
+                    idx_shape = shape[:-2] + (k,)
+                    pkey = (shape, str(kern.dtype), k, cfg.metric)
                     if pkey not in seen_primes:
                         seen_primes.add(pkey)
                         tasks.append((
-                            f"ufree {full} k={k}",
+                            f"ufree {shape} k={k}",
                             partial(_prime_ufree_pair, ufree_prime_select,
                                     ufree_prime_truncate, kern, cfg.metric,
                                     idx_shape, side),
                         ))
+                    if stacked:
+                        m = min(in_f, out_f)
+                        g_sds = sds(shape[:-2] + (m, m), jnp.float32)
+                        ekey = ("eigh", len(g_names), g_sds.shape)
+                        if ekey not in seen_primes:
+                            seen_primes.add(ekey)
+                            tasks.append((
+                                f"ufree eigh x{len(g_names)} {g_sds.shape}",
+                                partial(ufree_prime_eigh_multi, g_sds,
+                                        len(g_names)),
+                            ))
                 for n in g_names:
                     sim, plan = self._sim_compress_shapes(sim, plan, n, k, cfg.merge)
 
@@ -1114,6 +1146,33 @@ class GraspEngine:
                 logger.info("%s: %s", n, idx[:128].tolist())
         return False
 
+    def _maybe_enable_flash_sweep(self, calibration_batches: Sequence[Batch]) -> None:
+        """Route long-sequence calibration sweeps through the Pallas flash
+        attention kernel.
+
+        At seq >= ~1k the XLA attention path materializes the [S, S] score
+        matrix per head (O(S^2) HBM traffic); the flash kernel streams KV
+        tiles through VMEM instead — 2.1x on the isolated op at 4k, a wash
+        at 512 (CLAUDE.md), so the switch keys on the calibration sequence
+        length. TPU-only (the kernel has no CPU path) and off for models that
+        explicitly set use_flash_attention. GRASP_FLASH_SWEEP=0 disables;
+        flash reorders the softmax reductions, so sweeps' gradients differ
+        from the XLA path at float tolerance (kernel fwd/bwd parity is pinned
+        by the TPU-gated tests in tests/test_pallas_attention.py)."""
+        import os
+
+        if (
+            os.environ.get("GRASP_FLASH_SWEEP", "1") != "0"
+            and not self.config.use_flash_attention
+            and jax.default_backend() == "tpu"
+            and calibration_batches
+            and calibration_batches[0]["input_ids"].shape[-1] >= 1024
+        ):
+            self.config = dataclasses.replace(self.config, use_flash_attention=True)
+            logger.info(
+                "calibration seq >= 1024 on TPU: sweeps use flash attention"
+            )
+
     def _select_indices(
         self,
         n: str,
@@ -1230,33 +1289,40 @@ class GraspEngine:
         cfg: GraspConfig,
         indices_dict: Dict[str, np.ndarray],
     ) -> None:
-        """Batched U-free selection for SAME-shape modules of one round.
+        """Batched-EIGH U-free selection for SAME-shape modules of one round.
 
-        Stacks the G kernels/grads and runs ONE [G]-batched gram eigh +
-        saliency + truncation (ops.svd handles arbitrary leading axes — the
-        same machinery that batches MoE experts). Row-wise results match the
+        Only the eigh — the serial, iteration-bound stage (~9.7 s per 4096^2
+        at 7B) — runs [G]-stacked; the gram/saliency/truncation matmuls stay
+        per-matrix because their fp32 operands dominate the working set
+        (stacking the full ufree_select put a ~2.3 GiB transient next to
+        12.8 GiB of live 7B state and OOMed; the gram stack is 67 MB/matrix).
+        eigh is row-independent, so results are bit-identical to the
         per-matrix path (tests/test_engine_prefix.py::
-        test_gram_stacked_selection_matches_per_matrix)."""
-        kernels = jnp.stack([self._get_proj(n)["kernel"] for n in group])
-        gstack = jnp.stack([grads.pop(n) for n in group])
-        s, basis, side, importance = ufree_select(kernels, gstack, cfg.metric)
-        del gstack
-        in_f, out_f = kernels.shape[-2], kernels.shape[-1]
-        ratio = self.module_ratios.get(group[0], cfg.compression_ratio)
-        k = preserve_rank(in_f, out_f, ratio)
-        idx = np.asarray(select_topk(importance, k))
-        ut, st, vht = ufree_truncate_kernel(
-            kernels, s, basis, side, jnp.asarray(idx)
-        )
-        del kernels
-        imp_np, s_np = np.asarray(importance), np.asarray(s)
+        test_gram_stacked_selection_matches_per_matrix). Every device op here
+        is a primed jit — stack/slice live INSIDE _ufree_eigh_multi_jit
+        because eager device ops on axon leak persistent argument copies."""
+        from grasp_tpu.ops.svd import ufree_eigh_multi, ufree_gram, ufree_importance
+
+        grams = [ufree_gram(self._get_proj(n)["kernel"]) for n in group]
+        s_list, b_list = map(list, ufree_eigh_multi(*grams))
+        del grams
         for i, n in enumerate(group):
-            indices_dict[n] = idx[i]
-            self.grasp_values_dict[n] = {
-                "svd_importance": np.round(imp_np[i], 3).tolist(),
-                "svd_value": np.round(s_np[i], 3).tolist(),
-            }
-            self._compile_truncated(n, ut[i], st[i], vht[i], cfg)
+            kernel = self._get_proj(n)["kernel"]  # [.., in, out]
+            s, basis = s_list[i], b_list[i]
+            s_list[i] = b_list[i] = None  # free as we go
+            side = "u" if kernel.shape[-1] <= kernel.shape[-2] else "v"
+            importance = ufree_importance(
+                kernel, grads.pop(n), s, basis, cfg.metric
+            )
+            indices = self._select_indices(
+                n, importance, s, kernel.shape[-2], kernel.shape[-1], cfg,
+                indices_dict,
+            )
+            ut, st, vht = ufree_truncate_kernel(
+                kernel, s, basis, side, jnp.asarray(indices)
+            )
+            del s, basis
+            self._compile_truncated(n, ut, st, vht, cfg)
 
     # ------------------------------------------------------------------
     # Stage 4 — rank selection
@@ -1368,6 +1434,7 @@ class GraspEngine:
         see uncompressed earlier layers during gradient collection).
         """
         t0 = time.time()
+        self._maybe_enable_flash_sweep(calibration_batches)
         layers_id = cfg.layers_id
         if layers_id is None:
             importances, layers_id = self.compute_bi(

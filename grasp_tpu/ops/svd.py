@@ -444,13 +444,12 @@ def ufree_truncate(
     return uk, sk, vhk
 
 
-@partial(jax.jit, static_argnames=("metric",))
-def _ufree_select_jit(kernel, grad_kernel, metric):
-    """Fused gram + eigh + saliency on the NATIVE [in, out] kernel layout.
+@jax.jit
+def _ufree_gram_jit(kernel):
+    """Gram of the small side from the NATIVE [in, out] kernel.
 
-    All transposes and fp32 casts live inside the graph: XLA folds them into
-    the dot dimension numbers instead of materializing device copies, and the
-    scheduler keeps the grad cast out of the eigh's live range. The eager
+    Transpose and fp32 cast live inside the graph: XLA folds them into the
+    dot dimension numbers instead of materializing device copies. The eager
     torch-layout path (gram_basis + ufree_sigma_saliency) allocated ~900 MB
     of avoidable per-matrix copies at the 7B mlp shapes (eager .T, eager
     .astype(fp32) x3, plus the axon dispatch path's persistent argument
@@ -458,68 +457,172 @@ def _ufree_select_jit(kernel, grad_kernel, metric):
     """
     hi = jax.lax.Precision.HIGHEST
     wf = jnp.swapaxes(kernel, -1, -2).astype(jnp.float32)  # torch layout [out, in]
-    gf = jnp.swapaxes(grad_kernel, -1, -2).astype(jnp.float32)
     out_f, in_f = wf.shape[-2:]
     if out_f <= in_f:  # basis spans the OUTPUT space (columns of U)
-        g = jnp.matmul(wf, jnp.swapaxes(wf, -1, -2), precision=hi)
-    else:  # basis spans the INPUT space (columns of V)
-        g = jnp.matmul(jnp.swapaxes(wf, -1, -2), wf, precision=hi)
+        return jnp.matmul(wf, jnp.swapaxes(wf, -1, -2), precision=hi)
+    return jnp.matmul(jnp.swapaxes(wf, -1, -2), wf, precision=hi)  # V space
+
+
+@jax.jit
+def _ufree_eigh_jit(g):
     lam, b = jnp.linalg.eigh(g)  # ascending
     lam, b = lam[..., ::-1], b[..., :, ::-1]
     s = jnp.sqrt(jnp.clip(lam, 0.0, None))
+    return s, b
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def _ufree_imp_jit(kernel, grad_kernel, s, basis, metric):
+    hi = jax.lax.Precision.HIGHEST
+    wf = jnp.swapaxes(kernel, -1, -2).astype(jnp.float32)  # torch layout
+    gf = jnp.swapaxes(grad_kernel, -1, -2).astype(jnp.float32)
+    out_f, in_f = wf.shape[-2:]
     if out_f <= in_f:  # side "u": q_i = u_i^T (G W^T) u_i
         n = jnp.matmul(gf, jnp.swapaxes(wf, -1, -2), precision=hi)
-        q = jnp.sum(b * jnp.matmul(n, b, precision=hi), axis=-2)
+        q = jnp.sum(basis * jnp.matmul(n, basis, precision=hi), axis=-2)
     else:  # side "v": q_i = v_i^T (W^T G) v_i
         m = jnp.matmul(jnp.swapaxes(wf, -1, -2), gf, precision=hi)
-        q = jnp.sum(b * jnp.matmul(m, b, precision=hi), axis=-2)
+        q = jnp.sum(basis * jnp.matmul(m, basis, precision=hi), axis=-2)
     if metric == "taylor":
-        imp = jnp.abs(q)
-    else:  # "gradient"
-        s_safe = jnp.maximum(s, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
-        imp = jnp.abs(q) / s_safe
-    return s, b, imp
+        return jnp.abs(q)
+    # "gradient"
+    s_safe = jnp.maximum(s, (s.max(axis=-1, keepdims=True) + 1e-30) * 1e-7)
+    return jnp.abs(q) / s_safe
+
+
+def _primed_call(fn, key, *args, **kwargs):
+    """Dispatch fn AOT-primed per abstract signature (axon dispatch-copy trap)."""
+    if key not in _gram_primed_shapes:
+        try:
+            fn.lower(
+                *[jax.ShapeDtypeStruct(jnp.shape(a), a.dtype) for a in args],
+                **kwargs,
+            ).compile()
+        except Exception:
+            pass
+        _gram_primed_shapes.add(key)
+    return fn(*args, **kwargs)
+
+
+def ufree_gram(kernel: jax.Array) -> jax.Array:
+    """Small-side gram matrix of the native [in, out] kernel (fp32, on
+    device, AOT-primed). Leading axes (stacked experts) broadcast."""
+    key = ("ufree_gram", kernel.shape, str(kernel.dtype))
+    return _primed_call(_ufree_gram_jit, key, kernel)
+
+
+def ufree_eigh(g: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Descending (s, basis) from gram matrices, any leading batch axes.
+
+    TPU eigh is iteration-bound, not FLOP-bound, so a [G]-stacked call costs
+    ~one serial eigh — core.engine batches every same-shape gram of a
+    compression round through here. Row-independent: results per element are
+    identical to unbatched calls (tests/test_engine_prefix.py)."""
+    key = ("ufree_eigh", g.shape, str(g.dtype))
+    return _primed_call(_ufree_eigh_jit, key, g)
+
+
+def ufree_importance(
+    kernel: jax.Array, grad_kernel: jax.Array, s: jax.Array, basis: jax.Array,
+    metric: str = "taylor",
+) -> jax.Array:
+    """Selection importance per singular direction from the gram basis,
+    without materializing the large factor (see module header identities).
+    grad_kernel: dL/d(kernel) in the native [in, out] layout."""
+    if metric not in ("taylor", "gradient"):
+        raise ValueError(f"unknown metric {metric!r}")
+    key = ("ufree_imp", kernel.shape, str(kernel.dtype), str(grad_kernel.dtype),
+           metric)
+    return _primed_call(_ufree_imp_jit, key, kernel, grad_kernel, s, basis,
+                        metric=metric)
 
 
 def ufree_select(
     kernel: jax.Array, grad_kernel: jax.Array, metric: str = "taylor"
 ) -> Tuple[jax.Array, jax.Array, str, jax.Array]:
-    """One-dispatch U-free selection on the native [in, out] kernel.
+    """U-free selection on the native [in, out] kernel: gram -> eigh ->
+    saliency, three primed dispatches (split so core.engine can batch the
+    eigh across same-shape modules of a round — the gram/saliency matmuls
+    are cheap MXU work but their fp32 operands dominate the working set, so
+    they stay per-matrix; the monolithic fused variant OOMed the 7B run when
+    stacked, 2.3 GiB transient on 12.8 GiB live).
 
     Returns (s, basis, side, importance); (s, basis, side) feed
-    :func:`ufree_truncate_kernel`. AOT-primed per shape (axon dispatch-copy
-    trap); no eager transpose/cast ever touches HBM outside the graph.
+    :func:`ufree_truncate_kernel`. No eager transpose/cast touches HBM.
     """
     if metric not in ("taylor", "gradient"):
         raise ValueError(f"unknown metric {metric!r}")
-    key = ("ufree_sel", kernel.shape, str(kernel.dtype), grad_kernel.shape,
-           str(grad_kernel.dtype), metric)
-    if key not in _gram_primed_shapes:
-        try:
-            _ufree_select_jit.lower(
-                jax.ShapeDtypeStruct(kernel.shape, kernel.dtype),
-                jax.ShapeDtypeStruct(grad_kernel.shape, grad_kernel.dtype),
-                metric=metric,
-            ).compile()
-        except Exception:
-            pass
-        _gram_primed_shapes.add(key)
-    s, b, imp = _ufree_select_jit(kernel, grad_kernel, metric=metric)
+    g = ufree_gram(kernel)
+    s, b = ufree_eigh(g)
+    del g
+    imp = ufree_importance(kernel, grad_kernel, s, b, metric)
     side = "u" if kernel.shape[-1] <= kernel.shape[-2] else "v"
     return s, b, side, imp
 
 
 def ufree_prime_select(kernel_sds, grad_sds, metric: str) -> None:
-    """AOT-compile the selection graph for one (shape, dtype, metric) ahead
-    of use — e.g. from a background thread overlapped with the gradient
-    sweeps (core.engine._start_compile_prefetch). Marks the shape primed only
-    AFTER the compile lands so a concurrent dispatch never skips its own
+    """AOT-compile the three selection graphs for one (shape, dtype, metric)
+    ahead of use — e.g. from a background thread overlapped with the gradient
+    sweeps (core.engine._start_compile_prefetch). Marks each shape primed
+    only AFTER the compile lands so a concurrent dispatch never skips its own
     priming on a cold cache."""
-    key = ("ufree_sel", tuple(kernel_sds.shape), str(kernel_sds.dtype),
-           tuple(grad_sds.shape), str(grad_sds.dtype), metric)
+    sds = jax.ShapeDtypeStruct
+    shape = tuple(kernel_sds.shape)
+    m = min(shape[-2:])
+    g_sds = sds(shape[:-2] + (m, m), jnp.float32)
+    key = ("ufree_gram", shape, str(kernel_sds.dtype))
+    if key not in _gram_primed_shapes:
+        _ufree_gram_jit.lower(kernel_sds).compile()
+        _gram_primed_shapes.add(key)
+    ufree_prime_eigh(g_sds)
+    key = ("ufree_imp", shape, str(kernel_sds.dtype), str(grad_sds.dtype),
+           metric)
+    if key not in _gram_primed_shapes:
+        s_sds = sds(shape[:-2] + (m,), jnp.float32)
+        _ufree_imp_jit.lower(kernel_sds, grad_sds, s_sds, g_sds,
+                             metric=metric).compile()
+        _gram_primed_shapes.add(key)
+
+
+def ufree_prime_eigh(g_sds) -> None:
+    """AOT-compile the (possibly [G]-stacked) eigh graph for one shape."""
+    key = ("ufree_eigh", tuple(g_sds.shape), str(g_sds.dtype))
     if key in _gram_primed_shapes:
         return
-    _ufree_select_jit.lower(kernel_sds, grad_sds, metric=metric).compile()
+    _ufree_eigh_jit.lower(g_sds).compile()
+    _gram_primed_shapes.add(key)
+
+
+@jax.jit
+def _ufree_eigh_multi_jit(*grams):
+    """[G]-batched eigh over G same-shape grams, stacked and re-split
+    IN-GRAPH. Taking/returning separate arrays (not a stacked one) matters on
+    axon: an eager jnp.stack / x[i] slice is its own compile-dispatch, and
+    that path retains a PERSISTENT copy of every large argument (CLAUDE.md)
+    — ~0.5 GiB leaked per shape class at 7B, which tipped the tight
+    post-sweep HBM margin. One primed dispatch leaks nothing."""
+    g = jnp.stack(grams)
+    lam, b = jnp.linalg.eigh(g)  # ascending
+    lam, b = lam[..., ::-1], b[..., :, ::-1]
+    s = jnp.sqrt(jnp.clip(lam, 0.0, None))
+    n = len(grams)
+    return tuple(s[i] for i in range(n)), tuple(b[i] for i in range(n))
+
+
+def ufree_eigh_multi(*grams) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+    """Descending (s_i, basis_i) for G same-shape grams via ONE batched eigh
+    (iteration-bound on TPU: ~the cost of one serial eigh). Row-independent:
+    each (s_i, basis_i) is identical to an unbatched ufree_eigh(grams[i])."""
+    key = ("ufree_eigh_multi", len(grams), grams[0].shape, str(grams[0].dtype))
+    return _primed_call(_ufree_eigh_multi_jit, key, *grams)
+
+
+def ufree_prime_eigh_multi(g_sds, count: int) -> None:
+    """AOT-compile the G-way batched eigh graph for one (shape, G)."""
+    key = ("ufree_eigh_multi", count, tuple(g_sds.shape), str(g_sds.dtype))
+    if key in _gram_primed_shapes:
+        return
+    _ufree_eigh_multi_jit.lower(*([g_sds] * count)).compile()
     _gram_primed_shapes.add(key)
 
 

@@ -79,3 +79,41 @@ def test_flash_kernel_matches_xla_on_tpu(rng):
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(ref, np.float32), rtol=5e-2, atol=5e-2
     )
+
+
+def test_engine_auto_flash_sweep(monkeypatch):
+    """Long-sequence calibration sweeps flip use_flash_attention on TPU
+    (engine._maybe_enable_flash_sweep): seq >= 1024 + tpu backend -> on;
+    short seq, CPU backend, or GRASP_FLASH_SWEEP=0 -> untouched."""
+    from grasp_tpu.core import engine as eng
+    from grasp_tpu.core.engine import GraspEngine
+
+    config = ModelConfig.tiny(num_hidden_layers=2)
+    params = init_params(jax.random.PRNGKey(0), config)
+    batch_long = {"input_ids": jnp.zeros((1, 1024), jnp.int32),
+                  "labels": jnp.zeros((1, 1024), jnp.int32)}
+    batch_short = {"input_ids": jnp.zeros((1, 512), jnp.int32),
+                   "labels": jnp.zeros((1, 512), jnp.int32)}
+
+    def mk():
+        return GraspEngine(jax.tree.map(jnp.array, params), config)
+
+    monkeypatch.setattr(eng.jax, "default_backend", lambda: "tpu")
+    e = mk()
+    e._maybe_enable_flash_sweep([batch_long])
+    assert e.config.use_flash_attention
+
+    e = mk()
+    e._maybe_enable_flash_sweep([batch_short])
+    assert not e.config.use_flash_attention
+
+    monkeypatch.setenv("GRASP_FLASH_SWEEP", "0")
+    e = mk()
+    e._maybe_enable_flash_sweep([batch_long])
+    assert not e.config.use_flash_attention
+    monkeypatch.delenv("GRASP_FLASH_SWEEP")
+
+    monkeypatch.setattr(eng.jax, "default_backend", lambda: "cpu")
+    e = mk()
+    e._maybe_enable_flash_sweep([batch_long])
+    assert not e.config.use_flash_attention
