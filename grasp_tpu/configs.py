@@ -195,9 +195,14 @@ class GraspConfig:
     # (at 7B: 7 of 32 layers). Values: "off" (monolithic graphs, the
     # reference-literal shape), "recompute" (prefix re-run per batch per
     # round — saves compile time only), "cache" (prefix activations computed
-    # once and kept on device — also saves the prefix FLOPs every round;
-    # costs batches x B x S x hidden bf16 of HBM, 2.14 GiB at the 7B bench),
-    # "auto" (recompute when the split saves >= 4 layers, else off).
+    # once and kept on device — also saves the prefix FLOPs every round),
+    # "cache_host" (like "cache" — same FLOP win — but parked in host RAM
+    # and re-uploaded per use, for 7B scale where the boundary set [batches
+    # x B x S x hidden bf16, 2.14 GiB at the paper config] doesn't fit next
+    # to the sweep's HBM peak; the bf16 round trip is bit-exact), "auto"
+    # (when the split saves >= 4 layers: cache if the boundary set fits
+    # device HBM, else cache_host if it fits host RAM, else recompute —
+    # engine._choose_prefix_cache; otherwise off).
     # Identical results: the prefix computes the same values every round
     # (pinned by tests/test_engine_prefix.py).
     prefix: str = "auto"

@@ -462,9 +462,11 @@ class GraspEngine:
             for batch in calibration_batches:
                 batch = self._place_batch(batch)
                 if not primed:
+                    t_c = time.time()
                     _prime(bi_step, self.params, batch["input_ids"],
                            batch.get("attention_mask"), plan=self.plan)
                     primed = True
+                    self._stage("bi_compile", time.time() - t_c)
                 scores = np.asarray(
                     bi_step(self.params, batch["input_ids"], batch.get("attention_mask"), plan=self.plan)
                 )
@@ -726,7 +728,9 @@ class GraspEngine:
 
     def _set_prefix(self, layer: int, mode: str) -> None:
         self._prefix_layer = 0 if mode == "off" else layer
-        self._prefix_cache = {} if (mode == "cache" and self._prefix_layer) else None
+        self._prefix_mode = mode
+        in_cache = mode in ("cache", "cache_host")
+        self._prefix_cache = {} if (in_cache and self._prefix_layer) else None
         self._prefix_fns: Dict[Any, Any] = {}
 
     def _get_prefix_fn(self):
@@ -750,16 +754,61 @@ class GraspEngine:
         return self._prefix_fns[plan_key]
 
     def _prefix_hidden(self, i: int, batch: Batch, primed: bool):
-        """Boundary activation for batch i (cached across rounds in "cache")."""
+        """Boundary activation for batch i.
+
+        "cache" keeps it on device across rounds; "cache_host" parks it in
+        host RAM (np array, bit-exact bf16 round trip) and re-uploads per
+        use — for 7B scale, where the full boundary set (~2.1 GiB at the
+        paper config) does not fit next to the sweep's HBM peak but trivially
+        fits the 125 GB host. Either way the prefix forward runs ONCE per
+        batch for the whole run instead of once per batch per round."""
         if self._prefix_cache is not None and i in self._prefix_cache:
-            return self._prefix_cache[i]
+            h = self._prefix_cache[i]
+            return jax.device_put(h) if isinstance(h, np.ndarray) else h
         fn = self._get_prefix_fn()
         if not primed:
             _prime(fn, self.params, batch["input_ids"], batch.get("attention_mask"))
         h0 = fn(self.params, batch["input_ids"], batch.get("attention_mask"))
         if self._prefix_cache is not None:
-            self._prefix_cache[i] = h0
+            if self._prefix_mode == "cache_host":
+                self._prefix_cache[i] = np.asarray(jax.device_get(h0))
+            else:
+                self._prefix_cache[i] = h0
         return h0
+
+    def _choose_prefix_cache(self, batches) -> str:
+        """Pick the prefix mode for prefix="auto" by where the boundary
+        activations fit: on device ("cache" — also saves the prefix FLOPs
+        every round), in host RAM ("cache_host" — same FLOP win, pays a
+        per-batch re-upload), else "recompute" (prefix FLOPs every round,
+        no extra memory). Identical selection either way (pinned by
+        tests/test_engine_prefix.py); this is purely a memory placement
+        decision."""
+        import os
+
+        if jax.default_backend() == "cpu":
+            # correctness runs; recompute keeps tests' memory flat and the
+            # parity tests exercise cache/cache_host explicitly
+            return "recompute"
+        try:
+            from grasp_tpu.perf import device_memory
+
+            rows = sum(int(b["input_ids"].shape[0]) for b in batches)
+            seq = int(batches[0]["input_ids"].shape[-1])
+            need = rows * seq * self.config.hidden_size * jnp.dtype(
+                self.config.dtype).itemsize
+            pool = float(os.environ.get("GRASP_HBM_GIB", 15.75)) * 2**30
+            live = device_memory()["bytes_in_use"]
+            # leave room for the sweep's grad arena + select-phase eigh
+            # (both ~1.3-1.7 GiB beyond params at 7B) plus slack
+            if need < pool - live - 6 * 2**30:
+                return "cache"
+            host_free = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            if need < 0.5 * host_free:
+                return "cache_host"
+        except Exception as e:  # pragma: no cover - backend quirks
+            logger.debug("prefix auto sizing failed: %s", e)
+        return "recompute"
 
     def get_dense_gradients(
         self, names: List[str], calibration_batches: Iterable[Batch]
@@ -1303,14 +1352,19 @@ class GraspEngine:
         because eager device ops on axon leak persistent argument copies."""
         from grasp_tpu.ops.svd import ufree_eigh_multi, ufree_gram, ufree_importance
 
+        t0 = time.time()
         grams = [ufree_gram(self._get_proj(n)["kernel"]) for n in group]
         s_list, b_list = map(list, ufree_eigh_multi(*grams))
+        # sync so the sub-stage split is honest (dispatch is async)
+        s_list[-1].block_until_ready()
         del grams
+        self._stage("sel_eigh", time.time() - t0)
         for i, n in enumerate(group):
             kernel = self._get_proj(n)["kernel"]  # [.., in, out]
             s, basis = s_list[i], b_list[i]
             s_list[i] = b_list[i] = None  # free as we go
             side = "u" if kernel.shape[-1] <= kernel.shape[-2] else "v"
+            t1 = time.time()
             importance = ufree_importance(
                 kernel, grads.pop(n), s, basis, cfg.metric
             )
@@ -1318,11 +1372,14 @@ class GraspEngine:
                 n, importance, s, kernel.shape[-2], kernel.shape[-1], cfg,
                 indices_dict,
             )
+            self._stage("sel_importance", time.time() - t1)
+            t1 = time.time()
             ut, st, vht = ufree_truncate_kernel(
                 kernel, s, basis, side, jnp.asarray(indices)
             )
             del s, basis
             self._compile_truncated(n, ut, st, vht, cfg)
+            self._stage("sel_truncate", time.time() - t1)
 
     # ------------------------------------------------------------------
     # Stage 4 — rank selection
@@ -1570,7 +1627,11 @@ class GraspEngine:
             p_min = min((lid for lid, _, _ in rounds), default=0)
             mode = cfg.prefix
             if mode == "auto":
-                mode = "recompute" if p_min >= 4 else "off"
+                if p_min < 4:
+                    mode = "off"
+                else:
+                    mode = self._choose_prefix_cache(calibration_batches)
+                    logger.info("prefix auto -> %s", mode)
             self._set_prefix(p_min, mode)
 
             try:

@@ -66,11 +66,26 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
     pos[b] = cache slot of toks[b, 0]. Writes all `chunk` tokens' K/V into
     the pages, then attends with a per-row validity-and-causality mask
-    (slot s visible to query i iff s <= pos + i). Gather-based attention:
-    the fused TPU paged kernel is single-query; at chunk = gamma+1 the
-    gather cost amortizes over the whole chunk, which is the point of
-    speculation.
+    (slot s visible to query i iff s <= pos + i).
+
+    Attention path MIRRORS the plain engine's decode so greedy speculation
+    emits the exact stream the plain engine would: sub-lane head dims on TPU
+    go through the chunked variant of our paged kernel
+    (ops.pallas_paged64.paged_attention_hd64_chunk — per-row bit-equal to
+    the single-query kernel the plain decode runs); everything else takes
+    the XLA gather, which is per-position bit-equal to the gather decode.
+    Exception: hd%128==0 models decode through jax's fused kernel, which has
+    no multi-query form — their verify gathers, so spec-vs-plain identity
+    there holds vs a gather-path plain engine (GRASP_PAGED_KERNEL=0), with
+    fp-tie-level divergence possible against the kernel path.
     """
+    import os
+
+    use_kernel64 = (
+        jax.default_backend() == "tpu"
+        and config.head_dim_ < 128
+        and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
+    )
 
     def fn(params, toks, k_pages, v_pages, tables, pos, live):
         L, nkv, num_pages, page_size, hd = k_pages.shape
@@ -115,20 +130,30 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             v_pages = v_pages.at[li, :, pf, of, :].set(
                 vw.astype(v_pages.dtype), mode="drop")
 
-            k_seq = k_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
-            v_seq = v_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
-            if nh != nkv:
-                k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
-                v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
+            if use_kernel64:
+                from grasp_tpu.ops.pallas_paged64 import paged_attention_hd64_chunk
 
-            scale = 1.0 / np.sqrt(hd)
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
-                                preferred_element_type=jnp.float32) * scale
-            scores = scores + bias
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
-                              preferred_element_type=q.dtype)
-            attn = attn.transpose(0, 2, 1, 3).reshape(b, chunk, nh * hd)
+                base = jnp.where(live > 0, pos + 1, 1)
+                attn = paged_attention_hd64_chunk(
+                    q.transpose(0, 2, 1, 3).astype(h.dtype),  # [B, chunk, nh, hd]
+                    k_pages[li], v_pages[li], base, tables,
+                )
+                attn = attn.reshape(b, chunk, nh * hd)
+            else:
+                k_seq = k_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
+                v_seq = v_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
+                if nh != nkv:
+                    k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
+                    v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
+
+                scale = 1.0 / np.sqrt(hd)
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
+                                    preferred_element_type=jnp.float32) * scale
+                scores = scores + bias
+                probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+                attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
+                                  preferred_element_type=q.dtype)
+                attn = attn.transpose(0, 2, 1, 3).reshape(b, chunk, nh * hd)
             h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
 
             x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)

@@ -48,7 +48,7 @@ def _run(tiny, prefix, svd_method="auto"):
     return engine
 
 
-@pytest.mark.parametrize("prefix", ["recompute", "cache"])
+@pytest.mark.parametrize("prefix", ["recompute", "cache", "cache_host"])
 def test_prefix_split_matches_monolithic(tiny, prefix):
     base = _run(tiny, "off")
     split = _run(tiny, prefix)

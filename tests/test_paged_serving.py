@@ -291,3 +291,33 @@ def test_paged_attention_kernel_quantized_pool_on_tpu(rng):
     got = srv.run()
     for rid, w in zip(rids, want):
         assert got[rid] == w, f"quantized kernel path request {rid}: {got[rid]} != {w}"
+
+
+def test_paged64_chunk_matches_single_query(rng):
+    """The chunked hd64 kernel (speculative verify) is row-wise bit-equal to
+    C separate single-query calls at lengths base..base+C-1 — the property
+    that makes greedy speculation emit the plain engine's exact stream.
+    Interpret mode (runs on CPU); the TPU-gated serving test exercises the
+    compiled kernel."""
+    from grasp_tpu.ops.pallas_paged64 import (
+        paged_attention_hd64,
+        paged_attention_hd64_chunk,
+    )
+
+    b, nh, nkv, hd, ps, pages_per_seq, c_len = 2, 4, 2, 64, 8, 3, 3
+    num_pages = b * pages_per_seq + 1
+    t_max = pages_per_seq * ps
+    k_pages = jnp.asarray(rng.standard_normal((nkv, num_pages, ps, hd)), jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((nkv, num_pages, ps, hd)), jnp.float32)
+    tables = jnp.asarray(
+        1 + np.arange(b * pages_per_seq).reshape(b, pages_per_seq), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, c_len, nh, hd)), jnp.float32)
+    base = jnp.asarray([5, t_max - c_len], jnp.int32)  # incl. a page-crossing row
+
+    got = paged_attention_hd64_chunk(q, k_pages, v_pages, base, tables,
+                                     interpret=True)
+    for c in range(c_len):
+        want = paged_attention_hd64(q[:, c], k_pages, v_pages, base + c,
+                                    tables, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got[:, c]), np.asarray(want), err_msg=f"chunk pos {c}")
