@@ -196,6 +196,13 @@ def main():
             with open(recorded) as f:
                 details["7b_recorded"] = json.load(f)
 
+    # ---- speculative serving: recorded by scripts/bench_spec.py (plain vs
+    # int8-self-draft aggregate tok/s, outputs token-identical) ----
+    spec_rec = os.path.join(repo, "BENCH_SPEC.json")
+    if os.path.exists(spec_rec):
+        with open(spec_rec) as f:
+            details["spec_recorded"] = json.load(f)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     vs = None
     if os.path.exists(baseline_path):

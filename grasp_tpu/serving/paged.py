@@ -91,8 +91,12 @@ class PagePool:
 
 
 def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int,
-                     quantized: bool = False):
+                     quantized: bool = False, raw: bool = False):
     """Build the jitted one-token decode over the page pool.
+
+    raw=True returns the UN-jitted body (no donation) for callers that embed
+    the step inside a larger jit — e.g. the speculative engine's fused
+    multi-step draft loop (spec_paged._draft_multi_fn).
 
     (params, toks [B], k_pages, v_pages, [k_scales, v_scales,] tables [B, P],
      pos [B], live [B]) -> (logits [B, V], k_pages, v_pages[, scales...])
@@ -255,6 +259,8 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         logits = _lm_logits(h, params)[:, 0, :]
         return logits, k_pages, v_pages, k_scales, v_scales
 
+    if raw:
+        return fn
     donate = (2, 3, 4, 5) if quantized else (2, 3)
     return jax.jit(fn, donate_argnums=donate)
 

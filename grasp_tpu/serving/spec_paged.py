@@ -173,6 +173,49 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     return jax.jit(fn, donate_argnums=(2, 3))
 
 
+def _draft_multi_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int,
+                    gamma: int):
+    """Fused draft phase: gamma+1 single-token paged decodes in ONE jit.
+
+    The unfused loop dispatches gamma+1 separate decode calls with a host
+    argmax sync between each (the next draft token feeds the next call);
+    per macro-step that is gamma+1 kernel launches and gamma+1 device->host
+    round trips. Here the token feedback happens inside a lax.fori_loop —
+    the page pools ride the loop carry (XLA aliases carries in place, and
+    the top-level jit donates them), and the host syncs ONCE for the [B,
+    gamma] draft block. On this container's dispatch tax (~35-40 ms/call)
+    that alone is ~4x off the draft phase at gamma=4; on any runtime it
+    removes gamma launches and syncs. Per-iteration results are bit-identical
+    to the unfused loop (same decode body, same argmax) — pinned by
+    tests/test_spec_paged.py::test_fused_draft_matches_unfused.
+
+    Iteration gamma (the last) only lands d_gamma's KV — its argmax is
+    dropped, mirroring the unfused loop.
+    """
+    body = _paged_decode_fn(config, plan, max_pages_per_seq, raw=True)
+
+    def fn(params, tok0, k_pages, v_pages, k_scales, v_scales, tables, pos0, live):
+        b = tok0.shape[0]
+        drafts0 = jnp.zeros((b, gamma), jnp.int32)
+
+        def step(i, carry):
+            tok, kp, vp, drafts = carry
+            logits, kp, vp, _, _ = body(
+                params, tok, kp, vp, k_scales, v_scales, tables, pos0 + i, live)
+            ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # i == gamma is the KV-only landing pass: the write drops
+            drafts = jax.lax.dynamic_update_slice(
+                drafts, ntok[:, None], (0, jnp.minimum(i, gamma - 1)))
+            drafts = jnp.where(i < gamma, drafts, carry[3])
+            return (ntok, kp, vp, drafts)
+
+        _, k_pages, v_pages, drafts = jax.lax.fori_loop(
+            0, gamma + 1, step, (tok0, k_pages, v_pages, drafts0))
+        return drafts, k_pages, v_pages
+
+    return jax.jit(fn, donate_argnums=(2, 3))
+
+
 class SpeculativeServingEngine(ServingEngine):
     """Continuous batching + paged KV + greedy speculation.
 
@@ -202,6 +245,8 @@ class SpeculativeServingEngine(ServingEngine):
         self.dpool = PagePool(draft_config, self.pool.num_pages, self.pool.page_size)
         self.dpool._free = self.pool._free  # ONE allocator: tables index both pools
         self._ddecode = _paged_decode_fn(draft_config, self.dplan, self.max_pages_per_seq)
+        self._dmulti = _draft_multi_fn(draft_config, self.dplan,
+                                       self.max_pages_per_seq, int(gamma))
         self._verify = _paged_verify_fn(config, self.plan, self.max_pages_per_seq,
                                         chunk=self.gamma + 1)
         self._dprefill_fns: Dict[Tuple[int, int], any] = {}
@@ -307,19 +352,16 @@ class SpeculativeServingEngine(ServingEngine):
             live[r.row] = 1
         tables_j = jnp.asarray(tables)
 
-        # --- draft phase: gamma+1 batched single-token paged decodes (the
-        # last one only lands d_gamma's KV, mirroring SpeculativeGenerator)
-        drafts = np.zeros((self.max_batch, self.gamma), np.int32)
-        dtok = jnp.asarray(self._next_tok)
-        for i in range(self.gamma + 1):
-            dlogits, self.dpool.k_pages, self.dpool.v_pages, _, _ = self._ddecode(
-                self.dparams, dtok, self.dpool.k_pages, self.dpool.v_pages,
-                self.dpool.k_scales, self.dpool.v_scales,
-                tables_j, jnp.asarray(pos0 + i), jnp.asarray(live),
-            )
-            dtok = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
-            if i < self.gamma:
-                drafts[:, i] = np.asarray(dtok)
+        # --- draft phase: gamma+1 single-token paged decodes fused into ONE
+        # dispatch (lax.fori_loop feeds each argmax into the next step on
+        # device; the last iteration only lands d_gamma's KV, mirroring
+        # SpeculativeGenerator). One host sync for the whole block.
+        drafts_j, self.dpool.k_pages, self.dpool.v_pages = self._dmulti(
+            self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
+            self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
+            tables_j, jnp.asarray(pos0), jnp.asarray(live),
+        )
+        drafts = np.asarray(drafts_j, np.int32)
 
         # --- target verify: one batched (gamma+1)-token paged forward ---
         verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)

@@ -1,0 +1,97 @@
+"""Speculative paged serving benchmark: plain vs int8-self-draft speculation.
+
+Measures aggregate decode throughput (batch 8, wall-clock over ServingEngine
+.run()) for:
+  1. the plain paged continuous-batching engine, and
+  2. SpeculativeServingEngine with the SAME model int8-quantized as draft
+     (quantized self-speculation: the draft is a byte-identical architecture
+     whose weights read at ~half the HBM bytes, so drafting is cheap and the
+     argmax agreement with the bf16 target is high — the only draft/target
+     pairing with realistic acceptance in this no-weights container).
+
+Outputs are checked token-identical (greedy speculation is exact by
+construction — tests/test_spec_paged.py). Writes BENCH_SPEC.json at the repo
+root; bench.py attaches it to the round artifact as `spec_recorded`.
+
+The macro-step is 2 dispatches (fused gamma-step draft + chunked verify) for
+~(accepted+1) tokens/row vs 1 dispatch/token for the plain engine, so on this
+container the ~35-40 ms per-dispatch tunnel tax amortizes ~E/2 deeper; on a
+tax-free runtime the win is the drafted fraction of target forwards skipped.
+
+Run on an otherwise idle machine: `python scripts/bench_spec.py`.
+"""
+
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
+                   seed: int = 0) -> dict:
+    from grasp_tpu.configs import ModelConfig
+    from grasp_tpu.models import init_params
+    from grasp_tpu.models.llama import default_plan
+    from grasp_tpu.ops.quant import quantize_model_weights
+    from grasp_tpu.serving.paged import ServingEngine
+    from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
+
+    config = ModelConfig.tinyllama_1_1b()
+    config = dataclasses.replace(config, dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(seed), config)
+    plan = default_plan(config)
+    q8 = quantize_model_weights(params, bits=8)
+    jax.block_until_ready((params, q8))
+
+    rng = np.random.default_rng(seed)
+    prompts = [rng.integers(1, config.vocab_size, size=128).tolist()
+               for _ in range(batch)]
+    kw = dict(num_pages=64, page_size=128, max_batch=batch, max_pages_per_seq=4)
+
+    out = {"model": "tinyllama-1.1b (random init, bf16)",
+           "backend": jax.default_backend(), "batch": batch,
+           "prompt_len": 128, "max_new": max_new, "gamma": gamma,
+           "draft": "same model, int8 weights"}
+
+    def timed(make):
+        eng = make()
+        rids = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
+        t0 = time.time()
+        outs = eng.run()
+        dt = time.time() - t0
+        n_tok = sum(len(outs[r]) for r in rids)
+        return eng, outs, rids, n_tok, dt
+
+    # warmup pass compiles both engines' graphs; timed pass reuses them —
+    # engines are cheap to rebuild but jit caches are global per fn factory,
+    # so rebuild per pass for clean page pools
+    for label, make in (
+        ("plain", lambda: ServingEngine(params, config, plan=plan, **kw)),
+        ("spec", lambda: SpeculativeServingEngine(
+            params, config, q8, config, plan=plan, draft_plan=plan,
+            gamma=gamma, **kw)),
+    ):
+        timed(make)  # compile
+        eng, outs, rids, n_tok, dt = timed(make)
+        out[f"{label}_tok_s_aggregate"] = round(n_tok / dt, 1)
+        out[f"{label}_wall_s"] = round(dt, 2)
+        out[f"{label}_outputs"] = [outs[r] for r in rids]
+        if label == "spec":
+            out["acceptance_rate"] = round(eng.acceptance_rate, 3)
+
+    out["outputs_identical"] = out.pop("plain_outputs") == out.pop("spec_outputs")
+    out["speedup"] = round(out["spec_tok_s_aggregate"] / out["plain_tok_s_aggregate"], 2)
+    out["date"] = time.strftime("%Y-%m-%d")
+    return out
+
+
+if __name__ == "__main__":
+    res = run_spec_bench()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_SPEC.json"), "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))

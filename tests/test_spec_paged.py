@@ -90,6 +90,48 @@ def test_eos_and_page_recycling(models, rng):
     assert spec.pool.free_pages == free0  # every page returned
 
 
+def test_fused_draft_matches_unfused(models, rng):
+    """_draft_multi_fn (one dispatch, fori_loop token feedback) is bit-equal
+    to gamma+1 separate _paged_decode_fn calls with host argmax feedback —
+    drafts AND final page contents."""
+    from grasp_tpu.models.llama import default_plan
+    from grasp_tpu.serving.paged import _paged_decode_fn
+    from grasp_tpu.serving.spec_paged import _draft_multi_fn
+
+    _, _, dconfig, dparams = models
+    plan = default_plan(dconfig)
+    gamma, b, pps, ps = 3, 2, 4, 16
+    nkv, hd = dconfig.num_key_value_heads, dconfig.head_dim_
+    num_pages = 1 + b * pps
+    shape = (dconfig.num_hidden_layers, nkv, num_pages, ps, hd)
+    k0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    tables = jnp.asarray(1 + np.arange(b * pps).reshape(b, pps), jnp.int32)
+    tok0 = jnp.asarray(rng.integers(1, 120, b), jnp.int32)
+    pos0 = jnp.asarray([5, 2 * ps - 1], jnp.int32)  # incl. page-boundary cross
+    live = jnp.ones(b, jnp.int32)
+
+    # unfused: fresh jit per call is wasteful but exact; copies because the
+    # jitted decode donates its page buffers
+    step = _paged_decode_fn(dconfig, plan, pps)
+    kp, vp = jnp.array(k0), jnp.array(v0)
+    tok = tok0
+    want = np.zeros((b, gamma), np.int32)
+    for i in range(gamma + 1):
+        logits, kp, vp, _, _ = step(dparams, tok, kp, vp, None, None,
+                                    tables, pos0 + i, live)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if i < gamma:
+            want[:, i] = np.asarray(tok)
+
+    fused = _draft_multi_fn(dconfig, plan, pps, gamma)
+    drafts, kf, vf = fused(dparams, tok0, jnp.array(k0), jnp.array(v0),
+                           None, None, tables, pos0, live)
+    np.testing.assert_array_equal(np.asarray(drafts), want)
+    np.testing.assert_array_equal(np.asarray(kf), np.asarray(kp))
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(vp))
+
+
 def test_sampled_requests_rejected(models):
     config, params, dconfig, dparams = models
     spec = SpeculativeServingEngine(
