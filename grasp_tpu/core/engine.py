@@ -1094,8 +1094,6 @@ class GraspEngine:
         for all-on-device SVD (gram_device) at 7B scale, where fp32 factors
         resident during the sweep push HBM past the limit (the sweep alone
         peaks at 13.8 of 15.75 GiB)."""
-        import threading
-
         if target_layer_types is None:
             return True
         defaults = self._block_targets(layer_id, block_type)
@@ -1163,22 +1161,44 @@ class GraspEngine:
                     logger.info("%s: %s", n, idx[:128].tolist())
             return False
         else:
-            svd_out = {}
-            err: List[BaseException] = []
+            svd_out, grads = self._svd_overlapping_grads(names, calibration_batches)
 
-            def _worker():
-                try:
-                    svd_out.update(self._svd_of_dense(names))
-                except BaseException as e:  # surfaced after join
-                    err.append(e)
+        self._select_compile_many(names, svd_out, grads, cfg)
+        return False
 
-            th = threading.Thread(target=_worker)
-            th.start()
-            grads = self.get_dense_gradients(names, calibration_batches)
-            th.join()
-            if err:
-                raise err[0]
+    def _svd_overlapping_grads(
+        self, names: List[str], calibration_batches: Sequence[Batch]
+    ) -> Tuple[Dict[str, Any], Dict[str, jax.Array]]:
+        """Host SVD of `names` in a worker thread, overlapped with the TPU
+        gradient sweep; worker exceptions surface after join."""
+        import threading
 
+        svd_out: Dict[str, Any] = {}
+        err: List[BaseException] = []
+
+        def _worker():
+            try:
+                svd_out.update(self._svd_of_dense(names))
+            except BaseException as e:  # surfaced after join
+                err.append(e)
+
+        th = threading.Thread(target=_worker)
+        th.start()
+        grads = self.get_dense_gradients(names, calibration_batches)
+        th.join()
+        if err:
+            raise err[0]
+        return svd_out, grads
+
+    def _select_compile_many(
+        self,
+        names: List[str],
+        svd_out: Dict[str, Any],
+        grads: Dict[str, jax.Array],
+        cfg: GraspConfig,
+    ) -> None:
+        """Select+truncate+compile every module in `names`; records
+        indices_dict/indices_log and the select_compile stage time."""
         t_stage = time.time()
         indices_dict: Dict[str, np.ndarray] = {}
         for n in names:
@@ -1193,7 +1213,6 @@ class GraspEngine:
         if cfg.verbose:
             for n, idx in indices_dict.items():
                 logger.info("%s: %s", n, idx[:128].tolist())
-        return False
 
     def _maybe_enable_flash_sweep(self, calibration_batches: Sequence[Batch]) -> None:
         """Route long-sequence calibration sweeps through the Pallas flash
@@ -1566,8 +1585,6 @@ class GraspEngine:
         parallel:   ONE sweep collects dense grads for every target at once
         while every SVD factorizes host-side; then select+compile everything.
         """
-        import threading
-
         if cfg.sweep == "parallel":
             names: List[str] = []
             for layer_id in layers_id:
@@ -1582,28 +1599,8 @@ class GraspEngine:
             if not names:
                 return
 
-            svd_out: Dict[str, Any] = {}
-            err: List[BaseException] = []
-
-            def _worker():
-                try:
-                    svd_out.update(self._svd_of_dense(names))
-                except BaseException as e:
-                    err.append(e)
-
-            th = threading.Thread(target=_worker)
-            th.start()
-            grads = self.get_dense_gradients(names, calibration_batches)
-            th.join()
-            if err:
-                raise err[0]
-
-            indices_dict: Dict[str, np.ndarray] = {}
-            for n in names:
-                u, s, vh = svd_out[n]
-                self._select_compile_one(n, u, s, vh, jnp.swapaxes(grads[n], -1, -2), cfg, indices_dict)
-            self.indices_dict = indices_dict
-            self.indices_log.update(indices_dict)
+            svd_out, grads = self._svd_overlapping_grads(names, calibration_batches)
+            self._select_compile_many(names, svd_out, grads, cfg)
         else:
             # sequential with cross-round SVD prefetch: every SVD factors the
             # ORIGINAL dense weights, so all rounds' factorizations start at
