@@ -388,6 +388,25 @@ TASK_REGISTRY: Dict[str, Task] = {
 }
 
 
+def _register_from_spec_library(task_name: str) -> None:
+    """Lazily register a task from the shipped spec library
+    (eval/task_specs.json) if it defines ``task_name``; no-op otherwise."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "task_specs.json")
+    try:
+        with open(path) as f:
+            specs = json.load(f)
+    except OSError:
+        return
+    for spec in specs if isinstance(specs, list) else [specs]:
+        if spec.get("name") == task_name:
+            from grasp_tpu.eval.task_spec import register_task_spec
+
+            register_task_spec(spec)
+            return
+
+
 def _fewshot_docs(task: Task, doc: dict, num_fewshot: int, rnd,
                   train_pool: Optional[List[dict]], eval_pool: List[dict]) -> List[dict]:
     """lm-eval 0.3.0 shot selection: rnd.sample from the training docs when a
@@ -426,6 +445,12 @@ def evaluate_tasks(
     results: Dict[str, Any] = {}
     for task_name in tasks:
         if task_name not in TASK_REGISTRY:
+            # fall back to the shipped declarative spec library (lambada
+            # family lives there; the 8 defaults are hand classes) — keeps
+            # the reference's "any 0.3.0 task name" surface open for tasks
+            # that are data-definable (evaluate_grasp.py:222-229)
+            _register_from_spec_library(task_name)
+        if task_name not in TASK_REGISTRY:
             raise KeyError(f"unknown task {task_name!r}; available: {sorted(TASK_REGISTRY)}")
         task = TASK_REGISTRY[task_name]
         if docs_override:
@@ -456,6 +481,27 @@ def evaluate_tasks(
             gens = lm.greedy_until([(c, list(task.stops)) for c in ctxs])
             hits = sum(bool(task.score(g, doc)) for g, doc in zip(gens, docs))
             results[task_name] = {"acc": hits / max(len(docs), 1)}
+            logger.info("%s %s (%d docs)", task_name, results[task_name], len(docs))
+            continue
+
+        if getattr(task, "loglik", False):
+            # single-continuation task (lambada family, eval/task_spec.py):
+            # acc = 0.3.0's is_greedy fraction, ppl = exp(-mean ll) (0.3.0's
+            # perplexity aggregation)
+            reqs = []
+            for doc in docs:
+                if num_fewshot > 0:
+                    shots = _fewshot_docs(task, doc, num_fewshot, rnd, train_pool, all_docs)
+                    ctx = task.fewshot_context(doc, shots)
+                else:
+                    ctx = task.context(doc)
+                reqs.append((ctx, task.target(doc)))
+            lls = lm.loglikelihood(reqs)
+            n = max(len(docs), 1)
+            results[task_name] = {
+                "acc": sum(int(g) for _, g in lls) / n,
+                "ppl": float(np.exp(-np.mean([ll for ll, _ in lls]))) if docs else 0.0,
+            }
             logger.info("%s %s (%d docs)", task_name, results[task_name], len(docs))
             continue
 

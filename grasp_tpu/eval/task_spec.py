@@ -48,6 +48,19 @@ is the suffix after the blank; extra keys: ``sentence_field``, ``options``
 
 The metric is exact_match (strip-compared) or containment, aggregated as
 "acc" so the harness's mean aggregation applies unchanged.
+
+``type: "loglikelihood"`` is lm-eval 0.3.0's single-continuation scheme
+(lambada family): one loglikelihood request of ``target`` after ``context``
+per doc; acc = fraction where the continuation was the token-wise argmax
+(0.3.0's ``is_greedy``), ppl = exp(-mean ll) (0.3.0's ``perplexity``
+aggregation):
+
+    {
+      "name": "lambada", "type": "loglikelihood",
+      "context": "{text}",
+      "context_preprocess": {"text": "drop_last_word"},
+      "target": {"field": "text", "preprocess": "last_word", "prefix": " "}
+    }
 """
 
 from __future__ import annotations
@@ -72,10 +85,22 @@ def _mathqa_options(options: str) -> List[str]:
     ]
 
 
+def _drop_last_word(text: str) -> str:
+    """lambada doc_to_text: everything before the final word."""
+    return text.rsplit(" ", 1)[0]
+
+
+def _last_word(text: str) -> str:
+    """lambada doc_to_target body: the final word (caller adds the " ")."""
+    return text.rsplit(" ", 1)[1] if " " in text else text
+
+
 PREPROCESS_REGISTRY: Dict[str, Callable] = {
     "hellaswag": _hellaswag_preprocess,
     "mathqa_options": _mathqa_options,
     "capitalize": str.capitalize,
+    "drop_last_word": _drop_last_word,
+    "last_word": _last_word,
 }
 
 
@@ -281,6 +306,34 @@ def make_task(spec: dict):
                 return got == want
 
         return GenSpecTask()
+
+    if kind == "loglikelihood":
+        target_spec = spec["target"]
+        t_pre = [PREPROCESS_REGISTRY[n] for n in _as_list(target_spec.get("preprocess"))]
+        t_prefix = target_spec.get("prefix", "")
+
+        class LoglikSpecTask(Task):
+            name = spec["name"]
+            split_candidates = tuple(spec.get("split_candidates", ("validation", "test")))
+            has_acc_norm = False
+            loglik = True  # single-continuation scoring (lambada family)
+
+            def context(self, doc):
+                return render_context(doc)
+
+            def target(self, doc) -> str:
+                val = str(_resolve(doc, target_spec["field"]))
+                for fn in t_pre:
+                    val = fn(val)
+                return t_prefix + val
+
+            def choices(self, doc):  # gold continuation (few-shot labels)
+                return [self.target(doc)]
+
+            def gold(self, doc):
+                return 0
+
+        return LoglikSpecTask()
 
     raise ValueError(f"unknown task spec type {kind!r}")
 

@@ -28,10 +28,21 @@ Design:
     mask (slot <= pos) hides them and the next chunk overwrites them in
     place — the same argument as SpeculativeGenerator's dense caches.
 
-Sampled requests are NOT speculated here (batch-level Leviathan coupling
-across mixed per-row settings is a different trade); submit() rejects
-temperature > 0 — use ServingEngine for mixed sampling or
-SpeculativeGenerator.sample for single-stream speculative sampling.
+Sampled requests speculate too: the draft phase samples each row from its
+own filtered draft distribution (per-row temperature/top-k/top-p through the
+same ``topk_topp_filter`` every serving path uses) and keeps the per-step
+draft probabilities; the verify step then runs the Leviathan et al.
+rejection rule per row (``speculative.speculative_accept`` vmapped over the
+batch), so every sampled row's stream is distributed EXACTLY as target-only
+sampling at its settings — the draft changes wall-clock, never the
+distribution (engine-level empirical-distribution test in
+tests/test_spec_paged.py). Greedy rows in the same batch keep the
+argmax-prefix rule and stay bit-identical to the plain ServingEngine.
+PRNG discipline: one fold_in(PRNGKey(seed), macro_step) key per row per
+macro-step (draft step i folds 1000+i, acceptance folds 7 — mirroring
+SpeculativeGenerator.sample). A sampled row's stream therefore differs
+bitwise from the plain engine's one-pick-per-token stream (same exact
+distribution); greedy rows are pick-free and unaffected.
 """
 
 from __future__ import annotations
@@ -216,14 +227,109 @@ def _draft_multi_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int
     return jax.jit(fn, donate_argnums=(2, 3))
 
 
+def _draft_multi_sampled_fn(config: ModelConfig, plan: ModelPlan,
+                            max_pages_per_seq: int, gamma: int, max_k: int):
+    """Sampled variant of the fused draft phase.
+
+    Same one-dispatch fori_loop, but each row draws its next draft token from
+    its own filtered distribution (per-row temperature/top-k/top-p; greedy
+    rows keep the exact argmax of the raw logits) and the per-step filtered
+    draft probabilities q_i are captured for the Leviathan acceptance step.
+    Returns (drafts [B, gamma], q_probs [B, gamma, V] fp32, k_pages, v_pages).
+
+    keys: [B, 2] uint32 per-row chunk keys (fold_in(PRNGKey(seed),
+    macro_step) on the host); draft step i folds 1000+i per row, mirroring
+    SpeculativeGenerator._get_sample_loop so single-stream and batched
+    speculation share the stream layout.
+    """
+    from grasp_tpu.eval.generate import topk_topp_filter
+
+    body = _paged_decode_fn(config, plan, max_pages_per_seq, raw=True)
+    vocab = config.vocab_size
+
+    def fn(params, tok0, k_pages, v_pages, k_scales, v_scales, tables, pos0,
+           live, keys, temps, ks, tps, greedy):
+        b = tok0.shape[0]
+        drafts0 = jnp.zeros((b, gamma), jnp.int32)
+        q0 = jnp.zeros((b, gamma, vocab), jnp.float32)
+
+        def step(i, carry):
+            tok, kp, vp, drafts, qs = carry
+            logits, kp, vp, _, _ = body(
+                params, tok, kp, vp, k_scales, v_scales, tables, pos0 + i, live)
+            filt = topk_topp_filter(
+                logits.astype(jnp.float32) / temps[:, None], ks, tps, max_k)
+            skeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 1000 + i))(keys)
+            sampled = jax.vmap(jax.random.categorical)(skeys, filt).astype(jnp.int32)
+            ntok = jnp.where(greedy, jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                             sampled)
+            # i == gamma is the KV-only landing pass: drafts/qs writes drop
+            j = jnp.minimum(i, gamma - 1)
+            drafts = jax.lax.dynamic_update_slice(drafts, ntok[:, None], (0, j))
+            qs = jax.lax.dynamic_update_slice(
+                qs, jax.nn.softmax(filt, axis=-1)[:, None, :], (0, j, 0))
+            keep = i < gamma
+            drafts = jnp.where(keep, drafts, carry[3])
+            qs = jnp.where(keep, qs, carry[4])
+            return (ntok, kp, vp, drafts, qs)
+
+        _, k_pages, v_pages, drafts, qs = jax.lax.fori_loop(
+            0, gamma + 1, step, (tok0, k_pages, v_pages, drafts0, q0))
+        return drafts, qs, k_pages, v_pages
+
+    return jax.jit(fn, donate_argnums=(2, 3))
+
+
+def _accept_fn(gamma: int, max_k: int):
+    """Batched per-row acceptance: greedy rows take the argmax-prefix rule
+    (bit-identical to the greedy engine), sampled rows the Leviathan
+    rejection rule via the Monte-Carlo-verified ``speculative_accept``
+    vmapped over the batch. One jitted call per macro-step.
+
+    (tlogits [B, g+1, V], drafts [B, g], q_probs [B, g, V], keys [B, 2],
+     temps/tps [B] fp32, ks [B] i32, greedy [B] bool)
+      -> (a [B] accepted counts, corr [B] correction/bonus token,
+          targets [B, g+1] argmax — the greedy emission source)
+    """
+    from grasp_tpu.eval.generate import topk_topp_filter
+    from grasp_tpu.serving.speculative import speculative_accept
+
+    @jax.jit
+    def fn(tlogits, drafts, q_probs, keys, temps, ks, tps, greedy):
+        b, g1, v = tlogits.shape
+        targets = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)  # [B, g+1]
+
+        matches = jnp.cumprod(
+            (targets[:, :gamma] == drafts).astype(jnp.int32), axis=1)
+        a_g = jnp.sum(matches, axis=1)
+        corr_g = jnp.take_along_axis(targets, a_g[:, None], axis=1)[:, 0]
+
+        scaled = tlogits.astype(jnp.float32) / temps[:, None, None]
+        filt = topk_topp_filter(
+            scaled.reshape(b * g1, v),
+            jnp.repeat(ks, g1), jnp.repeat(tps, g1), max_k,
+        ).reshape(b, g1, v)
+        p_probs = jax.nn.softmax(filt, axis=-1)
+        akeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 7))(keys)
+        a_s, corr_s = jax.vmap(speculative_accept)(akeys, drafts, q_probs, p_probs)
+
+        a = jnp.where(greedy, a_g, a_s)
+        corr = jnp.where(greedy, corr_g, corr_s)
+        return a, corr, targets
+
+    return fn
+
+
 class SpeculativeServingEngine(ServingEngine):
-    """Continuous batching + paged KV + greedy speculation.
+    """Continuous batching + paged KV + speculation (greedy AND sampled).
 
     Inherits admission/retirement/page accounting from ServingEngine; the
     target pool is `self.pool` (so _admit prefills the target unchanged) and
     a draft pool rides the SAME page tables. step() advances every live row
-    up to gamma+1 tokens. Outputs are bit-identical to ServingEngine —
-    speculation changes wall-clock only.
+    up to gamma+1 tokens. Greedy rows emit the bit-identical ServingEngine
+    stream; sampled rows emit a stream distributed exactly as target-only
+    per-row temperature/top-k/top-p sampling (Leviathan rejection per row) —
+    speculation changes wall-clock, never outputs/distributions.
     """
 
     def __init__(self, params: Params, config: ModelConfig,
@@ -247,6 +353,8 @@ class SpeculativeServingEngine(ServingEngine):
         self._ddecode = _paged_decode_fn(draft_config, self.dplan, self.max_pages_per_seq)
         self._dmulti = _draft_multi_fn(draft_config, self.dplan,
                                        self.max_pages_per_seq, int(gamma))
+        self._dmulti_sampled = None  # built on first sampled macro-step
+        self._accept = None
         self._verify = _paged_verify_fn(config, self.plan, self.max_pages_per_seq,
                                         chunk=self.gamma + 1)
         self._dprefill_fns: Dict[Tuple[int, int], any] = {}
@@ -254,10 +362,10 @@ class SpeculativeServingEngine(ServingEngine):
 
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None) -> int:
-        if temperature != 0.0 and top_k != 1:
-            raise NotImplementedError(
-                "SpeculativeServingEngine is greedy-only (bit-identical "
-                "speculation); use ServingEngine for sampled requests")
+        """Enqueue a request; sampled rows (temperature > 0) speculate through
+        the per-row Leviathan rejection path (exact target distribution, see
+        module docstring); greedy rows stay bit-identical to ServingEngine.
+        seed=None defaults to the request id (plain-engine semantics)."""
         # reserve chunk-overshoot slack: a macro-step may write up to gamma+1
         # positions past the accepted stream before trimming
         prompt = np.asarray(prompt_ids).reshape(-1)
@@ -265,7 +373,8 @@ class SpeculativeServingEngine(ServingEngine):
         if need > self.max_pages_per_seq:
             raise ValueError(
                 f"request needs {need} pages > max_pages_per_seq={self.max_pages_per_seq}")
-        return super().submit(prompt_ids, max_new_tokens, 0.0, 0, 1.0, seed)
+        return super().submit(prompt_ids, max_new_tokens, temperature, top_k,
+                              top_p, seed)
 
     # -- admission: also prefill the draft into the same pages ------------
     def _admit(self, req, row):
@@ -352,39 +461,95 @@ class SpeculativeServingEngine(ServingEngine):
             live[r.row] = 1
         tables_j = jnp.asarray(tables)
 
-        # --- draft phase: gamma+1 single-token paged decodes fused into ONE
-        # dispatch (lax.fori_loop feeds each argmax into the next step on
-        # device; the last iteration only lands d_gamma's KV, mirroring
-        # SpeculativeGenerator). One host sync for the whole block.
-        drafts_j, self.dpool.k_pages, self.dpool.v_pages = self._dmulti(
-            self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
-            self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
-            tables_j, jnp.asarray(pos0), jnp.asarray(live),
-        )
-        drafts = np.asarray(drafts_j, np.int32)
+        any_sampled = any(not r.greedy for r in live_reqs)
+        if any_sampled:
+            # --- sampled draft phase + Leviathan acceptance (both fused) ---
+            from grasp_tpu.serving.paged import _MAX_TOP_K
 
-        # --- target verify: one batched (gamma+1)-token paged forward ---
-        verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
-        tlogits, self.pool.k_pages, self.pool.v_pages = self._verify(
-            self.params, jnp.asarray(verify_in), self.pool.k_pages,
-            self.pool.v_pages, tables_j, jnp.asarray(pos0), jnp.asarray(live),
-        )
-        targets = np.asarray(jnp.argmax(tlogits, axis=-1), np.int32)  # [B, g+1]
+            if self._dmulti_sampled is None:
+                self._dmulti_sampled = _draft_multi_sampled_fn(
+                    self.dconfig, self.dplan, self.max_pages_per_seq,
+                    self.gamma, _MAX_TOP_K)
+                self._accept = _accept_fn(self.gamma, _MAX_TOP_K)
 
-        # --- acceptance + emission per row (host bookkeeping) ---
+            temps = np.ones(self.max_batch, np.float32)
+            ks = np.zeros(self.max_batch, np.int32)
+            tps = np.ones(self.max_batch, np.float32)
+            greedy = np.ones(self.max_batch, bool)
+            keys = np.zeros((self.max_batch, 2), np.uint32)
+            for r in live_reqs:
+                if r.greedy:
+                    continue
+                greedy[r.row] = False
+                temps[r.row] = max(r.temperature, 1e-6)
+                ks[r.row] = r.top_k
+                tps[r.row] = r.top_p
+                # one chunk key per macro-step (fold_in per draft pick / accept
+                # happens on device); emitted_steps is the stream position
+                keys[r.row] = np.asarray(jax.random.fold_in(
+                    jax.random.PRNGKey(r.seed), r.emitted_steps))
+                r.emitted_steps += 1
+            keys_j, temps_j = jnp.asarray(keys), jnp.asarray(temps)
+            ks_j, tps_j = jnp.asarray(ks), jnp.asarray(tps)
+            greedy_j = jnp.asarray(greedy)
+
+            drafts_j, q_j, self.dpool.k_pages, self.dpool.v_pages = self._dmulti_sampled(
+                self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
+                self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
+                tables_j, jnp.asarray(pos0), jnp.asarray(live),
+                keys_j, temps_j, ks_j, tps_j, greedy_j,
+            )
+            drafts = np.asarray(drafts_j, np.int32)
+
+            verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
+            tlogits, self.pool.k_pages, self.pool.v_pages = self._verify(
+                self.params, jnp.asarray(verify_in), self.pool.k_pages,
+                self.pool.v_pages, tables_j, jnp.asarray(pos0), jnp.asarray(live),
+            )
+            a_j, corr_j, _ = self._accept(
+                tlogits, drafts_j, q_j, keys_j, temps_j, ks_j, tps_j, greedy_j)
+            a_arr = np.asarray(a_j, np.int32)
+            corr = np.asarray(corr_j, np.int32)
+        else:
+            # --- greedy draft phase: gamma+1 single-token paged decodes fused
+            # into ONE dispatch (lax.fori_loop feeds each argmax into the next
+            # step on device; the last iteration only lands d_gamma's KV,
+            # mirroring SpeculativeGenerator). One host sync for the block.
+            drafts_j, self.dpool.k_pages, self.dpool.v_pages = self._dmulti(
+                self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
+                self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
+                tables_j, jnp.asarray(pos0), jnp.asarray(live),
+            )
+            drafts = np.asarray(drafts_j, np.int32)
+
+            # --- target verify: one batched (gamma+1)-token paged forward ---
+            verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
+            tlogits, self.pool.k_pages, self.pool.v_pages = self._verify(
+                self.params, jnp.asarray(verify_in), self.pool.k_pages,
+                self.pool.v_pages, tables_j, jnp.asarray(pos0), jnp.asarray(live),
+            )
+            targets = np.asarray(jnp.argmax(tlogits, axis=-1), np.int32)  # [B, g+1]
+            a_arr = np.zeros(self.max_batch, np.int32)
+            corr = np.zeros(self.max_batch, np.int32)
+            for r in live_reqs:
+                row = r.row
+                matches = np.cumprod(targets[row, : self.gamma] == drafts[row])
+                a_arr[row] = matches.sum()
+                corr[row] = targets[row, a_arr[row]]
+
+        # --- emission per row (host bookkeeping) ---
         self.last_stats["chunks"] += len(live_reqs)
         self.last_stats["drafted"] += len(live_reqs) * self.gamma
         for r in list(self._live):
             if r is None:
                 continue
             row = r.row
-            matches = np.cumprod(targets[row, : self.gamma] == drafts[row])
-            a = int(matches.sum())
+            a = int(a_arr[row])
             self.last_stats["accepted"] += a
             # emitted this macro-step: verify_in[1..a] (= d_1..d_a, already
-            # counted as the NEXT tokens) then targets[a] as the new pending
-            # token. verify_in[0] was emitted at the top of step().
-            chunk = list(drafts[row, :a]) + [int(targets[row, a])]
+            # counted as the NEXT tokens) then the correction/bonus token as
+            # the new pending token. verify_in[0] was emitted at step() top.
+            chunk = list(drafts[row, :a]) + [int(corr[row])]
             # r.pos currently counts tokens whose KV is final through
             # verify_in[0]; advance past the accepted region
             r.pos += a + 1

@@ -132,11 +132,152 @@ def test_fused_draft_matches_unfused(models, rng):
     np.testing.assert_array_equal(np.asarray(vf), np.asarray(vp))
 
 
-def test_sampled_requests_rejected(models):
-    config, params, dconfig, dparams = models
+def test_sampled_draft_equals_target_accepts_everything(models, rng):
+    """With draft == target, p == q at every position, so the Leviathan rule
+    accepts every draft (u < 1 a.s.) — acceptance_rate must be exactly 1."""
+    config, params, _, _ = models
+    prompts = _prompts(rng, n=3)
     spec = SpeculativeServingEngine(
-        params, config, dparams, dconfig,
-        num_pages=32, page_size=16, max_batch=2, max_pages_per_seq=8,
+        params, config, params, config, gamma=3,
+        num_pages=128, page_size=16, max_batch=4, max_pages_per_seq=8,
     )
-    with pytest.raises(NotImplementedError, match="greedy-only"):
-        spec.submit(np.arange(4), 8, temperature=0.8)
+    rids = [spec.submit(p, 10, temperature=1.1, top_k=8, seed=i)
+            for i, p in enumerate(prompts)]
+    outs = spec.run()
+    assert all(len(outs[r]) == 10 for r in rids)
+    assert spec.acceptance_rate == 1.0
+
+
+def test_mixed_batch_greedy_rows_stay_bit_identical(models, rng):
+    """Sampled rows in the batch must not perturb greedy rows: greedy outputs
+    equal the plain ServingEngine's for the same prompts."""
+    config, params, dconfig, dparams = models
+    prompts = _prompts(rng, n=4)
+
+    plain = ServingEngine(params, config, num_pages=96, page_size=16,
+                          max_batch=4, max_pages_per_seq=8)
+    want = _run(plain, prompts[:2], max_new=12)
+
+    spec = SpeculativeServingEngine(
+        params, config, dparams, dconfig, gamma=3,
+        num_pages=128, page_size=16, max_batch=4, max_pages_per_seq=8,
+    )
+    greedy_rids = [spec.submit(p, 12) for p in prompts[:2]]
+    sampled_rids = [spec.submit(p, 12, temperature=0.9, top_k=16, top_p=0.95,
+                                seed=100 + i)
+                    for i, p in enumerate(prompts[2:])]
+    outs = spec.run()
+    assert [outs[r] for r in greedy_rids] == want
+    assert all(len(outs[r]) == 12 for r in sampled_rids)
+
+
+def test_sampled_outputs_deterministic_in_seed(models, rng):
+    config, params, dconfig, dparams = models
+    prompts = _prompts(rng, n=3)
+
+    def run(seeds):
+        spec = SpeculativeServingEngine(
+            params, config, dparams, dconfig, gamma=2,
+            num_pages=96, page_size=16, max_batch=4, max_pages_per_seq=8,
+        )
+        rids = [spec.submit(p, 10, temperature=1.0, top_k=0, top_p=0.9, seed=s)
+                for p, s in zip(prompts, seeds)]
+        outs = spec.run()
+        return [outs[r] for r in rids]
+
+    a = run([11, 22, 33])
+    b = run([11, 22, 33])
+    c = run([44, 55, 66])
+    assert a == b
+    assert a != c  # 10 tokens over a 128-vocab at T=1: collision ~ impossible
+
+
+def test_sampled_stream_matches_exact_target_distribution(models):
+    """Engine-level Leviathan check: over many seeded requests, the empirical
+    joint distribution of the first two sampled tokens matches the EXACT
+    target distribution (filtered softmax chain computed directly from the
+    model), total-variation < 0.15 at N=400. The draft is a different model,
+    so rejections + residual resampling genuinely exercise."""
+    from grasp_tpu.eval.generate import filter_logits
+    from grasp_tpu.models.llama import default_plan, forward
+
+    config, params, dconfig, dparams = models
+    prompt = np.asarray([3, 17, 42, 9], np.int32)
+    temp, top_k, max_new, n_req = 1.3, 4, 2, 400
+
+    def exact_dist(ids):
+        logits = forward(params, jnp.asarray(ids)[None, :], config=config,
+                         plan=default_plan(config))["logits"][0, len(ids) - 1]
+        filt = filter_logits((logits.astype(jnp.float32) / temp)[None, :],
+                             top_k, 1.0)[0]
+        return np.asarray(jax.nn.softmax(filt), np.float64)
+
+    p1 = exact_dist(prompt)
+    support1 = np.where(p1 > 0)[0]
+    joint = {}
+    for t1 in support1:
+        p2 = exact_dist(np.concatenate([prompt, [t1]]))
+        for t2 in np.where(p2 > 0)[0]:
+            joint[(int(t1), int(t2))] = p1[t1] * p2[t2]
+
+    spec = SpeculativeServingEngine(
+        params, config, dparams, dconfig, gamma=3,
+        num_pages=256, page_size=16, max_batch=8, max_pages_per_seq=4,
+    )
+    counts = {}
+    rids = {}
+    for s in range(n_req):
+        rids[spec.submit(prompt, max_new, temperature=temp, top_k=top_k,
+                         seed=s)] = s
+    outs = spec.run()
+    for r in rids:
+        t = tuple(outs[r])
+        assert len(t) == max_new
+        counts[t] = counts.get(t, 0) + 1
+
+    tv = 0.5 * sum(abs(counts.get(k, 0) / n_req - v) for k, v in joint.items())
+    tv += 0.5 * sum(c / n_req for k, c in counts.items() if k not in joint)
+    assert tv < 0.15, f"TV={tv:.3f} vs exact target chain"
+    # every emitted pair must lie in the exact support (filter parity)
+    assert all(k in joint for k in counts)
+
+
+def test_accept_fn_greedy_and_identical_q(models, rng):
+    """_accept_fn unit invariants: greedy rows reproduce the host argmax-prefix
+    rule; sampled rows with q == p accept all gamma drafts."""
+    from grasp_tpu.serving.spec_paged import _accept_fn
+
+    gamma, b, v = 3, 4, 32
+    fn = _accept_fn(gamma, max_k=8)
+    tlogits = jnp.asarray(rng.standard_normal((b, gamma + 1, v)), jnp.float32)
+    targets = np.asarray(jnp.argmax(tlogits, axis=-1), np.int32)
+    # rows 0-1 greedy: drafts agree for 2 then diverge / agree fully
+    drafts = np.zeros((b, gamma), np.int32)
+    drafts[0] = [targets[0, 0], targets[0, 1], (targets[0, 2] + 1) % v]
+    drafts[1] = targets[1, :gamma]
+    # rows 2-3 sampled with q == p (the target's own filtered softmax)
+    temps = jnp.asarray([1.0, 1.0, 1.3, 0.7], jnp.float32)
+    ks = jnp.asarray([0, 0, 4, 0], jnp.int32)
+    tps = jnp.asarray([1.0, 1.0, 1.0, 0.9], jnp.float32)
+    greedy = jnp.asarray([True, True, False, False])
+    from grasp_tpu.eval.generate import topk_topp_filter
+
+    scaled = tlogits.astype(jnp.float32) / temps[:, None, None]
+    filt = topk_topp_filter(scaled.reshape(-1, v), jnp.repeat(ks, gamma + 1),
+                            jnp.repeat(tps, gamma + 1), 8).reshape(b, gamma + 1, v)
+    p = jax.nn.softmax(filt, axis=-1)
+    q = np.asarray(p[:, :gamma])
+    for row in (2, 3):  # drafts must come from q's support
+        for i in range(gamma):
+            drafts[row, i] = int(np.argmax(q[row, i]))
+    keys = jnp.asarray(
+        np.stack([np.asarray(jax.random.PRNGKey(s)) for s in range(b)]))
+
+    a, corr, tg = fn(tlogits, jnp.asarray(drafts), jnp.asarray(q), keys,
+                     temps, ks, tps, greedy)
+    a = np.asarray(a)
+    assert a[0] == 2 and a[1] == gamma
+    assert int(np.asarray(corr)[0]) == targets[0, 2]
+    assert int(np.asarray(corr)[1]) == targets[1, gamma]
+    assert a[2] == gamma and a[3] == gamma  # q == p accepts everything
+    np.testing.assert_array_equal(np.asarray(tg), targets)

@@ -56,7 +56,13 @@ DOCS = {
 DOCS["arc_challenge"] = DOCS["arc_easy"]
 
 
-@pytest.mark.parametrize("spec", json.load(open(SPEC_PATH)), ids=lambda s: s["name"])
+# golden-class parity applies to the 8 hand-written tasks; spec-only library
+# entries (lambada family) are pinned by their own tests below
+_GOLDEN_SPECS = [s for s in json.load(open(SPEC_PATH)) if s["name"] in TASK_REGISTRY]
+assert len(_GOLDEN_SPECS) == 8
+
+
+@pytest.mark.parametrize("spec", _GOLDEN_SPECS, ids=lambda s: s["name"])
 def test_spec_matches_golden_class(spec):
     """context/choices/gold/fewshot parity with the hand-written classes."""
     name = spec["name"]
@@ -163,3 +169,71 @@ def test_generation_task_golden():
         assert res["tiny_gen"]["acc"] == 0.0
     finally:
         del TASK_REGISTRY["tiny_gen"]
+
+
+def test_lambada_spec_formatting():
+    """The shipped lambada spec reproduces lm-eval 0.3.0's lambada format
+    byte-for-byte: doc_to_text = text minus the final word, doc_to_target =
+    " " + final word (lm_eval/tasks/lambada.py)."""
+    specs = {s["name"]: s for s in json.load(open(SPEC_PATH))}
+    for name in ("lambada", "lambada_openai"):
+        task = make_task(specs[name])
+        doc = {"text": "the quick brown fox jumps over the lazy dog"}
+        assert task.context(doc) == "the quick brown fox jumps over the lazy"
+        assert task.target(doc) == " dog"
+        assert task.loglik and not task.has_acc_norm
+        # few-shot context follows the 0.3.0 "<text><target>\n\n" join
+        shot = {"text": "a b c"}
+        assert task.fewshot_context(doc, [shot]) == (
+            "a b c\n\n" + "the quick brown fox jumps over the lazy"
+        )
+
+
+def test_loglikelihood_task_golden_through_harness():
+    """acc == is_greedy fraction and ppl == exp(-mean ll), both pinned
+    against direct EvalLM.loglikelihood calls on the same requests."""
+    import numpy as np
+
+    specs = {s["name"]: s for s in json.load(open(SPEC_PATH))}
+    register_task_spec(specs["lambada"])
+    try:
+        config = ModelConfig.tiny(num_hidden_layers=2, vocab_size=260)
+        params = init_params(jax.random.PRNGKey(2), config)
+        lm = EvalLM(params, config, ByteTokenizer(vocab_size=config.vocab_size))
+        docs = [
+            {"text": "aa bb cc dd"},
+            {"text": "hello world again"},
+            {"text": "x y"},
+            {"text": "one two three four five"},
+        ]
+        task = TASK_REGISTRY["lambada"]
+        reqs = [(task.context(d), task.target(d)) for d in docs]
+        lls = lm.loglikelihood(reqs)
+        want_acc = sum(int(g) for _, g in lls) / len(docs)
+        want_ppl = float(np.exp(-np.mean([ll for ll, _ in lls])))
+
+        res = evaluate_tasks(lm, ["lambada"], docs_override={"lambada": docs})
+        assert set(res["lambada"]) == {"acc", "ppl"}
+        assert res["lambada"]["acc"] == want_acc
+        assert res["lambada"]["ppl"] == pytest.approx(want_ppl, rel=1e-6)
+        # the task's acc participates in the cross-task mean like 0.3.0
+        assert res["mean"] == pytest.approx(want_acc)
+    finally:
+        del TASK_REGISTRY["lambada"]
+
+
+def test_unknown_task_falls_back_to_spec_library():
+    """evaluate_tasks('lambada') works without explicit registration — the
+    shipped spec library auto-registers on first lookup (open task surface)."""
+    assert "lambada" not in TASK_REGISTRY
+    try:
+        config = ModelConfig.tiny(num_hidden_layers=2, vocab_size=260)
+        params = init_params(jax.random.PRNGKey(3), config)
+        lm = EvalLM(params, config, ByteTokenizer(vocab_size=config.vocab_size))
+        docs = [{"text": "aa bb cc"}, {"text": "dd ee"}]
+        res = evaluate_tasks(lm, ["lambada"], docs_override={"lambada": docs})
+        assert set(res["lambada"]) == {"acc", "ppl"}
+        with pytest.raises(KeyError, match="no_such_task"):
+            evaluate_tasks(lm, ["no_such_task"], docs_override={"no_such_task": []})
+    finally:
+        TASK_REGISTRY.pop("lambada", None)
