@@ -69,11 +69,14 @@ from grasp_tpu.serving.paged import PagePool, ServingEngine, _paged_decode_fn
 
 
 def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int,
-                     chunk: int):
+                     chunk: int, quantized: bool = False):
     """Batched multi-token paged forward (the speculative verify step).
 
-    (params, toks [B, chunk], k_pages, v_pages, tables [B, P], pos [B],
-     live [B]) -> (logits [B, chunk, V], k_pages, v_pages)
+    (params, toks [B, chunk], k_pages, v_pages, k_scales, v_scales,
+     tables [B, P], pos [B], live [B])
+      -> (logits [B, chunk, V], k_pages, v_pages, k_scales, v_scales)
+    (scale args/returns are None pass-throughs for fp pools, like
+    paged._paged_decode_fn's signature).
 
     pos[b] = cache slot of toks[b, 0]. Writes all `chunk` tokens' K/V into
     the pages, then attends with a per-row validity-and-causality mask
@@ -85,20 +88,27 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     (ops.pallas_paged64.paged_attention_hd64_chunk — per-row bit-equal to
     the single-query kernel the plain decode runs); everything else takes
     the XLA gather, which is per-position bit-equal to the gather decode.
-    Exception: hd%128==0 models decode through jax's fused kernel, which has
-    no multi-query form — their verify gathers, so spec-vs-plain identity
-    there holds vs a gather-path plain engine (GRASP_PAGED_KERNEL=0), with
-    fp-tie-level divergence possible against the kernel path.
+    quantized pools (int8 pages + per-slot scales) always gather, with the
+    decode's exact contraction order: per-key scale commutes out of the
+    score contraction, per-value scale folds into the softmax weights, and
+    the chunk's K/V quantize per-position exactly like the single-token
+    scatter (_quantize_kv is per-(batch, head, position) over hd).
+    Exception: hd%128==0 fp models decode through jax's fused kernel, which
+    has no multi-query form — their verify gathers, so spec-vs-plain
+    identity there holds vs a gather-path plain engine
+    (GRASP_PAGED_KERNEL=0), with fp-tie-level divergence possible against
+    the kernel path.
     """
     import os
 
     use_kernel64 = (
         jax.default_backend() == "tpu"
         and config.head_dim_ < 128
+        and not quantized
         and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
     )
 
-    def fn(params, toks, k_pages, v_pages, tables, pos, live):
+    def fn(params, toks, k_pages, v_pages, k_scales, v_scales, tables, pos, live):
         L, nkv, num_pages, page_size, hd = k_pages.shape
         b = toks.shape[0]
         nh = config.num_attention_heads
@@ -134,12 +144,26 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             # (li, :, phys[b,i], offset[b,i]). Flatten (B, chunk) into one
             # advanced-index batch like the single-token decode does.
             pf, of = phys.reshape(-1), offset.reshape(-1)
-            kw = k.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
-            vw = v.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
-            k_pages = k_pages.at[li, :, pf, of, :].set(
-                kw.astype(k_pages.dtype), mode="drop")
-            v_pages = v_pages.at[li, :, pf, of, :].set(
-                vw.astype(v_pages.dtype), mode="drop")
+            if quantized:
+                from grasp_tpu.models.llama import _quantize_kv
+
+                k8, ksc = _quantize_kv(k)  # scales [b, nkv, chunk, 1]
+                v8, vsc = _quantize_kv(v)
+                kw = k8.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
+                vw = v8.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
+                k_pages = k_pages.at[li, :, pf, of, :].set(kw, mode="drop")
+                v_pages = v_pages.at[li, :, pf, of, :].set(vw, mode="drop")
+                k_scales = k_scales.at[li, :, pf, of, :].set(
+                    ksc.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, 1), mode="drop")
+                v_scales = v_scales.at[li, :, pf, of, :].set(
+                    vsc.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, 1), mode="drop")
+            else:
+                kw = k.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
+                vw = v.transpose(0, 2, 1, 3).reshape(b * chunk, nkv, hd)
+                k_pages = k_pages.at[li, :, pf, of, :].set(
+                    kw.astype(k_pages.dtype), mode="drop")
+                v_pages = v_pages.at[li, :, pf, of, :].set(
+                    vw.astype(v_pages.dtype), mode="drop")
 
             if use_kernel64:
                 from grasp_tpu.ops.pallas_paged64 import paged_attention_hd64_chunk
@@ -153,15 +177,25 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             else:
                 k_seq = k_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
                 v_seq = v_pages[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max, hd)
+                if quantized:
+                    ks_seq = k_scales[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max)
+                    vs_seq = v_scales[li][:, tables].transpose(1, 0, 2, 3, 4).reshape(b, nkv, t_max)
                 if nh != nkv:
                     k_seq = jnp.repeat(k_seq, nh // nkv, axis=1)
                     v_seq = jnp.repeat(v_seq, nh // nkv, axis=1)
+                    if quantized:
+                        ks_seq = jnp.repeat(ks_seq, nh // nkv, axis=1)
+                        vs_seq = jnp.repeat(vs_seq, nh // nkv, axis=1)
 
                 scale = 1.0 / np.sqrt(hd)
                 scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
                                     preferred_element_type=jnp.float32) * scale
+                if quantized:  # per-key scale commutes out of the contraction
+                    scores = scores * ks_seq[:, :, None, :]
                 scores = scores + bias
                 probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+                if quantized:  # per-value scale folds into the softmax weights
+                    probs = probs * vs_seq[:, :, None, :].astype(q.dtype)
                 attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
                                   preferred_element_type=q.dtype)
                 attn = attn.transpose(0, 2, 1, 3).reshape(b, chunk, nh * hd)
@@ -179,13 +213,14 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
 
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
-        return _lm_logits(h, params), k_pages, v_pages
+        return _lm_logits(h, params), k_pages, v_pages, k_scales, v_scales
 
-    return jax.jit(fn, donate_argnums=(2, 3))
+    donate = (2, 3, 4, 5) if quantized else (2, 3)
+    return jax.jit(fn, donate_argnums=donate)
 
 
 def _draft_multi_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int,
-                    gamma: int):
+                    gamma: int, quantized: bool = False):
     """Fused draft phase: gamma+1 single-token paged decodes in ONE jit.
 
     The unfused loop dispatches gamma+1 separate decode calls with a host
@@ -202,33 +237,41 @@ def _draft_multi_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int
 
     Iteration gamma (the last) only lands d_gamma's KV — its argmax is
     dropped, mirroring the unfused loop.
+
+    Returns (drafts [B, gamma], k_pages, v_pages, k_scales, v_scales) —
+    scales are None pass-throughs for fp pools, updated arrays for
+    quantized (int8) pools, which ride the loop carry like the pages.
     """
-    body = _paged_decode_fn(config, plan, max_pages_per_seq, raw=True)
+    body = _paged_decode_fn(config, plan, max_pages_per_seq,
+                            quantized=quantized, raw=True)
 
     def fn(params, tok0, k_pages, v_pages, k_scales, v_scales, tables, pos0, live):
         b = tok0.shape[0]
         drafts0 = jnp.zeros((b, gamma), jnp.int32)
 
         def step(i, carry):
-            tok, kp, vp, drafts = carry
-            logits, kp, vp, _, _ = body(
-                params, tok, kp, vp, k_scales, v_scales, tables, pos0 + i, live)
+            tok, kp, vp, ks, vs, drafts = carry
+            logits, kp, vp, ks, vs = body(
+                params, tok, kp, vp, ks, vs, tables, pos0 + i, live)
             ntok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             # i == gamma is the KV-only landing pass: the write drops
             drafts = jax.lax.dynamic_update_slice(
                 drafts, ntok[:, None], (0, jnp.minimum(i, gamma - 1)))
-            drafts = jnp.where(i < gamma, drafts, carry[3])
-            return (ntok, kp, vp, drafts)
+            drafts = jnp.where(i < gamma, drafts, carry[5])
+            return (ntok, kp, vp, ks, vs, drafts)
 
-        _, k_pages, v_pages, drafts = jax.lax.fori_loop(
-            0, gamma + 1, step, (tok0, k_pages, v_pages, drafts0))
-        return drafts, k_pages, v_pages
+        _, k_pages, v_pages, k_scales, v_scales, drafts = jax.lax.fori_loop(
+            0, gamma + 1, step,
+            (tok0, k_pages, v_pages, k_scales, v_scales, drafts0))
+        return drafts, k_pages, v_pages, k_scales, v_scales
 
-    return jax.jit(fn, donate_argnums=(2, 3))
+    donate = (2, 3, 4, 5) if quantized else (2, 3)
+    return jax.jit(fn, donate_argnums=donate)
 
 
 def _draft_multi_sampled_fn(config: ModelConfig, plan: ModelPlan,
-                            max_pages_per_seq: int, gamma: int, max_k: int):
+                            max_pages_per_seq: int, gamma: int, max_k: int,
+                            quantized: bool = False):
     """Sampled variant of the fused draft phase.
 
     Same one-dispatch fori_loop, but each row draws its next draft token from
@@ -241,10 +284,14 @@ def _draft_multi_sampled_fn(config: ModelConfig, plan: ModelPlan,
     macro_step) on the host); draft step i folds 1000+i per row, mirroring
     SpeculativeGenerator._get_sample_loop so single-stream and batched
     speculation share the stream layout.
+
+    Returns (drafts, q_probs, k_pages, v_pages, k_scales, v_scales) — scale
+    args/returns are None pass-throughs for fp pools.
     """
     from grasp_tpu.eval.generate import topk_topp_filter
 
-    body = _paged_decode_fn(config, plan, max_pages_per_seq, raw=True)
+    body = _paged_decode_fn(config, plan, max_pages_per_seq,
+                            quantized=quantized, raw=True)
     vocab = config.vocab_size
 
     def fn(params, tok0, k_pages, v_pages, k_scales, v_scales, tables, pos0,
@@ -254,9 +301,9 @@ def _draft_multi_sampled_fn(config: ModelConfig, plan: ModelPlan,
         q0 = jnp.zeros((b, gamma, vocab), jnp.float32)
 
         def step(i, carry):
-            tok, kp, vp, drafts, qs = carry
-            logits, kp, vp, _, _ = body(
-                params, tok, kp, vp, k_scales, v_scales, tables, pos0 + i, live)
+            tok, kp, vp, ksc, vsc, drafts, qs = carry
+            logits, kp, vp, ksc, vsc = body(
+                params, tok, kp, vp, ksc, vsc, tables, pos0 + i, live)
             filt = topk_topp_filter(
                 logits.astype(jnp.float32) / temps[:, None], ks, tps, max_k)
             skeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 1000 + i))(keys)
@@ -269,15 +316,17 @@ def _draft_multi_sampled_fn(config: ModelConfig, plan: ModelPlan,
             qs = jax.lax.dynamic_update_slice(
                 qs, jax.nn.softmax(filt, axis=-1)[:, None, :], (0, j, 0))
             keep = i < gamma
-            drafts = jnp.where(keep, drafts, carry[3])
-            qs = jnp.where(keep, qs, carry[4])
-            return (ntok, kp, vp, drafts, qs)
+            drafts = jnp.where(keep, drafts, carry[5])
+            qs = jnp.where(keep, qs, carry[6])
+            return (ntok, kp, vp, ksc, vsc, drafts, qs)
 
-        _, k_pages, v_pages, drafts, qs = jax.lax.fori_loop(
-            0, gamma + 1, step, (tok0, k_pages, v_pages, drafts0, q0))
-        return drafts, qs, k_pages, v_pages
+        _, k_pages, v_pages, k_scales, v_scales, drafts, qs = jax.lax.fori_loop(
+            0, gamma + 1, step,
+            (tok0, k_pages, v_pages, k_scales, v_scales, drafts0, q0))
+        return drafts, qs, k_pages, v_pages, k_scales, v_scales
 
-    return jax.jit(fn, donate_argnums=(2, 3))
+    donate = (2, 3, 4, 5) if quantized else (2, 3)
+    return jax.jit(fn, donate_argnums=donate)
 
 
 def _accept_fn(gamma: int, max_k: int):
@@ -337,10 +386,6 @@ class SpeculativeServingEngine(ServingEngine):
                  plan: Optional[ModelPlan] = None,
                  draft_plan: Optional[ModelPlan] = None,
                  gamma: int = 4, **kw):
-        if kw.get("quantized_kv"):
-            raise NotImplementedError(
-                "speculative paged serving is fp-KV only for now "
-                "(int8 verify would need the quantized multi-token scatter)")
         if config.vocab_size != draft_config.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
         super().__init__(params, config, plan=plan, **kw)
@@ -348,15 +393,19 @@ class SpeculativeServingEngine(ServingEngine):
         self.dparams = draft_params
         self.dconfig = draft_config
         self.dplan = draft_plan or default_plan(draft_config)
-        self.dpool = PagePool(draft_config, self.pool.num_pages, self.pool.page_size)
+        q = self.pool.quantized  # int8 pages + per-slot scales in BOTH pools
+        self.dpool = PagePool(draft_config, self.pool.num_pages,
+                              self.pool.page_size, quantized=q)
         self.dpool._free = self.pool._free  # ONE allocator: tables index both pools
-        self._ddecode = _paged_decode_fn(draft_config, self.dplan, self.max_pages_per_seq)
+        self._ddecode = _paged_decode_fn(draft_config, self.dplan,
+                                         self.max_pages_per_seq, quantized=q)
         self._dmulti = _draft_multi_fn(draft_config, self.dplan,
-                                       self.max_pages_per_seq, int(gamma))
+                                       self.max_pages_per_seq, int(gamma),
+                                       quantized=q)
         self._dmulti_sampled = None  # built on first sampled macro-step
         self._accept = None
         self._verify = _paged_verify_fn(config, self.plan, self.max_pages_per_seq,
-                                        chunk=self.gamma + 1)
+                                        chunk=self.gamma + 1, quantized=q)
         self._dprefill_fns: Dict[Tuple[int, int], any] = {}
         self.last_stats: Dict[str, float] = {"chunks": 0, "drafted": 0, "accepted": 0}
 
@@ -402,7 +451,10 @@ class SpeculativeServingEngine(ServingEngine):
             self._dprefill_fns[key] = fn
         padded = np.zeros((1, s_pad), np.int32)
         padded[0, :s] = req.prompt
-        dcache = init_kv_cache(self.dconfig, batch=1, max_len=s_pad)
+        # quantized pool: int8 temp cache so the draft prefill attention reads
+        # the same quantized K/V its paged decode will (plain-engine parity)
+        dcache = init_kv_cache(self.dconfig, batch=1, max_len=s_pad,
+                               quantized=self.dpool.quantized)
         _, dcache = self._dprefill_fns[key](self.dparams, jnp.asarray(padded), dcache)
 
         n_pages = s_pad // ps
@@ -417,6 +469,11 @@ class SpeculativeServingEngine(ServingEngine):
                 to_pages(dcache[li]["k"]).astype(self.dpool.k_pages.dtype))
             self.dpool.v_pages = self.dpool.v_pages.at[li, :, phys].set(
                 to_pages(dcache[li]["v"]).astype(self.dpool.v_pages.dtype))
+            if self.dpool.quantized:
+                self.dpool.k_scales = self.dpool.k_scales.at[li, :, phys].set(
+                    to_pages(dcache[li]["k_scale"]))
+                self.dpool.v_scales = self.dpool.v_scales.at[li, :, phys].set(
+                    to_pages(dcache[li]["v_scale"]))
 
     def _retire(self, req) -> None:
         super()._retire(req)  # single allocator: pages return once, serve both pools
@@ -469,7 +526,7 @@ class SpeculativeServingEngine(ServingEngine):
             if self._dmulti_sampled is None:
                 self._dmulti_sampled = _draft_multi_sampled_fn(
                     self.dconfig, self.dplan, self.max_pages_per_seq,
-                    self.gamma, _MAX_TOP_K)
+                    self.gamma, _MAX_TOP_K, quantized=self.dpool.quantized)
                 self._accept = _accept_fn(self.gamma, _MAX_TOP_K)
 
             temps = np.ones(self.max_batch, np.float32)
@@ -493,7 +550,8 @@ class SpeculativeServingEngine(ServingEngine):
             ks_j, tps_j = jnp.asarray(ks), jnp.asarray(tps)
             greedy_j = jnp.asarray(greedy)
 
-            drafts_j, q_j, self.dpool.k_pages, self.dpool.v_pages = self._dmulti_sampled(
+            (drafts_j, q_j, self.dpool.k_pages, self.dpool.v_pages,
+             self.dpool.k_scales, self.dpool.v_scales) = self._dmulti_sampled(
                 self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
                 self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
                 tables_j, jnp.asarray(pos0), jnp.asarray(live),
@@ -502,9 +560,11 @@ class SpeculativeServingEngine(ServingEngine):
             drafts = np.asarray(drafts_j, np.int32)
 
             verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
-            tlogits, self.pool.k_pages, self.pool.v_pages = self._verify(
+            (tlogits, self.pool.k_pages, self.pool.v_pages,
+             self.pool.k_scales, self.pool.v_scales) = self._verify(
                 self.params, jnp.asarray(verify_in), self.pool.k_pages,
-                self.pool.v_pages, tables_j, jnp.asarray(pos0), jnp.asarray(live),
+                self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
+                tables_j, jnp.asarray(pos0), jnp.asarray(live),
             )
             a_j, corr_j, _ = self._accept(
                 tlogits, drafts_j, q_j, keys_j, temps_j, ks_j, tps_j, greedy_j)
@@ -515,7 +575,8 @@ class SpeculativeServingEngine(ServingEngine):
             # into ONE dispatch (lax.fori_loop feeds each argmax into the next
             # step on device; the last iteration only lands d_gamma's KV,
             # mirroring SpeculativeGenerator). One host sync for the block.
-            drafts_j, self.dpool.k_pages, self.dpool.v_pages = self._dmulti(
+            (drafts_j, self.dpool.k_pages, self.dpool.v_pages,
+             self.dpool.k_scales, self.dpool.v_scales) = self._dmulti(
                 self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
                 self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
                 tables_j, jnp.asarray(pos0), jnp.asarray(live),
@@ -524,9 +585,11 @@ class SpeculativeServingEngine(ServingEngine):
 
             # --- target verify: one batched (gamma+1)-token paged forward ---
             verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
-            tlogits, self.pool.k_pages, self.pool.v_pages = self._verify(
+            (tlogits, self.pool.k_pages, self.pool.v_pages,
+             self.pool.k_scales, self.pool.v_scales) = self._verify(
                 self.params, jnp.asarray(verify_in), self.pool.k_pages,
-                self.pool.v_pages, tables_j, jnp.asarray(pos0), jnp.asarray(live),
+                self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
+                tables_j, jnp.asarray(pos0), jnp.asarray(live),
             )
             targets = np.asarray(jnp.argmax(tlogits, axis=-1), np.int32)  # [B, g+1]
             a_arr = np.zeros(self.max_batch, np.int32)

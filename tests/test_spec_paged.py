@@ -125,8 +125,8 @@ def test_fused_draft_matches_unfused(models, rng):
             want[:, i] = np.asarray(tok)
 
     fused = _draft_multi_fn(dconfig, plan, pps, gamma)
-    drafts, kf, vf = fused(dparams, tok0, jnp.array(k0), jnp.array(v0),
-                           None, None, tables, pos0, live)
+    drafts, kf, vf, _, _ = fused(dparams, tok0, jnp.array(k0), jnp.array(v0),
+                                 None, None, tables, pos0, live)
     np.testing.assert_array_equal(np.asarray(drafts), want)
     np.testing.assert_array_equal(np.asarray(kf), np.asarray(kp))
     np.testing.assert_array_equal(np.asarray(vf), np.asarray(vp))
@@ -281,3 +281,43 @@ def test_accept_fn_greedy_and_identical_q(models, rng):
     assert int(np.asarray(corr)[1]) == targets[1, gamma]
     assert a[2] == gamma and a[3] == gamma  # q == p accepts everything
     np.testing.assert_array_equal(np.asarray(tg), targets)
+
+
+def test_quantized_kv_greedy_bit_identical(models, rng):
+    """int8-KV pools: speculative outputs match the plain quantized engine
+    token for token (the verify's multi-token quantized scatter + gather
+    mirror the decode's per-position quantization and contraction order)."""
+    config, params, dconfig, dparams = models
+    prompts = _prompts(rng, n=4)
+
+    plain = ServingEngine(params, config, num_pages=96, page_size=16,
+                          max_batch=4, max_pages_per_seq=8, quantized_kv=True)
+    want = _run(plain, prompts, max_new=12)
+
+    spec = SpeculativeServingEngine(
+        params, config, dparams, dconfig, gamma=3,
+        num_pages=128, page_size=16, max_batch=4, max_pages_per_seq=8,
+        quantized_kv=True,
+    )
+    assert spec.dpool.quantized
+    got = _run(spec, prompts, max_new=12)
+    for g, w in zip(got, want):
+        assert g == w
+    assert spec.pool.free_pages == spec.dpool.free_pages  # shared allocator
+
+
+def test_quantized_kv_sampled_accepts_all_with_identical_models(models, rng):
+    """draft == target over int8 pools: both read the same quantized pages,
+    so p == q and the Leviathan rule accepts every draft."""
+    config, params, _, _ = models
+    prompts = _prompts(rng, n=2)
+    spec = SpeculativeServingEngine(
+        params, config, params, config, gamma=2,
+        num_pages=96, page_size=16, max_batch=2, max_pages_per_seq=8,
+        quantized_kv=True,
+    )
+    rids = [spec.submit(p, 8, temperature=1.0, top_k=8, seed=i)
+            for i, p in enumerate(prompts)]
+    outs = spec.run()
+    assert all(len(outs[r]) == 8 for r in rids)
+    assert spec.acceptance_rate == 1.0
