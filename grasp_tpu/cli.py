@@ -112,6 +112,10 @@ def _compress_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh axis: calibration/recovery batches shard over it")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh axis: Megatron-style sharding of dense projections")
+    p.add_argument("--compress_resume_dir", type=str, default=None,
+                   help="crash-resume directory for the compression run: the engine "
+                        "checkpoints after BI and every (layer, block) round; rerunning "
+                        "with the same dir continues at the first unfinished round")
     # recovery
     p.add_argument("--recovery", action="store_true")
     p.add_argument("--data_path", type=str, default="yahma/alpaca-cleaned")
@@ -182,7 +186,7 @@ def compress_main(argv=None) -> int:
         mesh = make_mesh((args.dp, args.tp))
         logger.info("mesh: data=%d model=%d", args.dp, args.tp)
     engine = GraspEngine(params, config, remat=args.remat, svd_method=args.svd_method, mesh=mesh)
-    summary = engine.run(batches, cfg)
+    summary = engine.run(batches, cfg, resume_dir=args.compress_resume_dir)
     logger.info("summary: %s", json.dumps(summary))
 
     save_path = args.save_path

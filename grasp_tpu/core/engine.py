@@ -273,6 +273,8 @@ class GraspEngine:
 
         self._bi_fns: Dict[Tuple, Any] = {}
         self._grad_fns: Dict[Tuple, Any] = {}
+        self._done_rounds: set = set()   # crash-resume bookkeeping (run())
+        self._resume_dir: Optional[str] = None
         self._set_prefix(0, "off")
 
     def _stage(self, name: str, dt: float) -> None:
@@ -1496,10 +1498,68 @@ class GraspEngine:
     # Full pipeline
     # ------------------------------------------------------------------
 
+    # -- crash-resume for long compressions --------------------------------
+    def _mark_round_done(self, layer_id, block_type) -> None:
+        self._done_rounds.add((layer_id, block_type))
+        if self._resume_dir:
+            self._snapshot_rounds(self._resume_dir)
+
+    def _snapshot_rounds(self, resume_dir: str) -> None:
+        """Write the engine's full compression state (params + plan + rank
+        bookkeeping + completed-round list) as an Orbax checkpoint. Called
+        after BI and after every completed (layer, block) round when
+        ``run(resume_dir=...)`` is set — a killed run restarts at the next
+        round instead of from scratch."""
+        from grasp_tpu import checkpoints
+
+        t = time.time()
+        checkpoints.save_checkpoint(
+            resume_dir, self.params, self.config, self.plan,
+            rank_dict=self.rank_dict, redundant_layers=self.redundant_layers,
+            layer_importances=self.layer_importances,
+            extra={"resume": "grasp_compression_v1",
+                   "done_rounds": [list(r) for r in self._done_rounds]},
+        )
+        self._stage("resume_snapshot", time.time() - t)
+
+    def _restore_rounds(self, resume_dir: str) -> bool:
+        """Restore a ``_snapshot_rounds`` checkpoint if one exists; returns
+        True when restored (params/plan/rank_dict/redundant_layers and the
+        done-round set are replaced; BI is NOT recomputed). The caller must
+        pass the same cfg and calibration data as the original run — rounds
+        are identified by (layer_id, block_type) only."""
+        import os as _os
+
+        from grasp_tpu import checkpoints
+
+        meta_path = _os.path.join(resume_dir, "grasp_meta.json")
+        if not _os.path.exists(meta_path):
+            return False
+        params, config, plan, meta = checkpoints.load_checkpoint(resume_dir)
+        if meta.get("extra", {}).get("resume") != "grasp_compression_v1":
+            raise ValueError(f"{resume_dir} is not a compression-resume checkpoint")
+        if config.to_json() != self.config.to_json():
+            raise ValueError("resume checkpoint was written for a different model config")
+        params = jax.tree.map(jnp.asarray, params)
+        if self.mesh is not None:
+            from grasp_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh, self.config)
+        self.params = params
+        self.plan = plan
+        self.rank_dict = dict(meta.get("rank_dict", {}))
+        self.redundant_layers = list(meta.get("redundant_layers", []))
+        self.layer_importances = list(meta.get("layer_importances", []))
+        self._done_rounds = {tuple(r) for r in meta["extra"].get("done_rounds", [])}
+        logger.info("=======> Resumed compression from %s (%d rounds done)",
+                    resume_dir, len(self._done_rounds))
+        return True
+
     def run(
         self,
         calibration_batches: Sequence[Batch],
         cfg: GraspConfig,
+        resume_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
         """End-to-end compression (reference grasp.py main(), :29-152).
 
@@ -1508,20 +1568,37 @@ class GraspEngine:
         calibration grad sweep. Parallel mode SVD-ifies every target first and
         does ONE sweep (TPU fast path; documented divergence — later layers
         see uncompressed earlier layers during gradient collection).
+
+        resume_dir: optional directory for crash-resume snapshots. The engine
+        checkpoints its full state there after BI and after every completed
+        (layer, block) round; re-running with the same resume_dir (same cfg,
+        same calibration data) restores and continues at the first unfinished
+        round. The final state is identical to an uninterrupted run
+        (tests/test_engine_resume.py). Beyond-reference: the torch pipeline
+        restarts from zero on any failure (grasp.py:29-152).
         """
         t0 = time.time()
         self._maybe_enable_flash_sweep(calibration_batches)
-        layers_id = cfg.layers_id
-        if layers_id is None:
-            importances, layers_id = self.compute_bi(
-                num_prune_layers=cfg.num_prune_layers,
-                calibration_batches=calibration_batches,
-                angular=cfg.angular,
-            )
-            logger.info("Layer importance measure by BI:\n%s", importances)
-        if isinstance(layers_id, int):
-            layers_id = [layers_id]
+        self._done_rounds: set = set()
+        self._resume_dir = resume_dir
+        resumed = bool(resume_dir) and self._restore_rounds(resume_dir)
+
+        if resumed:
+            layers_id = list(self.redundant_layers)
+        else:
+            layers_id = cfg.layers_id
+            if layers_id is None:
+                importances, layers_id = self.compute_bi(
+                    num_prune_layers=cfg.num_prune_layers,
+                    calibration_batches=calibration_batches,
+                    angular=cfg.angular,
+                )
+                logger.info("Layer importance measure by BI:\n%s", importances)
+            if isinstance(layers_id, int):
+                layers_id = [layers_id]
         self.redundant_layers = list(layers_id)
+        if resume_dir and not resumed:
+            self._snapshot_rounds(resume_dir)  # BI done; rounds start empty
 
         layers_id = sorted(layers_id, reverse=True)
         logger.info("=======> Start Compressing model with GRASP")
@@ -1536,26 +1613,32 @@ class GraspEngine:
         if cfg.grad_mode == "dense":
             self._run_dense(layers_id, blocks, calibration_batches, cfg)
         elif cfg.sweep == "parallel":
-            skipped_all = True
-            for layer_id in layers_id:
-                for block_type, targets in blocks:
-                    skip = self.compress_block(layer_id, block_type, targets)
-                    skipped_all = skipped_all and bool(skip)
-            if not skipped_all:
-                grads = self.get_svdlayer_gradients(calibration_batches)
-                indices = self.dynamic_svd_selection(
-                    grads, metric=cfg.metric,
-                    compression_ratio=cfg.compression_ratio,
-                    threshold_ratio=cfg.threshold_ratio,
-                    verbose=cfg.verbose,
-                )
-                self.compile_grasp_model(indices, merge=cfg.merge, sigma_fuse=cfg.sigma_fuse)
+            # one-shot sweep = a single resumable unit
+            if ("all", "all") not in self._done_rounds:
+                skipped_all = True
+                for layer_id in layers_id:
+                    for block_type, targets in blocks:
+                        skip = self.compress_block(layer_id, block_type, targets)
+                        skipped_all = skipped_all and bool(skip)
+                if not skipped_all:
+                    grads = self.get_svdlayer_gradients(calibration_batches)
+                    indices = self.dynamic_svd_selection(
+                        grads, metric=cfg.metric,
+                        compression_ratio=cfg.compression_ratio,
+                        threshold_ratio=cfg.threshold_ratio,
+                        verbose=cfg.verbose,
+                    )
+                    self.compile_grasp_model(indices, merge=cfg.merge, sigma_fuse=cfg.sigma_fuse)
+                self._mark_round_done("all", "all")
         else:
             for layer_id in layers_id:
                 for block_type, targets in blocks:
+                    if (layer_id, block_type) in self._done_rounds:
+                        continue
                     skip = self.compress_block(layer_id, block_type, targets)
                     if skip:
                         logger.info("=======> Skip Compressing This Block")
+                        self._mark_round_done(layer_id, block_type)
                         continue
                     grads = self.get_svdlayer_gradients(calibration_batches)
                     indices = self.dynamic_svd_selection(
@@ -1565,6 +1648,7 @@ class GraspEngine:
                         verbose=cfg.verbose,
                     )
                     self.compile_grasp_model(indices, merge=cfg.merge, sigma_fuse=cfg.sigma_fuse)
+                    self._mark_round_done(layer_id, block_type)
 
         wall = time.time() - t0
         logger.info("=======> Done! (%.1fs)", wall)
@@ -1586,6 +1670,8 @@ class GraspEngine:
         while every SVD factorizes host-side; then select+compile everything.
         """
         if cfg.sweep == "parallel":
+            if ("all", "all") in self._done_rounds:
+                return
             names: List[str] = []
             for layer_id in layers_id:
                 for block_type, targets in blocks:
@@ -1601,6 +1687,7 @@ class GraspEngine:
 
             svd_out, grads = self._svd_overlapping_grads(names, calibration_batches)
             self._select_compile_many(names, svd_out, grads, cfg)
+            self._mark_round_done("all", "all")
         else:
             # sequential with cross-round SVD prefetch: every SVD factors the
             # ORIGINAL dense weights, so all rounds' factorizations start at
@@ -1615,6 +1702,8 @@ class GraspEngine:
                     if targets is None:
                         logger.info("=======> Skip Compressing This Block")
                         continue
+                    if (layer_id, block_type) in self._done_rounds:
+                        continue  # crash-resume: round already compiled
                     defaults = self._block_targets(layer_id, block_type)
                     tg = _resolve_targets(defaults, targets)
                     rounds.append((layer_id, block_type, tg))
@@ -1651,6 +1740,7 @@ class GraspEngine:
                                 layer_id, block_type, tg, calibration_batches, cfg,
                                 svd_after=True,
                             )
+                            self._mark_round_done(layer_id, block_type)
                     finally:
                         if stop_prefetch is not None:
                             stop_prefetch()
@@ -1665,5 +1755,6 @@ class GraspEngine:
                         self.compress_round(
                             layer_id, block_type, tg, calibration_batches, cfg, svd_future=fut
                         )
+                        self._mark_round_done(layer_id, block_type)
             finally:
                 self._set_prefix(0, "off")

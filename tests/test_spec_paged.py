@@ -321,3 +321,29 @@ def test_quantized_kv_sampled_accepts_all_with_identical_models(models, rng):
     outs = spec.run()
     assert all(len(outs[r]) == 8 for r in rids)
     assert spec.acceptance_rate == 1.0
+
+
+def test_moe_model_speculates_bit_identical(rng):
+    """Mixtral-family MoE target (and a smaller MoE draft) through the
+    speculative paged engine: the verify's multi-token forward routes each
+    chunk token through the sparse-MoE block, outputs match the plain
+    engine token for token."""
+    config = ModelConfig.tiny(num_hidden_layers=2, num_local_experts=4,
+                              vocab_size=128)
+    params = init_params(jax.random.PRNGKey(2), config)
+    dconfig = ModelConfig.tiny(num_hidden_layers=1, num_local_experts=4,
+                               vocab_size=128)
+    dparams = init_params(jax.random.PRNGKey(9), dconfig)
+    prompts = _prompts(rng, n=3)
+
+    plain = ServingEngine(params, config, num_pages=64, page_size=16,
+                          max_batch=2, max_pages_per_seq=8)
+    want = _run(plain, prompts, max_new=8)
+
+    spec = SpeculativeServingEngine(
+        params, config, dparams, dconfig, gamma=2,
+        num_pages=96, page_size=16, max_batch=2, max_pages_per_seq=8,
+    )
+    got = _run(spec, prompts, max_new=8)
+    for g, w in zip(got, want):
+        assert g == w
