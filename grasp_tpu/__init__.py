@@ -23,3 +23,27 @@ Public surface (mirrors reference grasp.py / modeling_grasp.py capabilities):
 __version__ = "0.1.0"
 
 from grasp_tpu.configs import GraspConfig, ModelConfig  # noqa: F401
+
+
+def enable_compilation_cache(path=None) -> bool:
+    """Opt-in persistent XLA compilation cache (repeat runs skip compiles).
+
+    Activates when ``path`` or ``$GRASP_COMPILE_CACHE`` names a directory;
+    returns True if enabled. Worth large wall-clock wins on standard TPU
+    runtimes where first-compiles dominate short jobs; a no-op benefit on
+    runtimes whose compiles happen remotely (the cache stores locally-built
+    executables only). CLI entry points call this automatically.
+    """
+    import os
+
+    p = path or os.environ.get("GRASP_COMPILE_CACHE")
+    if not p:
+        return False
+    import jax
+
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    # cache everything: tiny graphs recompile constantly during compression
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return True

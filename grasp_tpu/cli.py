@@ -150,6 +150,9 @@ def _compress_parser() -> argparse.ArgumentParser:
 def compress_main(argv=None) -> int:
     args = _compress_parser().parse_args(argv)
     setup_logger(args.log_file)
+    from grasp_tpu import enable_compilation_cache
+
+    enable_compilation_cache()  # $GRASP_COMPILE_CACHE opt-in
 
     from grasp_tpu.configs import GraspConfig
     from grasp_tpu.core.engine import GraspEngine
@@ -327,6 +330,9 @@ def evaluate_main(argv=None) -> int:
     p.add_argument("--log_file", type=str, default=None)
     args = p.parse_args(argv)
     setup_logger(args.log_file)
+    from grasp_tpu import enable_compilation_cache
+
+    enable_compilation_cache()  # $GRASP_COMPILE_CACHE opt-in
 
     from grasp_tpu.data.tokenizer import load_tokenizer
 

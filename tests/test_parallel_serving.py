@@ -89,3 +89,34 @@ def test_tp_sharded_quantized_decode_matches(setup, rng):
     want = Generator(q8, config, engine.plan).greedy(prompt, 5)
     got = Generator(sharded, config, engine.plan).greedy(prompt, 5)
     assert got == want, (got, want)
+
+
+def test_tp_sharded_spec_paged_engine_matches(setup, rng):
+    """SpeculativeServingEngine with BOTH models TP-sharded: greedy rows
+    bit-identical to the unsharded plain engine; a sampled row runs the
+    Leviathan path over sharded verify logits."""
+    from grasp_tpu.serving import SpeculativeServingEngine
+
+    config, params, engine, mesh = setup
+    t_sharded = shard_params(jax.tree.map(jnp.array, params), mesh, config)
+    d_sharded = shard_params(engine.params, mesh, config)
+    prompts = [rng.integers(1, config.vocab_size, size=(n,)).astype(np.int32)
+               for n in (6, 11)]
+
+    plain = ServingEngine(params, config, num_pages=48, page_size=8,
+                          max_batch=2, max_pages_per_seq=6)
+    w_rids = [plain.submit(p, 5) for p in prompts]
+    want = plain.run()
+
+    spec = SpeculativeServingEngine(
+        t_sharded, config, d_sharded, config, draft_plan=engine.plan, gamma=2,
+        num_pages=64, page_size=8, max_batch=2, max_pages_per_seq=6,
+    )
+    g_rids = [spec.submit(p, 5) for p in prompts]
+    got = spec.run()
+    for wr, gr in zip(w_rids, g_rids):
+        assert want[wr] == got[gr], (want[wr], got[gr])
+
+    s_rid = spec.submit(prompts[0], 5, temperature=1.0, top_k=8, seed=3)
+    souts = spec.run()
+    assert len(souts[s_rid]) == 5

@@ -141,3 +141,23 @@ def test_decode_device_benchmark_slope(tiny):
     assert res["decode_ms_per_token_device"] > 0
     assert res["per_call_overhead_ms"] >= 0
     assert abs(res["decode_tokens_per_s_device"] * res["decode_ms_per_token_device"] - 1e3) < 1
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """$GRASP_COMPILE_CACHE opt-in: configures jax's persistent cache dir;
+    no-op without the env var."""
+    import os
+
+    import jax
+
+    from grasp_tpu import enable_compilation_cache
+
+    monkeypatch.delenv("GRASP_COMPILE_CACHE", raising=False)
+    assert enable_compilation_cache() is False
+
+    d = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("GRASP_COMPILE_CACHE", d)
+    assert enable_compilation_cache() is True
+    assert jax.config.jax_compilation_cache_dir == d
+    assert os.path.isdir(d)
+    jax.config.update("jax_compilation_cache_dir", None)  # don't leak state
