@@ -33,14 +33,22 @@ def save_checkpoint(
     redundant_layers: Optional[list] = None,
     layer_importances: Optional[list] = None,
     extra: Optional[Dict[str, Any]] = None,
+    params_dirname: str = _PARAMS_DIR,
 ) -> str:
+    """Save params (Orbax) + JSON metadata. The meta write is the COMMIT
+    point: params go down first (into ``params_dirname``), then the meta is
+    written to a temp file and ``os.replace``d into place, so a reader never
+    sees a truncated meta and a kill between the two writes leaves any
+    previously-committed meta (and the params dir it names) intact.
+    Crash-resume snapshots exploit this by alternating ``params_dirname``
+    (engine._snapshot_rounds)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
 
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, _PARAMS_DIR), jax.tree.map(np.asarray, params), force=True)
+        ckptr.save(os.path.join(path, params_dirname), jax.tree.map(np.asarray, params), force=True)
 
     meta = {
         "framework": "grasp_tpu",
@@ -49,10 +57,15 @@ def save_checkpoint(
         "rank_dict": rank_dict or {},
         "redundant_layers": list(redundant_layers or []),
         "layer_importances": [float(x) for x in (layer_importances or [])],
+        "params_dir": params_dirname,
         "extra": extra or {},
     }
-    with open(os.path.join(path, _META_NAME), "w") as f:
+    tmp = os.path.join(path, _META_NAME + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _META_NAME))
     return path
 
 
@@ -67,5 +80,5 @@ def load_checkpoint(path: str) -> Tuple[Any, ModelConfig, ModelPlan, Dict[str, A
     plan: ModelPlan = tuple(tuple(layer) for layer in meta["plan"])
 
     with ocp.StandardCheckpointer() as ckptr:
-        params = ckptr.restore(os.path.join(path, _PARAMS_DIR))
+        params = ckptr.restore(os.path.join(path, meta.get("params_dir", _PARAMS_DIR)))
     return params, config, plan, meta

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from functools import partial
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
@@ -91,14 +92,38 @@ def _scan_in_grads() -> bool:
     return jax.default_backend() == "cpu"
 
 
+@jax.jit
+def _first_elem_jit(x):
+    return jax.lax.reshape(x, (x.size,))[0]
+
+
+_done_primed: set = set()
+
+
 def _force_done(tree) -> None:
     """Honest completion barrier: fetch one real element of every leaf.
 
     jax.block_until_ready returns early for some graphs through the axon
     tunnel (CLAUDE.md); an actual device->host byte transfer cannot lie.
+    The element is extracted INSIDE a primed jit — an eager ravel/slice on
+    a big device array is its own compile-dispatch, and that path retains a
+    persistent copy of the argument on axon (the documented dispatch-copy
+    trap) plus a full-size flattened temporary.
     """
     for leaf in jax.tree.leaves(tree):
-        np.asarray(jax.device_get(leaf.ravel()[:1]))
+        if not isinstance(leaf, jax.Array) or leaf.size == 0:
+            np.asarray(leaf)
+            continue
+        key = (tuple(leaf.shape), str(leaf.dtype))
+        if key not in _done_primed:
+            try:
+                _first_elem_jit.lower(
+                    jax.ShapeDtypeStruct(leaf.shape, leaf.dtype)
+                ).compile()
+                _done_primed.add(key)  # only on success (retry on 500s)
+            except Exception:  # pragma: no cover - backend quirks
+                pass
+        np.asarray(jax.device_get(_first_elem_jit(leaf)))
 
 
 def _prime(fn, *args, **kwargs) -> None:
@@ -735,19 +760,31 @@ class GraspEngine:
         self._prefix_cache = {} if (in_cache and self._prefix_layer) else None
         self._prefix_fns: Dict[Any, Any] = {}
 
+    def _prefix_params(self, params=None):
+        """The sub-pytree the prefix forward actually reads: embed_tokens +
+        layers[:prefix_layer]. Jitting over ONLY this slice keeps the traced
+        structure round-invariant — the full params treedef changes every
+        round (kernel -> in_kernel/out_kernel on layers >= sl), which would
+        force a fresh trace+remote-compile of the prefix graph per round in
+        prefix="recompute" mode, serially re-paying the compile the feature
+        exists to avoid. Leaves are references, not copies."""
+        p = self.params if params is None else params
+        return {"embed_tokens": p["embed_tokens"],
+                "layers": list(p["layers"][: self._prefix_layer])}
+
     def _get_prefix_fn(self):
         sl = self._prefix_layer
-        # canonical suffix entries: layers >= sl are untraced, but they are
-        # part of the closure identity — normalize so every round reuses the
-        # SAME compiled prefix
-        plan_key = self.plan[:sl] + default_plan(self.config)[sl:]
+        # only layers < sl are traced; key on their plans (suffix plans are
+        # irrelevant to the compiled graph)
+        plan_key = self.plan[:sl]
         if plan_key not in self._prefix_fns:
             config, remat, scan_g = self.config, self.remat, self.scan_fwd
+            full_plan = plan_key + default_plan(self.config)[sl:]
 
             @jax.jit
-            def prefix_fn(params, input_ids, attention_mask):
+            def prefix_fn(prefix_params, input_ids, attention_mask):
                 return forward(
-                    params, input_ids, config=config, plan=plan_key,
+                    prefix_params, input_ids, config=config, plan=full_plan,
                     attention_mask=attention_mask, remat=remat,
                     scan_layers=scan_g, stop_layer=sl,
                 )["hidden"]
@@ -768,9 +805,10 @@ class GraspEngine:
             h = self._prefix_cache[i]
             return jax.device_put(h) if isinstance(h, np.ndarray) else h
         fn = self._get_prefix_fn()
+        pp = self._prefix_params()
         if not primed:
-            _prime(fn, self.params, batch["input_ids"], batch.get("attention_mask"))
-        h0 = fn(self.params, batch["input_ids"], batch.get("attention_mask"))
+            _prime(fn, pp, batch["input_ids"], batch.get("attention_mask"))
+        h0 = fn(pp, batch["input_ids"], batch.get("attention_mask"))
         if self._prefix_cache is not None:
             if self._prefix_mode == "cache_host":
                 self._prefix_cache[i] = np.asarray(jax.device_get(h0))
@@ -905,7 +943,9 @@ class GraspEngine:
         h0_sds = None
         if sl and all(lid >= sl for lid, _, _ in rounds):
             try:
-                h0_sds = jax.eval_shape(self._get_prefix_fn(), sim, ids_sds, mask_sds)
+                h0_sds = jax.eval_shape(self._get_prefix_fn(),
+                                        self._prefix_params(sim), ids_sds,
+                                        mask_sds)
             except Exception as e:  # pragma: no cover - backend-dependent
                 logger.debug("prefix eval_shape failed, no compile prefetch: %s", e)
                 return None
@@ -1376,8 +1416,9 @@ class GraspEngine:
         t0 = time.time()
         grams = [ufree_gram(self._get_proj(n)["kernel"]) for n in group]
         s_list, b_list = map(list, ufree_eigh_multi(*grams))
-        # sync so the sub-stage split is honest (dispatch is async)
-        s_list[-1].block_until_ready()
+        # sync so the sub-stage split is honest (dispatch is async);
+        # block_until_ready lies through the axon tunnel — fetch a byte
+        _force_done(s_list[-1])
         del grams
         self._stage("sel_eigh", time.time() - t0)
         for i, n in enumerate(group):
@@ -1509,17 +1550,32 @@ class GraspEngine:
         bookkeeping + completed-round list) as an Orbax checkpoint. Called
         after BI and after every completed (layer, block) round when
         ``run(resume_dir=...)`` is set — a killed run restarts at the next
-        round instead of from scratch."""
+        round instead of from scratch.
+
+        Crash-safe by construction: params alternate between two slot dirs
+        so the slot the committed meta points at is never touched, and the
+        meta write itself is atomic (tmp + os.replace in
+        checkpoints.save_checkpoint). A kill at ANY point leaves the
+        previous (meta, params) pair consistent; the superseded slot is
+        only deleted after the new meta is committed."""
+        import shutil
+
         from grasp_tpu import checkpoints
 
         t = time.time()
+        cur = getattr(self, "_snap_slot", None)
+        nxt = "params-b" if cur == "params-a" else "params-a"
         checkpoints.save_checkpoint(
             resume_dir, self.params, self.config, self.plan,
             rank_dict=self.rank_dict, redundant_layers=self.redundant_layers,
             layer_importances=self.layer_importances,
             extra={"resume": "grasp_compression_v1",
                    "done_rounds": [list(r) for r in self._done_rounds]},
+            params_dirname=nxt,
         )
+        self._snap_slot = nxt
+        if cur and cur != nxt:  # drop the superseded slot (kill here: harmless)
+            shutil.rmtree(os.path.join(resume_dir, cur), ignore_errors=True)
         self._stage("resume_snapshot", time.time() - t)
 
     def _restore_rounds(self, resume_dir: str) -> bool:
@@ -1551,6 +1607,8 @@ class GraspEngine:
         self.redundant_layers = list(meta.get("redundant_layers", []))
         self.layer_importances = list(meta.get("layer_importances", []))
         self._done_rounds = {tuple(r) for r in meta["extra"].get("done_rounds", [])}
+        # future snapshots must not overwrite the slot we just restored from
+        self._snap_slot = meta.get("params_dir", "params")
         logger.info("=======> Resumed compression from %s (%d rounds done)",
                     resume_dir, len(self._done_rounds))
         return True

@@ -167,7 +167,7 @@ def pallas_int4_matmul(
     int8 [in_pad/2, out], scale [g, out] fp32. Returns [..., out] in x.dtype.
 
     kernel: "dma" (manual double-buffered DMA; TPU + lane-aligned out only)
-    or "grid" (block pipeline); default GRASP_INT4_KERNEL env, "dma"."""
+    or "grid" (block pipeline); default GRASP_INT4_KERNEL env, "grid"."""
     lead = x.shape[:-1]
     in_f = x.shape[-1]
     p_rows, out_f = packed.shape

@@ -322,9 +322,12 @@ def _gram_svd_device(w: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
             _gram_svd_device_jit.lower(
                 jax.ShapeDtypeStruct(wf.shape, wf.dtype)
             ).compile()
+            # Mark primed only on success: a transient remote-compile
+            # failure must leave the key unprimed so the next call retries
+            # instead of silently taking the leaky compile-dispatch path.
+            _gram_primed_shapes.add(key)
         except Exception:
             pass
-        _gram_primed_shapes.add(key)
     return _gram_svd_device_jit(wf)
 
 
@@ -371,9 +374,9 @@ def gram_basis(w: jax.Array) -> Tuple[jax.Array, jax.Array, str]:
     if key not in _gram_primed_shapes:
         try:
             _gram_basis_jit.lower(jax.ShapeDtypeStruct(wf.shape, wf.dtype)).compile()
+            _gram_primed_shapes.add(key)  # only on success (retry on 500s)
         except Exception:
             pass
-        _gram_primed_shapes.add(key)
     s, b = _gram_basis_jit(wf)
     side = "u" if wf.shape[-2] <= wf.shape[-1] else "v"
     return s, b, side
@@ -498,9 +501,9 @@ def _primed_call(fn, key, *args, **kwargs):
                 *[jax.ShapeDtypeStruct(jnp.shape(a), a.dtype) for a in args],
                 **kwargs,
             ).compile()
+            _gram_primed_shapes.add(key)  # only on success (retry on 500s)
         except Exception:
             pass
-        _gram_primed_shapes.add(key)
     return fn(*args, **kwargs)
 
 
@@ -686,9 +689,9 @@ def ufree_truncate_kernel(
                 jax.ShapeDtypeStruct(indices.shape, indices.dtype),
                 side=side,
             ).compile()
+            _gram_primed_shapes.add(key)  # only on success (retry on 500s)
         except Exception:
             pass
-        _gram_primed_shapes.add(key)
     return _ufree_trunc_kernel_jit(kernel, s, basis, indices, side=side)
 
 

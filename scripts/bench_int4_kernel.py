@@ -65,7 +65,7 @@ def measure(shape=(4096, 4096), m=1, k_small=500, k_large=4500, reps=5):
 
 
 def main():
-    kern = os.environ.get("GRASP_INT4_KERNEL", "dma")
+    kern = os.environ.get("GRASP_INT4_KERNEL", "grid")
     chunks = [int(a) for a in sys.argv[2:]] or [None]
     for ck in chunks:
         if ck is not None:

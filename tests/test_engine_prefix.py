@@ -135,3 +135,25 @@ def test_compile_prefetch_identical_results(tiny, monkeypatch):
                         np.asarray(mod["in_kernel"]), np.asarray(other["in_kernel"]),
                         rtol=0, atol=0, err_msg=f"layer {li} {group}.{proj}",
                     )
+
+
+def test_prefix_recompute_compiles_once(tiny):
+    """The prefix forward must not retrace as rounds compress the suffix.
+
+    The jitted prefix fn takes ONLY the prefix params slice (embed +
+    layers[:sl]); the full-params treedef changes after every round
+    (kernel -> in_kernel/out_kernel), and jitting over it would force a
+    fresh trace+remote-compile per round — serial ~30 s compiles through
+    the axon tunnel that prefix="recompute" exists to avoid."""
+    config, params = tiny
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config)
+    seen = []
+    orig = engine._get_prefix_fn
+    engine._get_prefix_fn = lambda: seen.append(orig()) or seen[-1]
+    cfg = GraspConfig(layers_id=[5, 4], compression_ratio=0.5, metric="taylor",
+                      grad_mode="dense", sweep="sequential", prefix="recompute")
+    engine.run(_batches(config), cfg)
+    assert seen, "prefix fn never used"
+    assert all(f is seen[0] for f in seen)  # one python fn across rounds
+    # one traced/compiled signature for the whole 2-round x 2-batch run
+    assert seen[0]._cache_size() == 1

@@ -134,10 +134,13 @@ def test_int4_indivisible_odd_dim_single_group(rng):
     np.testing.assert_allclose(out, np.asarray(x) @ deq, rtol=2e-5, atol=2e-5)
 
 
-def test_int4_model_forward(rng):
+def test_int4_model_forward():
     """bits=4 end to end on a GRASP-compressed model: finite logits that
     track the fp32 model (int4 on random weights is coarse; require strong
-    correlation, not closeness)."""
+    correlation, not closeness). Own rng, not the session fixture: the
+    0.98 bar is data-marginal, and the shared stream's position depends on
+    which other tests ran first."""
+    rng = np.random.default_rng(0)
     config = ModelConfig.tiny(num_hidden_layers=3)
     engine = GraspEngine(init_params(jax.random.PRNGKey(0), config), config)
     batches = [{
