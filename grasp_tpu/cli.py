@@ -10,7 +10,8 @@ Mirrors the reference's two CLIs with the same flag names where they exist:
 Model sources (no network in typical TPU pods; never downloads):
   - a local HF checkpoint directory (config.json + safetensors/bin), or
   - a named architecture preset (``tiny``, ``tinyllama-1.1b``, ``llama2-7b``,
-    ``mistral-7b``) with random init — for benchmarking and smoke runs.
+    ``mistral-7b``, ``qwen2-7b``, ``mixtral-8x7b``, ``gemma-2b``,
+    ``gemma-7b``) with random init — for benchmarking and smoke runs.
 """
 
 from __future__ import annotations
@@ -41,6 +42,9 @@ _PRESETS = {
     "llama2-7b": "llama2_7b",
     "mistral-7b": "mistral_7b",
     "qwen2-7b": "qwen2_7b",
+    "mixtral-8x7b": "mixtral_8x7b",
+    "gemma-2b": "gemma_2b",
+    "gemma-7b": "gemma_7b",
 }
 
 

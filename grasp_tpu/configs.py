@@ -35,6 +35,10 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False            # qkvo projection bias (Qwen-style)
     mlp_bias: bool = False
+    hidden_act: str = "silu"                # MLP gate activation (HF ACT2FN name);
+    #                                         "gelu_pytorch_tanh" for Gemma's GeGLU
+    norm_plus_one: bool = False             # RMSNorm scales by (1 + w) (Gemma; w zero-init)
+    scale_embeddings: bool = False          # h0 = embed * sqrt(hidden_size) (Gemma)
     dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
     use_pallas_lowrank: bool = False        # fused VMEM low-rank kernel for big-batch calls
     use_flash_attention: bool = False       # Pallas flash attention on full-sequence causal paths
@@ -117,6 +121,48 @@ class ModelConfig:
             rope_theta=1000000.0,
             num_local_experts=8,
             num_experts_per_tok=2,
+        )
+
+    @staticmethod
+    def gemma_7b() -> "ModelConfig":
+        """Gemma-1 7B: GeGLU MLP, (1+w) RMSNorm, sqrt(hidden) embedding
+        scaling, tied lm_head, decoupled head_dim (16 x 256 = 4096 != 3072
+        hidden, so o_proj is 4096 -> 3072)."""
+        return ModelConfig(
+            vocab_size=256000,
+            hidden_size=3072,
+            intermediate_size=24576,
+            num_hidden_layers=28,
+            num_attention_heads=16,
+            num_key_value_heads=16,
+            head_dim=256,
+            max_position_embeddings=8192,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-6,
+            tie_word_embeddings=True,
+            hidden_act="gelu_pytorch_tanh",
+            norm_plus_one=True,
+            scale_embeddings=True,
+        )
+
+    @staticmethod
+    def gemma_2b() -> "ModelConfig":
+        """Gemma-1 2B: MQA (1 KV head), otherwise the 7B's architecture."""
+        return ModelConfig(
+            vocab_size=256000,
+            hidden_size=2048,
+            intermediate_size=16384,
+            num_hidden_layers=18,
+            num_attention_heads=8,
+            num_key_value_heads=1,
+            head_dim=256,
+            max_position_embeddings=8192,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-6,
+            tie_word_embeddings=True,
+            hidden_act="gelu_pytorch_tanh",
+            norm_plus_one=True,
+            scale_embeddings=True,
         )
 
     @staticmethod

@@ -39,6 +39,11 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         attention_bias=bool(get("attention_bias", False)),
         mlp_bias=bool(get("mlp_bias", False)),
+        # Gemma family: GemmaConfig carries hidden_activation (gelu tanh),
+        # and its model_type implies (1+w) norms + sqrt(hidden) embed scaling
+        hidden_act=str(get("hidden_activation", None) or get("hidden_act", "silu")),
+        norm_plus_one=str(get("model_type", "")).startswith("gemma"),
+        scale_embeddings=str(get("model_type", "")).startswith("gemma"),
         # Mixtral-family sparse MoE
         num_local_experts=int(get("num_local_experts", 0) or 0),
         num_experts_per_tok=int(get("num_experts_per_tok", 2) or 2),

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,12 +122,17 @@ def init_params(rng: jax.Array, config: ModelConfig, scale: float = 0.02) -> Par
             p["bias"] = jnp.zeros((out_f,), dtype)
         return p
 
+    # (1+w)-norm families (Gemma) zero-init the norm weight — HF
+    # GemmaRMSNorm's nn.Parameter(torch.zeros(dim)) — so the effective
+    # scale starts at 1 either way.
+    norm_init = jnp.zeros if config.norm_plus_one else jnp.ones
+
     layers = []
     for li in range(config.num_hidden_layers):
         lk = jax.random.split(keys[li], 7)
         layer = {
-            "input_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((config.hidden_size,), dtype)},
+            "input_layernorm": {"weight": norm_init((config.hidden_size,), dtype)},
+            "post_attention_layernorm": {"weight": norm_init((config.hidden_size,), dtype)},
             "self_attn": {
                 name: proj(lk[j], name, config.attention_bias)
                 for j, name in enumerate(ATTN_PROJS)
@@ -146,7 +153,7 @@ def init_params(rng: jax.Array, config: ModelConfig, scale: float = 0.02) -> Par
     params: Params = {
         "embed_tokens": {"weight": embed},
         "layers": layers,
-        "norm": {"weight": jnp.ones((config.hidden_size,), dtype)},
+        "norm": {"weight": norm_init((config.hidden_size,), dtype)},
     }
     if not config.tie_word_embeddings:
         params["lm_head"] = {
@@ -162,13 +169,45 @@ def init_params(rng: jax.Array, config: ModelConfig, scale: float = 0.02) -> Par
 # ---------------------------------------------------------------------------
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
-    """HF LlamaRMSNorm: fp32 variance, scale applied after cast-back."""
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float,
+             plus_one: bool = False) -> jax.Array:
+    """HF LlamaRMSNorm: fp32 variance, scale applied after cast-back.
+
+    plus_one=True is GemmaRMSNorm (modeling_gemma.GemmaRMSNorm): the scale
+    is (1 + w) with w zero-initialized, and the multiply happens in fp32
+    BEFORE the cast back (transformers#29402) — same order as here."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
-    return (weight.astype(jnp.float32) * xf).astype(dtype)
+    w = weight.astype(jnp.float32)
+    if plus_one:
+        w = 1.0 + w
+    return (w * xf).astype(dtype)
+
+
+def mlp_act(config: ModelConfig):
+    """The MLP gate activation (HF ACT2FN[config.hidden_act]): SwiGLU
+    families use silu; Gemma's GeGLU uses the tanh-approximate gelu
+    (identical formula to torch's gelu_pytorch_tanh)."""
+    act = config.hidden_act
+    if act in ("silu", "swish"):
+        return jax.nn.silu
+    if act in ("gelu_pytorch_tanh", "gelu_tanh"):
+        return partial(jax.nn.gelu, approximate=True)
+    if act == "gelu":
+        return partial(jax.nn.gelu, approximate=False)
+    raise ValueError(f"unsupported hidden_act: {act!r}")
+
+
+def embed_lookup(params: Params, ids: jax.Array, config: ModelConfig) -> jax.Array:
+    """Token embedding lookup; Gemma additionally scales by sqrt(hidden)
+    with the normalizer rounded to the embedding dtype first (HF
+    GemmaModel.forward: torch.tensor(hidden_size**0.5, dtype=h.dtype))."""
+    h = params["embed_tokens"]["weight"][ids]
+    if config.scale_embeddings:
+        h = h * jnp.asarray(config.hidden_size ** 0.5, h.dtype)
+    return h
 
 
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
@@ -305,7 +344,8 @@ def _layer_forward(
     up = config.use_pallas_lowrank
 
     # --- self attention ---
-    x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+    x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps,
+                 plus_one=config.norm_plus_one)
     ap = lp["self_attn"]
     q = proj_apply(x, ap["q_proj"], kinds["q_proj"], up).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
     k = proj_apply(x, ap["k_proj"], kinds["k_proj"], up).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
@@ -346,7 +386,8 @@ def _layer_forward(
     h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"], up)
 
     # --- mlp (dense SwiGLU, or sparse MoE for Mixtral-family params) ---
-    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+                 plus_one=config.norm_plus_one)
     if "moe" in lp:
         from grasp_tpu.models.moe import moe_apply
 
@@ -355,7 +396,7 @@ def _layer_forward(
     mp = lp["mlp"]
     gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"], up)
     up_h = proj_apply(x, mp["up_proj"], kinds["up_proj"], up)
-    h = h + proj_apply(jax.nn.silu(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
+    h = h + proj_apply(mlp_act(config)(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
     return h, kv
 
 
@@ -436,7 +477,7 @@ def forward(
         assert hidden_in is not None, "start_layer > 0 requires hidden_in"
         h = hidden_in
     else:
-        h = params["embed_tokens"]["weight"][input_ids]
+        h = embed_lookup(params, input_ids, config)
 
     if positions is None:
         positions = jnp.arange(s)[None, :].repeat(b, axis=0)
@@ -510,7 +551,8 @@ def forward(
     if stop_layer is not None:
         return {"hidden": h}
 
-    h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+    h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
+                 plus_one=config.norm_plus_one)
     if output_hidden_states:
         hidden_states.append(h)
 
@@ -624,7 +666,7 @@ def _forward_with_cache(
     """
     b, s = input_ids.shape
     t = cache[0]["k"].shape[2]
-    h = params["embed_tokens"]["weight"][input_ids]
+    h = embed_lookup(params, input_ids, config)
 
     if positions is None:
         positions = (jnp.arange(s)[None, :] + cache_index).repeat(b, axis=0)
@@ -647,7 +689,8 @@ def _forward_with_cache(
         )
         new_cache.append(kv)
 
-    h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+    h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
+                 plus_one=config.norm_plus_one)
     logits = _lm_logits(h, params)
     return logits, new_cache
 

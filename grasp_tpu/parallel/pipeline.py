@@ -333,7 +333,8 @@ def make_pipeline_loss(
 
         def ce_and_count(h_out, m):
             lab = labels_mb[jnp.clip(m, 0, M - 1)]
-            hn = rms_norm(h_out, norm_w, config.rms_norm_eps)
+            hn = rms_norm(h_out, norm_w, config.rms_norm_eps,
+                          plus_one=config.norm_plus_one)
             logits = jnp.dot(hn, head_k, preferred_element_type=hn.dtype)
             ce = hf_causal_lm_loss_sum(logits, lab)
             cnt = (lab[:, 1:] != -100).sum()
@@ -347,6 +348,9 @@ def make_pipeline_loss(
             m = t - stage  # microbatch this stage processes at tick t
             ids_t = ids_mb[jnp.clip(t, 0, M - 1)]
             h_embed = embed_w[ids_t].astype(dtype)
+            if config.scale_embeddings:  # Gemma: llama.embed_lookup parity
+                h_embed = h_embed * jnp.asarray(config.hidden_size ** 0.5,
+                                                h_embed.dtype)
             h_in = jnp.where(stage == 0, h_embed, h_prev)
             h_out = stage_fn(h_in)
             # gate with a predicate multiply, not lax.cond: per-device branch

@@ -38,6 +38,8 @@ from grasp_tpu.models.llama import (
     _lm_logits,
     apply_rope,
     default_plan,
+    embed_lookup,
+    mlp_act,
     proj_apply,
     rms_norm,
     rope_cos_sin,
@@ -50,7 +52,8 @@ def _local_layer(lp, layer_plan, h, cos, sin, config, axis_name):
     nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
     kinds = dict(zip(PROJ_ORDER, layer_plan))
 
-    x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+    x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps,
+                 plus_one=config.norm_plus_one)
     ap = lp["self_attn"]
     q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, s_local, nh, hd).transpose(0, 2, 1, 3)
     k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, s_local, nkv, hd).transpose(0, 2, 1, 3)
@@ -65,11 +68,12 @@ def _local_layer(lp, layer_plan, h, cos, sin, config, axis_name):
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s_local, nh * hd)
     h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
 
-    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+                 plus_one=config.norm_plus_one)
     mp = lp["mlp"]
     gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
     up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-    h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+    h = h + proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
     return h
 
 
@@ -92,7 +96,7 @@ def seq_parallel_logits(
         positions = (idx * s_local + jnp.arange(s_local))[None, :].repeat(b, axis=0)
         cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
 
-        h = params["embed_tokens"]["weight"][ids]
+        h = embed_lookup(params, ids, config)
         for li in range(config.num_hidden_layers):
             layer_fn = functools.partial(
                 _local_layer, layer_plan=plan[li], cos=cos, sin=sin,
@@ -101,7 +105,8 @@ def seq_parallel_logits(
             if remat:
                 layer_fn = jax.checkpoint(layer_fn)
             h = layer_fn(params["layers"][li], h=h)
-        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
+                     plus_one=config.norm_plus_one)
         return _lm_logits(h, params)
 
     fn = jax.shard_map(

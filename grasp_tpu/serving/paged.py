@@ -41,6 +41,8 @@ from grasp_tpu.models.llama import (
     _lm_logits,
     apply_rope,
     default_plan,
+    embed_lookup,
+    mlp_act,
     init_kv_cache,
     prefill,
     proj_apply,
@@ -143,7 +145,7 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
         cos, sin = rope_cos_sin(pos[:, None], hd, config.rope_theta)  # [B,1,hd]
 
-        h = params["embed_tokens"]["weight"][toks][:, None, :]  # [B,1,d]
+        h = embed_lookup(params, toks, config)[:, None, :]  # [B,1,d]
 
         logical_page = pos // page_size
         offset = pos % page_size
@@ -160,7 +162,8 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             lp = params["layers"][li]
             kinds = dict(zip(PROJ_ORDER, plan[li]))
 
-            x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+            x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps,
+                         plus_one=config.norm_plus_one)
             ap = lp["self_attn"]
             q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
             k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, 1, nkv, hd).transpose(0, 2, 1, 3)
@@ -244,7 +247,8 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
             h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
 
-            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+                         plus_one=config.norm_plus_one)
             if "moe" in lp:  # Mixtral-family sparse MoE block
                 from grasp_tpu.models.moe import moe_apply
 
@@ -253,9 +257,10 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 mp = lp["mlp"]
                 gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
                 up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-                h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+                h = h + proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
 
-        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
+                     plus_one=config.norm_plus_one)
         logits = _lm_logits(h, params)[:, 0, :]
         return logits, k_pages, v_pages, k_scales, v_scales
 

@@ -61,6 +61,8 @@ from grasp_tpu.models.llama import (
     _lm_logits,
     apply_rope,
     default_plan,
+    embed_lookup,
+    mlp_act,
     proj_apply,
     rms_norm,
     rope_cos_sin,
@@ -117,7 +119,7 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         positions = pos[:, None] + jnp.arange(chunk)[None, :]  # [B, chunk]
         cos, sin = rope_cos_sin(positions, hd, config.rope_theta)
 
-        h = params["embed_tokens"]["weight"][toks]  # [B, chunk, d]
+        h = embed_lookup(params, toks, config)  # [B, chunk, d]
 
         logical = positions // page_size            # [B, chunk]
         offset = positions % page_size
@@ -133,7 +135,8 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
             lp = params["layers"][li]
             kinds = dict(zip(PROJ_ORDER, plan[li]))
 
-            x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+            x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps,
+                         plus_one=config.norm_plus_one)
             ap = lp["self_attn"]
             q = proj_apply(x, ap["q_proj"], kinds["q_proj"]).reshape(b, chunk, nh, hd).transpose(0, 2, 1, 3)
             k = proj_apply(x, ap["k_proj"], kinds["k_proj"]).reshape(b, chunk, nkv, hd).transpose(0, 2, 1, 3)
@@ -201,7 +204,8 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 attn = attn.transpose(0, 2, 1, 3).reshape(b, chunk, nh * hd)
             h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
 
-            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+                         plus_one=config.norm_plus_one)
             if "moe" in lp:
                 from grasp_tpu.models.moe import moe_apply
 
@@ -210,9 +214,10 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 mp = lp["mlp"]
                 gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
                 up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-                h = h + proj_apply(jax.nn.silu(gate) * up, mp["down_proj"], kinds["down_proj"])
+                h = h + proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
 
-        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps)
+        h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
+                     plus_one=config.norm_plus_one)
         return _lm_logits(h, params), k_pages, v_pages, k_scales, v_scales
 
     donate = (2, 3, 4, 5) if quantized else (2, 3)
@@ -376,8 +381,11 @@ class SpeculativeServingEngine(ServingEngine):
     target pool is `self.pool` (so _admit prefills the target unchanged) and
     a draft pool rides the SAME page tables. step() advances every live row
     up to gamma+1 tokens. Greedy rows emit the bit-identical ServingEngine
-    stream; sampled rows emit a stream distributed exactly as target-only
-    per-row temperature/top-k/top-p sampling (Leviathan rejection per row) —
+    stream (one caveat: hd%128==0 fp models verify through the gather path
+    because jax's fused paged kernel has no multi-query form, so identity
+    there is vs a GRASP_PAGED_KERNEL=0 plain engine — see _paged_verify_fn);
+    sampled rows emit a stream distributed exactly as target-only per-row
+    temperature/top-k/top-p sampling (Leviathan rejection per row) —
     speculation changes wall-clock, never outputs/distributions.
     """
 
@@ -397,8 +405,6 @@ class SpeculativeServingEngine(ServingEngine):
         self.dpool = PagePool(draft_config, self.pool.num_pages,
                               self.pool.page_size, quantized=q)
         self.dpool._free = self.pool._free  # ONE allocator: tables index both pools
-        self._ddecode = _paged_decode_fn(draft_config, self.dplan,
-                                         self.max_pages_per_seq, quantized=q)
         self._dmulti = _draft_multi_fn(draft_config, self.dplan,
                                        self.max_pages_per_seq, int(gamma),
                                        quantized=q)

@@ -286,3 +286,21 @@ def test_heterogeneous_plan_rejected(dense_model):
     }
     with pytest.raises(ValueError, match="structure"):
         to_pipeline_params(p2, 4)
+
+
+def test_gemma_pipeline_loss_matches_forward():
+    """Gemma-family variants through the pipeline: the staged layers apply
+    GeGLU/(1+w)-norms via llama._layer_forward, and the tick body applies
+    the sqrt(hidden) embedding scaling + tied-embedding head itself."""
+    config = ModelConfig.tiny(num_hidden_layers=8, hidden_act="gelu_pytorch_tanh",
+                              norm_plus_one=True, scale_embeddings=True,
+                              tie_word_embeddings=True)
+    params = init_params(jax.random.PRNGKey(4), config)
+    plan = default_plan(config)
+    mesh = _mesh(4)
+    ids, labels = _batch(config)
+    pparams = shard_pipeline_params(to_pipeline_params(params, 4), mesh)
+    loss_fn = make_pipeline_loss(config, uniform_layer_plan(plan), mesh, num_microbatches=4)
+    got = float(jax.jit(loss_fn)(pparams, ids, labels))
+    want = float(_ref_loss(params, config, plan, ids, labels))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -100,3 +100,16 @@ def test_seq_parallel_train_step_reduces_loss(mesh, rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_seq_parallel_gemma_matches_forward(mesh, rng):
+    """Gemma variants (GeGLU, (1+w) norms, scaled embeddings, tied head)
+    through the sequence-parallel block implementation."""
+    config = ModelConfig.tiny(num_hidden_layers=2, hidden_act="gelu_pytorch_tanh",
+                              norm_plus_one=True, scale_embeddings=True,
+                              tie_word_embeddings=True)
+    params = init_params(jax.random.PRNGKey(5), config)
+    ids = jnp.asarray(rng.integers(0, config.vocab_size, (2, 64)))
+    ref = np.asarray(forward(params, ids, config=config)["logits"])
+    got = np.asarray(seq_parallel_logits(params, ids, mesh, config))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)

@@ -347,3 +347,30 @@ def test_moe_model_speculates_bit_identical(rng):
     got = _run(spec, prompts, max_new=8)
     for g, w in zip(got, want):
         assert g == w
+
+
+def test_gemma_model_speculates_bit_identical(rng):
+    """Gemma-family target/draft (GeGLU, (1+w) norms, scaled embeddings,
+    tied head, MQA with decoupled head_dim): the draft multi-step and the
+    multi-token verify both apply the family variants, outputs match the
+    plain engine token for token."""
+    kw = dict(hidden_act="gelu_pytorch_tanh", norm_plus_one=True,
+              scale_embeddings=True, tie_word_embeddings=True,
+              num_key_value_heads=1, head_dim=16, vocab_size=128)
+    config = ModelConfig.tiny(num_hidden_layers=2, **kw)
+    params = init_params(jax.random.PRNGKey(3), config)
+    dconfig = ModelConfig.tiny(num_hidden_layers=1, **kw)
+    dparams = init_params(jax.random.PRNGKey(11), dconfig)
+    prompts = _prompts(rng, n=3)
+
+    plain = ServingEngine(params, config, num_pages=64, page_size=16,
+                          max_batch=2, max_pages_per_seq=8)
+    want = _run(plain, prompts, max_new=8)
+
+    spec = SpeculativeServingEngine(
+        params, config, dparams, dconfig, gamma=2,
+        num_pages=96, page_size=16, max_batch=2, max_pages_per_seq=8,
+    )
+    got = _run(spec, prompts, max_new=8)
+    for g, w in zip(got, want):
+        assert g == w
