@@ -39,6 +39,8 @@ class ModelConfig:
     #                                         "gelu_pytorch_tanh" for Gemma's GeGLU
     norm_plus_one: bool = False             # RMSNorm scales by (1 + w) (Gemma; w zero-init)
     scale_embeddings: bool = False          # h0 = embed * sqrt(hidden_size) (Gemma)
+    sliding_window: Optional[int] = None    # windowed causal attention (Mistral):
+    #                                         query i sees keys (i-w, i]; None = full
     dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
     use_pallas_lowrank: bool = False        # fused VMEM low-rank kernel for big-batch calls
     use_flash_attention: bool = False       # Pallas flash attention on full-sequence causal paths
@@ -176,6 +178,7 @@ class ModelConfig:
             num_key_value_heads=8,
             max_position_embeddings=32768,
             rope_theta=10000.0,
+            sliding_window=4096,
         )
 
     def to_json(self) -> str:

@@ -44,6 +44,10 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         hidden_act=str(get("hidden_activation", None) or get("hidden_act", "silu")),
         norm_plus_one=str(get("model_type", "")).startswith("gemma"),
         scale_embeddings=str(get("model_type", "")).startswith("gemma"),
+        # Mistral applies its sliding window unconditionally; Qwen2 carries
+        # a window in its config but gates it off via use_sliding_window
+        sliding_window=(get("sliding_window", None)
+                        if get("use_sliding_window", True) else None),
         # Mixtral-family sparse MoE
         num_local_experts=int(get("num_local_experts", 0) or 0),
         num_experts_per_tok=int(get("num_experts_per_tok", 2) or 2),

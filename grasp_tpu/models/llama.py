@@ -417,11 +417,18 @@ def _lm_logits(h: jax.Array, params: Params) -> jax.Array:
     return dense_apply(h, head["kernel"])
 
 
-def _causal_mask(s: int, t: int, offset: int, dtype=jnp.float32) -> jax.Array:
-    """Additive causal mask [1, 1, s, t]; query i attends keys <= i + offset."""
+def _causal_mask(s: int, t: int, offset: int, dtype=jnp.float32,
+                 window: Optional[int] = None) -> jax.Array:
+    """Additive causal mask [1, 1, s, t]; query i attends keys <= i + offset.
+
+    window (Mistral sliding attention, HF MistralModel mask semantics):
+    query i additionally sees only keys > i + offset - window — the last
+    `window` positions inclusive of itself."""
     qi = jnp.arange(s)[:, None] + offset
     ki = jnp.arange(t)[None, :]
     allow = ki <= qi
+    if window is not None:
+        allow &= ki > qi - window
     return jnp.where(allow, 0.0, jnp.finfo(dtype).min).astype(dtype)[None, None]
 
 
@@ -483,7 +490,7 @@ def forward(
         positions = jnp.arange(s)[None, :].repeat(b, axis=0)
     cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
 
-    mask = _causal_mask(s, s, 0)
+    mask = _causal_mask(s, s, 0, window=config.sliding_window)
     if attention_mask is not None:
         pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min)
         mask = mask + pad
@@ -521,7 +528,10 @@ def forward(
             groups.append((plan[li], [li]))
             group_keys.append(key)
 
-    flash_ok = attention_mask is None  # flash kernel handles pure-causal masks only
+    # flash kernel handles pure-causal masks only; a sliding window shorter
+    # than the sequence needs the windowed mask -> dense attention path
+    flash_ok = attention_mask is None and (
+        config.sliding_window is None or s <= config.sliding_window)
 
     for layer_plan, idxs in groups:
         def one_layer(lp, h_, _plan=layer_plan):
@@ -676,6 +686,8 @@ def _forward_with_cache(
     qi = jnp.arange(s)[:, None] + cache_index
     ki = jnp.arange(t)[None, :]
     allow = ki <= qi
+    if config.sliding_window is not None:  # Mistral windowed attention
+        allow &= ki > qi - config.sliding_window
     mask = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[None, None]
     if length_mask is not None:
         pad = jnp.where(length_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min)

@@ -320,7 +320,7 @@ def make_pipeline_loss(
 
         positions = jnp.arange(s_len)[None, :]
         cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
-        mask = _causal_mask(s_len, s_len, 0)
+        mask = _causal_mask(s_len, s_len, 0, window=config.sliding_window)
 
         def layer_body(h_, lp):
             return _layer_forward(lp, layer_plan, h_, cos, sin, mask, config)[0], None

@@ -87,6 +87,12 @@ def seq_parallel_logits(
     remat: bool = False,
 ) -> jax.Array:
     """Logits [B, S, V] for a sequence sharded over `axis` (S % axis_size == 0)."""
+    if config.sliding_window is not None:
+        raise ValueError(
+            "sequence parallelism streams the full KV through ring attention; "
+            "sliding-window models (config.sliding_window set) are not "
+            "supported on this path — run the windowed mask forward instead"
+        )
     plan = plan or default_plan(config)
 
     def local_forward(params, ids):

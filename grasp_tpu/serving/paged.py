@@ -116,6 +116,9 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
     use_kernel = (
         jax.default_backend() == "tpu"
+        # the fused kernels attend to [0, pos]; sliding-window models need
+        # the windowed visibility mask -> gather path
+        and config.sliding_window is None
         # the kernel requires lane-aligned head_dim (probed on v5e: hd=64
         # fails block-shape checks for every head combo; hd=128 works) —
         # LLaMA-2/Mistral/Qwen2 all have hd=128; TinyLlama (hd=64) routes
@@ -129,6 +132,7 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     use_kernel64 = (
         not use_kernel
         and jax.default_backend() == "tpu"
+        and config.sliding_window is None
         and config.head_dim_ < 128
         and not quantized
         and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
@@ -156,6 +160,8 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         # of the token written this step)
         slot_idx = jnp.arange(t_max)[None, :]
         valid = (slot_idx <= pos[:, None]) & (live > 0)[:, None]
+        if config.sliding_window is not None:  # Mistral windowed attention
+            valid &= slot_idx > pos[:, None] - config.sliding_window
         bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[:, None, None, :]
 
         for li in range(config.num_hidden_layers):

@@ -105,6 +105,7 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
     use_kernel64 = (
         jax.default_backend() == "tpu"
+        and config.sliding_window is None
         and config.head_dim_ < 128
         and not quantized
         and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
@@ -129,6 +130,8 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         # mask [B, 1, chunk, t_max]: query i sees slots <= pos + i
         slot_idx = jnp.arange(t_max)[None, None, :]
         vis = (slot_idx <= positions[:, :, None]) & (live > 0)[:, None, None]
+        if config.sliding_window is not None:  # Mistral windowed attention
+            vis &= slot_idx > positions[:, :, None] - config.sliding_window
         bias = jnp.where(vis, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
 
         for li in range(config.num_hidden_layers):

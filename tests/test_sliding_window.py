@@ -1,0 +1,168 @@
+"""Sliding-window attention (Mistral): parity vs HF and path consistency.
+
+HF MistralModel masks each query to its trailing `sliding_window` keys
+(inclusive of itself) unconditionally; Qwen2 carries a window in its config
+but gates it off with use_sliding_window=False. The window threads through
+the full forward, the KV-cache decode, and the paged serving visibility
+masks (the fused paged kernels attend to [0, pos] and are bypassed for
+windowed models).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+torch.manual_seed(0)
+
+import jax
+import jax.numpy as jnp
+from transformers import MistralConfig, MistralForCausalLM
+
+from grasp_tpu.configs import ModelConfig
+from grasp_tpu.models.hf_io import config_from_hf, params_from_state_dict
+from grasp_tpu.models.llama import (
+    decode_step,
+    default_plan,
+    forward,
+    init_kv_cache,
+    init_params,
+    prefill,
+)
+
+HF_CFG = dict(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=176,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+    rms_norm_eps=1e-5,
+    rope_theta=10000.0,
+    sliding_window=4,  # << seq so the window actually bites
+    tie_word_embeddings=False,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    return MistralForCausalLM(MistralConfig(**HF_CFG)).eval().float()
+
+
+@pytest.fixture(scope="module")
+def ours(hf_model):
+    config = config_from_hf(hf_model.config)
+    params = params_from_state_dict(hf_model.state_dict(), config)
+    return config, jax.tree.map(jnp.asarray, params)
+
+
+def test_window_imported_and_material(hf_model, ours, rng):
+    """The window imports, and ignoring it would NOT reproduce HF."""
+    config, params = ours
+    assert config.sliding_window == 4
+    ids = rng.integers(1, 120, (1, 12))
+    with torch.no_grad():
+        want = hf_model(torch.tensor(ids)).logits.numpy()
+    nowin = np.asarray(forward(
+        params, jnp.asarray(ids),
+        config=ModelConfig(**{**config.__dict__, "sliding_window": None}),
+    )["logits"])
+    assert np.abs(nowin - want).max() > 1e-3  # the window matters at seq 12
+
+
+def test_sliding_logits_match_hf(hf_model, ours, rng):
+    config, params = ours
+    ids = rng.integers(1, 120, (2, 17))
+    with torch.no_grad():
+        want = hf_model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(ids), config=config)["logits"])
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_sliding_kv_decode_matches_full_forward(ours, rng):
+    config, params = ours
+    ids = rng.integers(1, 120, (1, 14))
+    full = np.asarray(forward(params, jnp.asarray(ids), config=config)["logits"])
+
+    cache = init_kv_cache(config, batch=1, max_len=32)
+    logits, cache = prefill(params, jnp.asarray(ids[:, :6]), cache, config=config,
+                            plan=default_plan(config))
+    np.testing.assert_allclose(np.asarray(logits), full[:, :6], atol=2e-4, rtol=2e-4)
+    for i in range(6, 14):
+        step, cache = decode_step(params, jnp.asarray(ids[:, i : i + 1]), cache, i,
+                                  config=config, plan=default_plan(config))
+        np.testing.assert_allclose(np.asarray(step[:, 0]), full[:, i], atol=3e-4, rtol=3e-4)
+
+
+def test_sliding_paged_serving_matches_generate(ours):
+    """Continuous batching emits the same greedy stream as the plain decode:
+    the paged visibility mask applies the same window the dense cache does
+    (long prompt + enough new tokens that old slots fall out of the window)."""
+    from grasp_tpu.eval.generate import greedy_generate
+    from grasp_tpu.serving.paged import ServingEngine
+
+    config, params = ours
+    r = np.random.default_rng(3)
+    prompts = [r.integers(1, 120, size=(n,)).astype(np.int32) for n in (9, 5)]
+    want = [greedy_generate(params, config, p, 8) for p in prompts]
+
+    eng = ServingEngine(params, config, num_pages=32, page_size=4,
+                        max_batch=2, max_pages_per_seq=8)
+    rids = [eng.submit(p, 8) for p in prompts]
+    outs = eng.run()
+    for rid, w in zip(rids, want):
+        assert list(outs[rid]) == list(w)
+
+
+def test_qwen2_style_gated_window_imports_as_none():
+    class _NS:
+        model_type = "qwen2"
+        vocab_size = 64
+        hidden_size = 32
+        intermediate_size = 64
+        num_hidden_layers = 2
+        num_attention_heads = 4
+        num_key_value_heads = 2
+        sliding_window = 4096
+        use_sliding_window = False
+
+    assert config_from_hf(_NS()).sliding_window is None
+
+
+def test_seq_parallel_rejects_window(ours):
+    from jax.sharding import Mesh
+    from grasp_tpu.parallel.seq_parallel import seq_parallel_logits
+
+    config, params = ours
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    with pytest.raises(ValueError, match="sliding-window"):
+        seq_parallel_logits(params, jnp.zeros((1, 16), jnp.int32), mesh, config)
+
+
+def test_sliding_speculative_bit_identical(ours):
+    """Windowed target+draft through the speculative paged engine: the
+    multi-token verify applies the same windowed visibility as the plain
+    decode, so greedy streams match token for token."""
+    from grasp_tpu.models.llama import init_params as _init
+    from grasp_tpu.serving.paged import ServingEngine
+    from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
+
+    config, params = ours
+    dconfig = ModelConfig(**{**config.__dict__, "num_hidden_layers": 1})
+    dparams = _init(jax.random.PRNGKey(7), dconfig)
+    r = np.random.default_rng(5)
+    prompts = [r.integers(1, 120, size=(n,)).astype(np.int32) for n in (11, 6)]
+
+    plain = ServingEngine(params, config, num_pages=64, page_size=4,
+                          max_batch=2, max_pages_per_seq=8)
+    rids = [plain.submit(p, 8) for p in prompts]
+    pouts = plain.run()
+    want = [pouts[rid] for rid in rids]
+
+    spec = SpeculativeServingEngine(params, config, dparams, dconfig, gamma=2,
+                                    num_pages=96, page_size=4, max_batch=2,
+                                    max_pages_per_seq=8)
+    rids = [spec.submit(p, 8) for p in prompts]
+    outs = spec.run()
+    for rid, w in zip(rids, want):
+        assert list(outs[rid]) == list(w)
