@@ -10,8 +10,9 @@ Mirrors the reference's two CLIs with the same flag names where they exist:
 Model sources (no network in typical TPU pods; never downloads):
   - a local HF checkpoint directory (config.json + safetensors/bin), or
   - a named architecture preset (``tiny``, ``tinyllama-1.1b``, ``llama2-7b``,
-    ``mistral-7b``, ``qwen2-7b``, ``mixtral-8x7b``, ``gemma-2b``,
-    ``gemma-7b``) with random init — for benchmarking and smoke runs.
+    ``llama3-8b``, ``llama3.1-8b``, ``mistral-7b``, ``qwen2-7b``,
+    ``mixtral-8x7b``, ``gemma-2b``, ``gemma-7b``) with random init — for
+    benchmarking and smoke runs.
 """
 
 from __future__ import annotations
@@ -40,6 +41,8 @@ _PRESETS = {
     "tiny": "tiny",
     "tinyllama-1.1b": "tinyllama_1_1b",
     "llama2-7b": "llama2_7b",
+    "llama3-8b": "llama3_8b",
+    "llama3.1-8b": "llama3_1_8b",
     "mistral-7b": "mistral_7b",
     "qwen2-7b": "qwen2_7b",
     "mixtral-8x7b": "mixtral_8x7b",

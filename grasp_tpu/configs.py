@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -41,6 +41,10 @@ class ModelConfig:
     scale_embeddings: bool = False          # h0 = embed * sqrt(hidden_size) (Gemma)
     sliding_window: Optional[int] = None    # windowed causal attention (Mistral):
     #                                         query i sees keys (i-w, i]; None = full
+    rope_scaling: Optional[Any] = None      # HF rope_scaling dict ("llama3"/"linear");
+    #                                         normalized to sorted (k, v) tuple pairs so
+    #                                         the (frozen) config stays hashable for jit
+    #                                         static args (eval/ppl.py)
     dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
     use_pallas_lowrank: bool = False        # fused VMEM low-rank kernel for big-batch calls
     use_flash_attention: bool = False       # Pallas flash attention on full-sequence causal paths
@@ -49,6 +53,20 @@ class ModelConfig:
     # experts, top num_experts_per_tok per token) — models/moe.py.
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+
+    def __post_init__(self):
+        # normalize rope_scaling (dict from HF / list-of-pairs from JSON)
+        # into sorted tuple pairs: frozen dataclass stays hashable
+        rs = self.rope_scaling
+        if rs is not None and not isinstance(rs, tuple):
+            items = rs.items() if isinstance(rs, dict) else rs
+            object.__setattr__(
+                self, "rope_scaling",
+                tuple(sorted((str(k), v) for k, v in items)))
+
+    @property
+    def rope_scaling_dict(self) -> Optional[dict]:
+        return dict(self.rope_scaling) if self.rope_scaling else None
 
     @property
     def head_dim_(self) -> int:
@@ -123,6 +141,43 @@ class ModelConfig:
             rope_theta=1000000.0,
             num_local_experts=8,
             num_experts_per_tok=2,
+        )
+
+    @staticmethod
+    def llama3_8b() -> "ModelConfig":
+        """LLaMA-3 8B: GQA (8 KV heads), 128k vocab, rope theta 5e5."""
+        return ModelConfig(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=8192,
+            rope_theta=500000.0,
+            rms_norm_eps=1e-5,
+        )
+
+    @staticmethod
+    def llama3_1_8b() -> "ModelConfig":
+        """LLaMA-3.1 8B: the 3.0 architecture + llama3 rope scaling to 128k."""
+        return ModelConfig(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            max_position_embeddings=131072,
+            rope_theta=500000.0,
+            rms_norm_eps=1e-5,
+            rope_scaling={
+                "rope_type": "llama3",
+                "factor": 8.0,
+                "low_freq_factor": 1.0,
+                "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 8192,
+            },
         )
 
     @staticmethod

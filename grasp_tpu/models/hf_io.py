@@ -48,6 +48,7 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         # a window in its config but gates it off via use_sliding_window
         sliding_window=(get("sliding_window", None)
                         if get("use_sliding_window", True) else None),
+        rope_scaling=get("rope_scaling", None),  # llama3/linear (configs.py)
         # Mixtral-family sparse MoE
         num_local_experts=int(get("num_local_experts", 0) or 0),
         num_experts_per_tok=int(get("num_experts_per_tok", 2) or 2),

@@ -210,9 +210,34 @@ def embed_lookup(params: Params, ids: jax.Array, config: ModelConfig) -> jax.Arr
     return h
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables for rotary embedding, HF convention (duplicated freqs)."""
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 scaling=None) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for rotary embedding, HF convention (duplicated freqs).
+
+    scaling: optional HF rope_scaling (ModelConfig.rope_scaling tuple pairs
+    or a dict). "llama3" replicates transformers'
+    _compute_llama3_parameters exactly: low-frequency components (wavelength
+    > original_ctx / low_freq_factor) divide by `factor`, high-frequency
+    ones stay, the band between interpolates smoothly. "linear" divides all
+    frequencies by `factor` (position interpolation)."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if scaling:
+        d = dict(scaling)
+        rtype = d.get("rope_type", d.get("type", "default"))
+        if rtype == "llama3":
+            factor = float(d["factor"])
+            lo, hi = float(d["low_freq_factor"]), float(d["high_freq_factor"])
+            old_ctx = float(d["original_max_position_embeddings"])
+            wavelen = 2.0 * np.pi / inv_freq
+            inv2 = jnp.where(wavelen > old_ctx / lo, inv_freq / factor, inv_freq)
+            smooth = (old_ctx / wavelen - lo) / (hi - lo)
+            smoothed = (1.0 - smooth) * inv2 / factor + smooth * inv2
+            is_med = (wavelen >= old_ctx / hi) & (wavelen <= old_ctx / lo)
+            inv_freq = jnp.where(is_med, smoothed, inv2)
+        elif rtype == "linear":
+            inv_freq = inv_freq / float(d["factor"])
+        elif rtype != "default":
+            raise ValueError(f"unsupported rope_scaling type: {rtype!r}")
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., S, hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
@@ -488,7 +513,8 @@ def forward(
 
     if positions is None:
         positions = jnp.arange(s)[None, :].repeat(b, axis=0)
-    cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+    cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta,
+                            scaling=config.rope_scaling)
 
     mask = _causal_mask(s, s, 0, window=config.sliding_window)
     if attention_mask is not None:
@@ -680,7 +706,8 @@ def _forward_with_cache(
 
     if positions is None:
         positions = (jnp.arange(s)[None, :] + cache_index).repeat(b, axis=0)
-    cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+    cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta,
+                            scaling=config.rope_scaling)
 
     # queries sit at absolute cache slots cache_index + arange(s)
     qi = jnp.arange(s)[:, None] + cache_index

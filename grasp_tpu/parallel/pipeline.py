@@ -319,7 +319,8 @@ def make_pipeline_loss(
         mb, s_len = ids_mb.shape[1], ids_mb.shape[2]
 
         positions = jnp.arange(s_len)[None, :]
-        cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+        cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta,
+                                scaling=config.rope_scaling)
         mask = _causal_mask(s_len, s_len, 0, window=config.sliding_window)
 
         def layer_body(h_, lp):

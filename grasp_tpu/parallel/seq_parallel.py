@@ -100,7 +100,8 @@ def seq_parallel_logits(
         idx = jax.lax.axis_index(axis)
         b, s_local = ids.shape
         positions = (idx * s_local + jnp.arange(s_local))[None, :].repeat(b, axis=0)
-        cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta)
+        cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta,
+                                scaling=config.rope_scaling)
 
         h = embed_lookup(params, ids, config)
         for li in range(config.num_hidden_layers):
