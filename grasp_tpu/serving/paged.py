@@ -147,7 +147,8 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         nh = config.num_attention_heads
         t_max = max_pages_per_seq * page_size
 
-        cos, sin = rope_cos_sin(pos[:, None], hd, config.rope_theta)  # [B,1,hd]
+        cos, sin = rope_cos_sin(pos[:, None], hd, config.rope_theta,
+                                scaling=config.rope_scaling)  # [B,1,hd]
 
         h = embed_lookup(params, toks, config)[:, None, :]  # [B,1,d]
 
@@ -301,7 +302,8 @@ def _make_sampler(max_k: int):
 
 class _Request:
     __slots__ = ("rid", "prompt", "pages", "pos", "out", "max_new", "done", "row",
-                 "temperature", "top_k", "top_p", "seed", "emitted_steps")
+                 "temperature", "top_k", "top_p", "seed", "emitted_steps",
+                 "freed_pages")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0, top_p=1.0,
                  seed=0):
@@ -318,6 +320,7 @@ class _Request:
         self.top_p = float(top_p)
         self.seed = 0 if seed is None else int(seed)
         self.emitted_steps = 0  # PRNG stream position (fold_in per pick)
+        self.freed_pages = 0    # leading logical pages recycled (sliding window)
 
     @property
     def greedy(self) -> bool:
@@ -352,6 +355,15 @@ class ServingEngine:
                                         quantized=quantized_kv)
         self._prefill_fns: Dict[Tuple[int, int], any] = {}
 
+        # window used for page recycling (subclasses with a second reader —
+        # the speculative draft pool — tighten this to respect both masks)
+        self._window_recycle = config.sliding_window
+        # windowed rows allocate pages lazily (one as the write position
+        # enters it) and recycle expired ones, so their live pages stay
+        # O(window/page_size) — the rolling-buffer cache. Subclasses whose
+        # step() does not implement the ensure/stall dance (the speculative
+        # engine) keep full upfront allocation and only recycle.
+        self._lazy_pages = self._window_recycle is not None
         self._pending: List[_Request] = []
         self._live: List[Optional[_Request]] = [None] * max_batch
         self._finished: List[_Request] = []
@@ -375,6 +387,11 @@ class ServingEngine:
         if need > self.max_pages_per_seq:
             raise ValueError(
                 f"request needs {need} pages > max_pages_per_seq={self.max_pages_per_seq}")
+        if need > self.pool.num_pages - 1:  # page 0 is the reserved null page
+            raise ValueError(
+                f"request needs {need} pages but the pool only has "
+                f"{self.pool.num_pages - 1} allocatable — it could never be "
+                "admitted")
         self._rid += 1
         self._pending.append(_Request(self._rid, prompt_ids, max_new_tokens,
                                       temperature, top_k, top_p,
@@ -440,9 +457,12 @@ class ServingEngine:
         freshly allocated pages (one bulk reshape — no per-token writes)."""
         ps = self.pool.page_size
         s = len(req.prompt)
-        need_pages = -(-(s + req.max_new) // ps)
-        req.pages = self.pool.alloc(need_pages)
         s_pad = -(-max(s, 1) // ps) * ps  # prompt rounded to whole pages
+        if self._lazy_pages:
+            need_pages = s_pad // ps  # generation pages alloc'd as reached
+        else:
+            need_pages = -(-(s + req.max_new) // ps)
+        req.pages = self.pool.alloc(need_pages)
 
         padded = np.zeros((1, s_pad), np.int32)
         padded[0, :s] = req.prompt
@@ -485,7 +505,14 @@ class ServingEngine:
         for row in range(self.max_batch):
             if self._live[row] is None and self._pending:
                 nxt = self._pending[0]
-                need = -(-(len(nxt.prompt) + nxt.max_new) // self.pool.page_size)
+                ps = self.pool.page_size
+                need = -(-(len(nxt.prompt) + nxt.max_new) // ps)
+                if self._lazy_pages:
+                    # steady-state bound: prompt pages + the in-window band
+                    # (+2 slack); recycling frees at the rate lazy alloc
+                    # consumes, so this is the row's true peak demand
+                    band = -(-self._window_recycle // ps) + 2
+                    need = min(need, -(-max(len(nxt.prompt), 1) // ps) + band)
                 if need > self.pool.free_pages:
                     break  # wait for pages to free up
                 self._admit(self._pending.pop(0), row)
@@ -493,9 +520,24 @@ class ServingEngine:
         if not any(r is not None for r in self._live):
             return
 
-        # emit the token computed last step (or by prefill), check stops
+        # lazy mode: make sure each row's write slot has a page; a row whose
+        # allocation must wait for the pool STALLS this step (not emitted,
+        # not decoded, not advanced) and retries next step once recycling
+        # frees pages — rows free as fast as they allocate in steady state
+        stalled = set()
         for r in self._live:
             if r is None:
+                continue
+            l = r.pos // self.pool.page_size
+            while len(r.pages) <= l:
+                if self.pool.free_pages == 0:
+                    stalled.add(r.rid)
+                    break
+                r.pages.extend(self.pool.alloc(1))
+
+        # emit the token computed last step (or by prefill), check stops
+        for r in list(self._live):
+            if r is None or r.rid in stalled:
                 continue
             tok = int(self._next_tok[r.row])
             if tok == self.eos:
@@ -507,7 +549,7 @@ class ServingEngine:
         pos = np.zeros(self.max_batch, np.int32)
         live = np.zeros(self.max_batch, np.int32)
         for r in self._live:
-            if r is None:
+            if r is None or r.rid in stalled:
                 continue
             tables[r.row, : len(r.pages)] = r.pages
             pos[r.row] = r.pos
@@ -523,12 +565,31 @@ class ServingEngine:
         )
         nxt = self._pick_tokens(logits, list(self._live))
         for r in list(self._live):
-            if r is None:
+            if r is None or r.rid in stalled:
                 continue
             r.pos += 1
+            self._recycle_window_pages(r)
             self._next_tok[r.row] = nxt[r.row]
             if len(r.out) >= r.max_new:
                 self._retire(r)
+
+    def _recycle_window_pages(self, r: _Request) -> None:
+        """Sliding-window models: free physical pages every future query is
+        already masked from. With visibility slot > pos - window, logical
+        page l (slots [l*ps, (l+1)*ps)) expires once (l+1)*ps - 1 <=
+        pos - window; its table entry becomes the null page (reads are
+        masked, writes only touch the current position's page). Bounds a
+        row's live pages by ~window/page_size + 1 instead of its length —
+        the paged analogue of Mistral's rolling-buffer cache."""
+        w = self._window_recycle
+        if w is None:
+            return
+        ps = self.pool.page_size
+        exp = min(max(0, (r.pos - w + 1) // ps), len(r.pages))
+        for l in range(r.freed_pages, exp):
+            self.pool.free([r.pages[l]])
+            r.pages[l] = 0
+        r.freed_pages = max(r.freed_pages, exp)
 
     def _retire(self, req: _Request) -> None:
         self.pool.free(req.pages)

@@ -118,7 +118,8 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         t_max = max_pages_per_seq * page_size
 
         positions = pos[:, None] + jnp.arange(chunk)[None, :]  # [B, chunk]
-        cos, sin = rope_cos_sin(positions, hd, config.rope_theta)
+        cos, sin = rope_cos_sin(positions, hd, config.rope_theta,
+                                scaling=config.rope_scaling)
 
         h = embed_lookup(params, toks, config)  # [B, chunk, d]
 
@@ -408,6 +409,16 @@ class SpeculativeServingEngine(ServingEngine):
         self.dpool = PagePool(draft_config, self.pool.num_pages,
                               self.pool.page_size, quantized=q)
         self.dpool._free = self.pool._free  # ONE allocator: tables index both pools
+        # a physical page backs BOTH pools, so it may only be recycled once
+        # every future query of target AND draft is masked from it
+        if config.sliding_window is None or draft_config.sliding_window is None:
+            self._window_recycle = None
+        else:
+            self._window_recycle = max(config.sliding_window,
+                                       draft_config.sliding_window)
+        # the speculative step() has no ensure/stall dance: keep full upfront
+        # allocation, recycling still returns expired pages to the shared pool
+        self._lazy_pages = False
         self._dmulti = _draft_multi_fn(draft_config, self.dplan,
                                        self.max_pages_per_seq, int(gamma),
                                        quantized=q)
@@ -625,6 +636,7 @@ class SpeculativeServingEngine(ServingEngine):
             # r.pos currently counts tokens whose KV is final through
             # verify_in[0]; advance past the accepted region
             r.pos += a + 1
+            self._recycle_window_pages(r)
             for j, tok in enumerate(chunk):
                 is_last = j == len(chunk) - 1
                 if is_last:

@@ -166,3 +166,78 @@ def test_sliding_speculative_bit_identical(ours):
     outs = spec.run()
     for rid, w in zip(rids, want):
         assert list(outs[rid]) == list(w)
+
+
+def test_window_page_recycling_bounds_live_pages(ours):
+    """Rolling-buffer analogue: physical pages every future query is masked
+    from return to the pool mid-flight, so a windowed row's live pages stay
+    ~window/page_size + 1 regardless of generated length — and the stream
+    still matches the plain decode exactly."""
+    from grasp_tpu.eval.generate import greedy_generate
+    from grasp_tpu.serving.paged import ServingEngine
+
+    config, params = ours  # sliding_window = 4
+    prompt = np.asarray([5, 9, 2, 33, 7, 11, 4], dtype=np.int32)
+    max_new = 24
+    want = greedy_generate(params, config, prompt, max_new)
+
+    eng = ServingEngine(params, config, num_pages=24, page_size=2,
+                        max_batch=1, max_pages_per_seq=16)
+    rid = eng.submit(prompt, max_new)
+    min_free, max_live = 99, 0
+    while eng.has_work():
+        eng.step()
+        r = eng._live[0]
+        if r is not None:
+            max_live = max(max_live, sum(1 for p in r.pages if p > 0))
+            min_free = min(min_free, eng.pool.free_pages)
+    outs = eng.collect()
+    assert list(outs[rid]) == list(want)
+    # lazy alloc + recycling: peak live pages = the prompt's 4; steady
+    # state oscillates 2-3 (window 4 / page_size 2) — far below the 16
+    # logical pages the request spans end to end
+    assert max_live <= 4
+    # every recycled page really returned: all 15 allocatable pages free
+    assert eng.pool.free_pages == 23
+
+
+def test_spec_recycling_disabled_on_mismatched_windows(ours):
+    """A windowless draft reads every slot, so shared pages must never be
+    recycled out from under it."""
+    from grasp_tpu.models.llama import init_params as _init
+    from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
+
+    config, params = ours
+    dconfig = ModelConfig(**{**config.__dict__, "num_hidden_layers": 1,
+                             "sliding_window": None})
+    dparams = _init(jax.random.PRNGKey(7), dconfig)
+    spec = SpeculativeServingEngine(params, config, dparams, dconfig, gamma=2,
+                                    num_pages=32, page_size=4, max_batch=2,
+                                    max_pages_per_seq=8)
+    assert spec._window_recycle is None
+
+
+def test_window_lazy_alloc_stalls_and_resumes(ours):
+    """A windowed row whose next page cannot be allocated stalls (no emit,
+    no advance) and resumes when pages free — the stream is unchanged."""
+    from grasp_tpu.eval.generate import greedy_generate
+    from grasp_tpu.serving.paged import ServingEngine
+
+    config, params = ours
+    prompt = np.asarray([5, 9, 2, 33, 7, 11], dtype=np.int32)  # 3 prompt pages
+    want = greedy_generate(params, config, prompt, 10)
+
+    eng = ServingEngine(params, config, num_pages=24, page_size=2,
+                        max_batch=1, max_pages_per_seq=16)
+    rid = eng.submit(prompt, 10)
+    eng.step()  # admit + decode (writes slot 6 into the prompt's last page)
+    eng.step()  # pos -> 8: the NEXT step must allocate a fresh page
+    hog = eng.pool.alloc(eng.pool.free_pages)  # drain the pool
+    r = eng._live[0]
+    pos_before, out_before = r.pos, len(r.out)
+    for _ in range(3):
+        eng.step()  # slot 8 needs a new page -> stalls
+    assert (r.pos, len(r.out)) == (pos_before, out_before)  # truly stalled
+    eng.pool.free(hog)
+    outs = eng.run()
+    assert list(outs[rid]) == list(want)
