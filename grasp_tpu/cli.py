@@ -11,7 +11,7 @@ Model sources (no network in typical TPU pods; never downloads):
   - a local HF checkpoint directory (config.json + safetensors/bin), or
   - a named architecture preset (``tiny``, ``tinyllama-1.1b``, ``llama2-7b``,
     ``llama3-8b``, ``llama3.1-8b``, ``mistral-7b``, ``qwen2-7b``,
-    ``mixtral-8x7b``, ``gemma-2b``, ``gemma-7b``) with random init — for
+    ``mixtral-8x7b``, ``gemma-2b``, ``gemma-7b``, ``gemma2-9b``) with random init — for
     benchmarking and smoke runs.
 """
 
@@ -48,6 +48,7 @@ _PRESETS = {
     "mixtral-8x7b": "mixtral_8x7b",
     "gemma-2b": "gemma_2b",
     "gemma-7b": "gemma_7b",
+    "gemma2-9b": "gemma2_9b",
 }
 
 

@@ -45,6 +45,15 @@ class ModelConfig:
     #                                         normalized to sorted (k, v) tuple pairs so
     #                                         the (frozen) config stays hashable for jit
     #                                         static args (eval/ppl.py)
+    # Gemma-2 family:
+    layer_types: Optional[Tuple[str, ...]] = None  # per-layer "sliding_attention" /
+    #                                         "full_attention"; None = sliding_window
+    #                                         (if any) applies to every layer
+    attn_logit_softcapping: Optional[float] = None  # scores = c*tanh(scores/c) pre-mask
+    final_logit_softcapping: Optional[float] = None  # same cap on the lm logits
+    query_pre_attn_scalar: Optional[float] = None    # attn scale = qpas**-0.5 (else hd**-0.5)
+    sandwich_norms: bool = False            # Gemma-2 layer: norms around BOTH the
+    #                                         attention output and the MLP (4 per layer)
     dtype: str = "float32"                  # parameter dtype ("float32" | "bfloat16")
     use_pallas_lowrank: bool = False        # fused VMEM low-rank kernel for big-batch calls
     use_flash_attention: bool = False       # Pallas flash attention on full-sequence causal paths
@@ -63,6 +72,20 @@ class ModelConfig:
             object.__setattr__(
                 self, "rope_scaling",
                 tuple(sorted((str(k), v) for k, v in items)))
+        if self.layer_types is not None and not isinstance(self.layer_types, tuple):
+            object.__setattr__(self, "layer_types", tuple(self.layer_types))
+
+    def layer_window(self, layer_idx: int) -> Optional[int]:
+        """The sliding window layer `layer_idx` attends with (None = full).
+
+        Uniform-window families (Mistral) window every layer; Gemma-2's
+        layer_types alternates sliding and full layers."""
+        if self.sliding_window is None:
+            return None
+        if self.layer_types is None:
+            return self.sliding_window
+        return (self.sliding_window
+                if self.layer_types[layer_idx] == "sliding_attention" else None)
 
     @property
     def rope_scaling_dict(self) -> Optional[dict]:
@@ -178,6 +201,36 @@ class ModelConfig:
                 "high_freq_factor": 4.0,
                 "original_max_position_embeddings": 8192,
             },
+        )
+
+    @staticmethod
+    def gemma2_9b() -> "ModelConfig":
+        """Gemma-2 9B: Gemma-1's GeGLU/(1+w)-norm/scaled-embed/tied-head plus
+        sandwich norms, attn+final logit softcapping, query_pre_attn_scalar
+        attention scaling, and alternating sliding/full attention layers."""
+        return ModelConfig(
+            vocab_size=256000,
+            hidden_size=3584,
+            intermediate_size=14336,
+            num_hidden_layers=42,
+            num_attention_heads=16,
+            num_key_value_heads=8,
+            head_dim=256,
+            max_position_embeddings=8192,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-6,
+            tie_word_embeddings=True,
+            hidden_act="gelu_pytorch_tanh",
+            norm_plus_one=True,
+            scale_embeddings=True,
+            sliding_window=4096,
+            layer_types=tuple(
+                "sliding_attention" if i % 2 == 0 else "full_attention"
+                for i in range(42)),
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            query_pre_attn_scalar=256.0,
+            sandwich_norms=True,
         )
 
     @staticmethod

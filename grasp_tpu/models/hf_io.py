@@ -49,6 +49,13 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         sliding_window=(get("sliding_window", None)
                         if get("use_sliding_window", True) else None),
         rope_scaling=get("rope_scaling", None),  # llama3/linear (configs.py)
+        # Gemma-2
+        layer_types=(tuple(get("layer_types")) if get("layer_types", None) else None),
+        attn_logit_softcapping=get("attn_logit_softcapping", None),
+        final_logit_softcapping=get("final_logit_softcapping", None),
+        query_pre_attn_scalar=(float(get("query_pre_attn_scalar"))
+                               if get("query_pre_attn_scalar", None) else None),
+        sandwich_norms=str(get("model_type", "")) == "gemma2",
         # Mixtral-family sparse MoE
         num_local_experts=int(get("num_local_experts", 0) or 0),
         num_experts_per_tok=int(get("num_experts_per_tok", 2) or 2),
@@ -136,6 +143,11 @@ def params_from_state_dict(state_dict: Dict[str, Any], config: ModelConfig, dtyp
             },
             "self_attn": {p: kernel(f"{base}.self_attn.{p}") for p in ATTN_PROJS},
         }
+        if f"{base}.pre_feedforward_layernorm.weight" in sd:  # Gemma-2
+            layer["pre_feedforward_layernorm"] = {
+                "weight": sd[f"{base}.pre_feedforward_layernorm.weight"].astype(dtype)}
+            layer["post_feedforward_layernorm"] = {
+                "weight": sd[f"{base}.post_feedforward_layernorm.weight"].astype(dtype)}
         if f"{base}.block_sparse_moe.gate.weight" in sd:
             layer["moe"] = moe_block(f"{base}.block_sparse_moe")
         else:

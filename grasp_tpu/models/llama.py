@@ -138,6 +138,9 @@ def init_params(rng: jax.Array, config: ModelConfig, scale: float = 0.02) -> Par
                 for j, name in enumerate(ATTN_PROJS)
             },
         }
+        if config.sandwich_norms:  # Gemma-2: norms around the MLP too
+            layer["pre_feedforward_layernorm"] = {"weight": norm_init((config.hidden_size,), dtype)}
+            layer["post_feedforward_layernorm"] = {"weight": norm_init((config.hidden_size,), dtype)}
         if config.num_local_experts > 0:
             from grasp_tpu.models.moe import init_moe_params
 
@@ -301,16 +304,23 @@ def _attention(
     v: jax.Array,
     mask: Optional[jax.Array],
     num_kv_groups: int,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Scaled-dot-product attention with GQA KV repeat and fp32 softmax.
 
     q: [B, nh, S, hd], k/v: [B, nkv, T, hd], mask: [B, 1, S, T] additive.
+    scale defaults to head_dim**-0.5 (Gemma-2 overrides with
+    query_pre_attn_scalar**-0.5); softcap is Gemma-2's attn logit cap.
     """
     if num_kv_groups > 1:
         k = jnp.repeat(k, num_kv_groups, axis=1)
         v = jnp.repeat(v, num_kv_groups, axis=1)
-    scale = 1.0 / np.sqrt(q.shape[-1])
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if softcap is not None:  # Gemma-2: cap BEFORE the mask (HF order)
+        scores = softcap * jnp.tanh(scores / softcap)
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
@@ -325,6 +335,8 @@ def _attention_q8(
     v_scale: jax.Array,
     mask: Optional[jax.Array],
     num_kv_groups: int,
+    scale: Optional[float] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Attention directly over the int8 KV cache — no materialized dequant.
 
@@ -338,11 +350,14 @@ def _attention_q8(
         v8 = jnp.repeat(v8, num_kv_groups, axis=1)
         k_scale = jnp.repeat(k_scale, num_kv_groups, axis=1)
         v_scale = jnp.repeat(v_scale, num_kv_groups, axis=1)
-    scale = 1.0 / np.sqrt(q.shape[-1])
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k8.astype(q.dtype), preferred_element_type=jnp.float32
     )
     scores = scores * (k_scale[..., 0][:, :, None, :] * scale)
+    if softcap is not None:  # Gemma-2: cap BEFORE the mask (HF order)
+        scores = softcap * jnp.tanh(scores / softcap)
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
@@ -397,8 +412,12 @@ def _layer_forward(
             kv = {"k": k_cache, "v": v_cache}
             k, v = k_cache, v_cache
 
+    a_scale = (config.query_pre_attn_scalar ** -0.5
+               if config.query_pre_attn_scalar else None)
+    a_cap = config.attn_logit_softcapping
     if kv_scales is not None:
-        attn = _attention_q8(q, k, kv_scales[0], v, kv_scales[1], mask, nh // nkv)
+        attn = _attention_q8(q, k, kv_scales[0], v, kv_scales[1], mask, nh // nkv,
+                             scale=a_scale, softcap=a_cap)
     elif flash_ok and kv is None and config.use_flash_attention and jax.default_backend() != "cpu":
         # pure-causal full-sequence path: fused Pallas flash attention
         # (no [S,S] scores materialization, GQA via index maps)
@@ -406,12 +425,18 @@ def _layer_forward(
 
         attn = flash_attention(q, k, v, nh // nkv)
     else:
-        attn = _attention(q, k, v, mask, nh // nkv)
+        attn = _attention(q, k, v, mask, nh // nkv, scale=a_scale, softcap=a_cap)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
-    h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"], up)
+    attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"], up)
+    if "pre_feedforward_layernorm" in lp:  # Gemma-2 sandwich: norm the
+        # attention OUTPUT before the residual add (HF Gemma2DecoderLayer)
+        attn = rms_norm(attn, lp["post_attention_layernorm"]["weight"],
+                        config.rms_norm_eps, plus_one=config.norm_plus_one)
+    h = h + attn
 
-    # --- mlp (dense SwiGLU, or sparse MoE for Mixtral-family params) ---
-    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+    # --- mlp (dense SwiGLU/GeGLU, or sparse MoE for Mixtral-family params) ---
+    pre_mlp = lp.get("pre_feedforward_layernorm") or lp["post_attention_layernorm"]
+    x = rms_norm(h, pre_mlp["weight"], config.rms_norm_eps,
                  plus_one=config.norm_plus_one)
     if "moe" in lp:
         from grasp_tpu.models.moe import moe_apply
@@ -421,25 +446,37 @@ def _layer_forward(
     mp = lp["mlp"]
     gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"], up)
     up_h = proj_apply(x, mp["up_proj"], kinds["up_proj"], up)
-    h = h + proj_apply(mlp_act(config)(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
+    mlp_out = proj_apply(mlp_act(config)(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
+    if "post_feedforward_layernorm" in lp:  # Gemma-2 sandwich
+        mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"]["weight"],
+                           config.rms_norm_eps, plus_one=config.norm_plus_one)
+    h = h + mlp_out
     return h, kv
 
 
 
-def _lm_logits(h: jax.Array, params: Params) -> jax.Array:
-    """Final projection to vocab; supports int8-quantized lm_head (ops.quant)."""
+def _lm_logits(h: jax.Array, params: Params,
+               softcap: Optional[float] = None) -> jax.Array:
+    """Final projection to vocab; supports int8-quantized lm_head (ops.quant).
+
+    softcap is Gemma-2's final_logit_softcapping: logits = c*tanh(logits/c)."""
     if "lm_head" not in params:
-        return jnp.dot(h, params["embed_tokens"]["weight"].T, preferred_element_type=h.dtype)
-    head = params["lm_head"]
-    if "kernel_q" in head:
-        from grasp_tpu.ops.quant import quant_matmul
+        logits = jnp.dot(h, params["embed_tokens"]["weight"].T, preferred_element_type=h.dtype)
+    else:
+        head = params["lm_head"]
+        if "kernel_q" in head:
+            from grasp_tpu.ops.quant import quant_matmul
 
-        return quant_matmul(h, head["kernel_q"], head["kernel_scale"])
-    if "kernel_q4" in head:
-        from grasp_tpu.ops.quant import quant_matmul_int4
+            logits = quant_matmul(h, head["kernel_q"], head["kernel_scale"])
+        elif "kernel_q4" in head:
+            from grasp_tpu.ops.quant import quant_matmul_int4
 
-        return quant_matmul_int4(h, head["kernel_q4"], head["kernel_scale"])
-    return dense_apply(h, head["kernel"])
+            logits = quant_matmul_int4(h, head["kernel_q4"], head["kernel_scale"])
+        else:
+            logits = dense_apply(h, head["kernel"])
+    if softcap is not None:
+        logits = softcap * jnp.tanh(logits / softcap)
+    return logits
 
 
 def _causal_mask(s: int, t: int, offset: int, dtype=jnp.float32,
@@ -516,10 +553,18 @@ def forward(
     cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta,
                             scaling=config.rope_scaling)
 
-    mask = _causal_mask(s, s, 0, window=config.sliding_window)
+    # one mask per distinct per-layer window (Gemma-2 alternates sliding and
+    # full layers via layer_types; other families use a single window or none)
+    pad = None
     if attention_mask is not None:
         pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min)
-        mask = mask + pad
+    _masks: Dict[Any, jax.Array] = {}
+
+    def mask_for(w):
+        if w not in _masks:
+            m = _causal_mask(s, s, 0, window=w)
+            _masks[w] = m + pad if pad is not None else m
+        return _masks[w]
 
     hidden_states: List[jax.Array] = []
 
@@ -537,9 +582,11 @@ def forward(
     def _stack_key(li):
         # layers are stackable iff plan AND params pytree (structure + leaf
         # shapes) agree — params-keyed transforms (quantized or GRASP-
-        # compressed MoE experts, models.moe) don't show up in the plan
+        # compressed MoE experts, models.moe) don't show up in the plan —
+        # AND they attend with the same window (Gemma-2 alternates)
         leaves, treedef = jax.tree.flatten(params["layers"][li])
-        return (plan[li], treedef, tuple(jnp.shape(x) for x in leaves))
+        return (plan[li], treedef, tuple(jnp.shape(x) for x in leaves),
+                config.layer_window(li))
 
     for li in range(start_layer, stop):
         key = _stack_key(li)
@@ -554,13 +601,17 @@ def forward(
             groups.append((plan[li], [li]))
             group_keys.append(key)
 
-    # flash kernel handles pure-causal masks only; a sliding window shorter
-    # than the sequence needs the windowed mask -> dense attention path
-    flash_ok = attention_mask is None and (
-        config.sliding_window is None or s <= config.sliding_window)
+    # flash kernel handles pure-causal, uncapped masks only; a sliding
+    # window shorter than the sequence (or Gemma-2's logit softcap) needs
+    # the dense attention path
+    flash_base = attention_mask is None and config.attn_logit_softcapping is None
 
     for layer_plan, idxs in groups:
-        def one_layer(lp, h_, _plan=layer_plan):
+        w = config.layer_window(idxs[0])  # identical across the group (_stack_key)
+        mask = mask_for(w)
+        flash_ok = flash_base and (w is None or s <= w)
+
+        def one_layer(lp, h_, _plan=layer_plan, mask=mask, flash_ok=flash_ok):
             return _layer_forward(lp, _plan, h_, cos, sin, mask, config, flash_ok=flash_ok)[0]
 
         body = jax.checkpoint(one_layer) if remat else one_layer
@@ -592,7 +643,7 @@ def forward(
     if output_hidden_states:
         hidden_states.append(h)
 
-    logits = _lm_logits(h, params)
+    logits = _lm_logits(h, params, softcap=config.final_logit_softcapping)
 
     out: Dict[str, Any] = {"logits": logits}
     if output_hidden_states:
@@ -709,28 +760,36 @@ def _forward_with_cache(
     cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta,
                             scaling=config.rope_scaling)
 
-    # queries sit at absolute cache slots cache_index + arange(s)
+    # queries sit at absolute cache slots cache_index + arange(s);
+    # one mask per distinct per-layer window (Gemma-2 alternates)
     qi = jnp.arange(s)[:, None] + cache_index
     ki = jnp.arange(t)[None, :]
-    allow = ki <= qi
-    if config.sliding_window is not None:  # Mistral windowed attention
-        allow &= ki > qi - config.sliding_window
-    mask = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    pad = None
     if length_mask is not None:
         pad = jnp.where(length_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min)
-        mask = mask + pad
+    _masks: Dict[Any, jax.Array] = {}
+
+    def mask_for(w):
+        if w not in _masks:
+            allow = ki <= qi
+            if w is not None:
+                allow = allow & (ki > qi - w)
+            m = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+            _masks[w] = m + pad if pad is not None else m
+        return _masks[w]
 
     new_cache = []
     for li in range(config.num_hidden_layers):
         h, kv = _layer_forward(
-            params["layers"][li], plan[li], h, cos, sin, mask, config,
+            params["layers"][li], plan[li], h, cos, sin,
+            mask_for(config.layer_window(li)), config,
             kv=cache[li], cache_index=cache_index,
         )
         new_cache.append(kv)
 
     h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
                  plus_one=config.norm_plus_one)
-    logits = _lm_logits(h, params)
+    logits = _lm_logits(h, params, softcap=config.final_logit_softcapping)
     return logits, new_cache
 
 

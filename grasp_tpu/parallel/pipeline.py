@@ -307,6 +307,13 @@ def make_pipeline_loss(
     The scalar equals hf_causal_lm_loss(forward(params), labels) on the whole
     batch (mean CE over valid shifted labels) to fp tolerance.
     """
+    if (config.attn_logit_softcapping is not None or config.sandwich_norms
+            or config.layer_types is not None
+            or config.final_logit_softcapping is not None):
+        raise ValueError(
+            "pipeline parallelism does not support the Gemma-2 attention "
+            "variants yet (logit softcapping / per-layer windows / sandwich "
+            "norms) — train those models on the DP/TP mesh path")
     num_stages = mesh.shape[PIPE_AXIS]
     M = num_microbatches
     dtype = jnp.dtype(config.dtype)

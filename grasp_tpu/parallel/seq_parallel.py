@@ -93,6 +93,12 @@ def seq_parallel_logits(
             "sliding-window models (config.sliding_window set) are not "
             "supported on this path — run the windowed mask forward instead"
         )
+    if (config.attn_logit_softcapping is not None or config.sandwich_norms
+            or config.final_logit_softcapping is not None):
+        raise ValueError(
+            "sequence parallelism does not support the Gemma-2 attention "
+            "variants yet (logit softcapping / sandwich norms)"
+        )
     plan = plan or default_plan(config)
 
     def local_forward(params, ids):

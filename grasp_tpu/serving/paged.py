@@ -344,6 +344,12 @@ class ServingEngine:
                  num_pages: int = 64, page_size: int = 128, max_batch: int = 8,
                  max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None,
                  quantized_kv: bool = False):
+        if (config.attn_logit_softcapping is not None
+                or config.sandwich_norms or config.layer_types is not None):
+            raise ValueError(
+                "paged serving does not support the Gemma-2 attention variants "
+                "yet (logit softcapping / per-layer windows / sandwich norms) "
+                "— use eval.generate.Generator, which does")
         self.params = params
         self.config = config
         self.plan = plan or default_plan(config)
