@@ -116,9 +116,10 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
     use_kernel = (
         jax.default_backend() == "tpu"
-        # the fused kernels attend to [0, pos]; sliding-window models need
-        # the windowed visibility mask -> gather path
+        # the fused kernels attend to [0, pos] and cannot softcap;
+        # windowed/capped models take the gather path
         and config.sliding_window is None
+        and config.attn_logit_softcapping is None
         # the kernel requires lane-aligned head_dim (probed on v5e: hd=64
         # fails block-shape checks for every head combo; hd=128 works) —
         # LLaMA-2/Mistral/Qwen2 all have hd=128; TinyLlama (hd=64) routes
@@ -133,6 +134,7 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         not use_kernel
         and jax.default_backend() == "tpu"
         and config.sliding_window is None
+        and config.attn_logit_softcapping is None
         and config.head_dim_ < 128
         and not quantized
         and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
@@ -160,14 +162,25 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         # validity of each gathered slot: absolute slot index <= pos (inclusive
         # of the token written this step)
         slot_idx = jnp.arange(t_max)[None, :]
-        valid = (slot_idx <= pos[:, None]) & (live > 0)[:, None]
-        if config.sliding_window is not None:  # Mistral windowed attention
-            valid &= slot_idx > pos[:, None] - config.sliding_window
-        bias = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)[:, None, None, :]
+        _biases = {}
+
+        def bias_for(w):  # one mask per distinct per-layer window (Gemma-2)
+            if w not in _biases:
+                valid = (slot_idx <= pos[:, None]) & (live > 0)[:, None]
+                if w is not None:  # windowed attention (Mistral / Gemma-2)
+                    valid &= slot_idx > pos[:, None] - w
+                _biases[w] = jnp.where(
+                    valid, 0.0, jnp.finfo(jnp.float32).min)[:, None, None, :]
+            return _biases[w]
+
+        a_scale = (config.query_pre_attn_scalar ** -0.5
+                   if config.query_pre_attn_scalar else 1.0 / np.sqrt(hd))
+        a_cap = config.attn_logit_softcapping
 
         for li in range(config.num_hidden_layers):
             lp = params["layers"][li]
             kinds = dict(zip(PROJ_ORDER, plan[li]))
+            bias = bias_for(config.layer_window(li))
 
             x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps,
                          plus_one=config.norm_plus_one)
@@ -240,11 +253,12 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                         ks_seq = jnp.repeat(ks_seq, nh // nkv, axis=1)
                         vs_seq = jnp.repeat(vs_seq, nh // nkv, axis=1)
 
-                scale = 1.0 / np.sqrt(hd)
                 scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
-                                    preferred_element_type=jnp.float32) * scale
+                                    preferred_element_type=jnp.float32) * a_scale
                 if quantized:  # per-key scale commutes out of the contraction
                     scores = scores * ks_seq[:, :, None, :]
+                if a_cap is not None:  # Gemma-2: cap BEFORE the mask
+                    scores = a_cap * jnp.tanh(scores / a_cap)
                 scores = scores + bias
                 probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
                 if quantized:  # per-value scale folds into the softmax weights
@@ -252,9 +266,14 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
                                   preferred_element_type=q.dtype)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
-            h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+            attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+            if "pre_feedforward_layernorm" in lp:  # Gemma-2 sandwich norms
+                attn = rms_norm(attn, lp["post_attention_layernorm"]["weight"],
+                                config.rms_norm_eps, plus_one=config.norm_plus_one)
+            h = h + attn
 
-            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+            pre_mlp = lp.get("pre_feedforward_layernorm") or lp["post_attention_layernorm"]
+            x = rms_norm(h, pre_mlp["weight"], config.rms_norm_eps,
                          plus_one=config.norm_plus_one)
             if "moe" in lp:  # Mixtral-family sparse MoE block
                 from grasp_tpu.models.moe import moe_apply
@@ -264,11 +283,15 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 mp = lp["mlp"]
                 gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
                 up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-                h = h + proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
+                mlp_out = proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
+                if "post_feedforward_layernorm" in lp:  # Gemma-2 sandwich
+                    mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"]["weight"],
+                                       config.rms_norm_eps, plus_one=config.norm_plus_one)
+                h = h + mlp_out
 
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
                      plus_one=config.norm_plus_one)
-        logits = _lm_logits(h, params)[:, 0, :]
+        logits = _lm_logits(h, params, softcap=config.final_logit_softcapping)[:, 0, :]
         return logits, k_pages, v_pages, k_scales, v_scales
 
     if raw:
@@ -344,12 +367,6 @@ class ServingEngine:
                  num_pages: int = 64, page_size: int = 128, max_batch: int = 8,
                  max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None,
                  quantized_kv: bool = False):
-        if (config.attn_logit_softcapping is not None
-                or config.sandwich_norms or config.layer_types is not None):
-            raise ValueError(
-                "paged serving does not support the Gemma-2 attention variants "
-                "yet (logit softcapping / per-layer windows / sandwich norms) "
-                "— use eval.generate.Generator, which does")
         self.params = params
         self.config = config
         self.plan = plan or default_plan(config)
@@ -362,8 +379,13 @@ class ServingEngine:
         self._prefill_fns: Dict[Tuple[int, int], any] = {}
 
         # window used for page recycling (subclasses with a second reader —
-        # the speculative draft pool — tighten this to respect both masks)
+        # the speculative draft pool — tighten this to respect both masks).
+        # Per-layer alternation (Gemma-2): full-attention layers read every
+        # slot, so recycling is only safe when all layers slide
         self._window_recycle = config.sliding_window
+        if config.layer_types is not None and any(
+                t != "sliding_attention" for t in config.layer_types):
+            self._window_recycle = None
         # windowed rows allocate pages lazily (one as the write position
         # enters it) and recycle expired ones, so their live pages stay
         # O(window/page_size) — the rolling-buffer cache. Subclasses whose

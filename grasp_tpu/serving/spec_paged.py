@@ -106,6 +106,7 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     use_kernel64 = (
         jax.default_backend() == "tpu"
         and config.sliding_window is None
+        and config.attn_logit_softcapping is None
         and config.head_dim_ < 128
         and not quantized
         and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
@@ -128,16 +129,28 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         phys = jnp.take_along_axis(tables, logical, axis=1)  # [B, chunk]
         phys = jnp.where((live > 0)[:, None], phys, 0)
 
-        # mask [B, 1, chunk, t_max]: query i sees slots <= pos + i
+        # mask [B, 1, chunk, t_max]: query i sees slots <= pos + i;
+        # one mask per distinct per-layer window (Gemma-2 alternates)
         slot_idx = jnp.arange(t_max)[None, None, :]
-        vis = (slot_idx <= positions[:, :, None]) & (live > 0)[:, None, None]
-        if config.sliding_window is not None:  # Mistral windowed attention
-            vis &= slot_idx > positions[:, :, None] - config.sliding_window
-        bias = jnp.where(vis, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
+        _biases = {}
+
+        def bias_for(w):
+            if w not in _biases:
+                vis = (slot_idx <= positions[:, :, None]) & (live > 0)[:, None, None]
+                if w is not None:  # windowed attention (Mistral / Gemma-2)
+                    vis &= slot_idx > positions[:, :, None] - w
+                _biases[w] = jnp.where(
+                    vis, 0.0, jnp.finfo(jnp.float32).min)[:, None, :, :]
+            return _biases[w]
+
+        a_scale = (config.query_pre_attn_scalar ** -0.5
+                   if config.query_pre_attn_scalar else 1.0 / np.sqrt(hd))
+        a_cap = config.attn_logit_softcapping
 
         for li in range(config.num_hidden_layers):
             lp = params["layers"][li]
             kinds = dict(zip(PROJ_ORDER, plan[li]))
+            bias = bias_for(config.layer_window(li))
 
             x = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps,
                          plus_one=config.norm_plus_one)
@@ -194,11 +207,12 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                         ks_seq = jnp.repeat(ks_seq, nh // nkv, axis=1)
                         vs_seq = jnp.repeat(vs_seq, nh // nkv, axis=1)
 
-                scale = 1.0 / np.sqrt(hd)
                 scores = jnp.einsum("bhqd,bhkd->bhqk", q, k_seq.astype(q.dtype),
-                                    preferred_element_type=jnp.float32) * scale
+                                    preferred_element_type=jnp.float32) * a_scale
                 if quantized:  # per-key scale commutes out of the contraction
                     scores = scores * ks_seq[:, :, None, :]
+                if a_cap is not None:  # Gemma-2: cap BEFORE the mask
+                    scores = a_cap * jnp.tanh(scores / a_cap)
                 scores = scores + bias
                 probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
                 if quantized:  # per-value scale folds into the softmax weights
@@ -206,9 +220,14 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_seq.astype(q.dtype),
                                   preferred_element_type=q.dtype)
                 attn = attn.transpose(0, 2, 1, 3).reshape(b, chunk, nh * hd)
-            h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+            attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+            if "pre_feedforward_layernorm" in lp:  # Gemma-2 sandwich norms
+                attn = rms_norm(attn, lp["post_attention_layernorm"]["weight"],
+                                config.rms_norm_eps, plus_one=config.norm_plus_one)
+            h = h + attn
 
-            x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+            pre_mlp = lp.get("pre_feedforward_layernorm") or lp["post_attention_layernorm"]
+            x = rms_norm(h, pre_mlp["weight"], config.rms_norm_eps,
                          plus_one=config.norm_plus_one)
             if "moe" in lp:
                 from grasp_tpu.models.moe import moe_apply
@@ -218,11 +237,16 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 mp = lp["mlp"]
                 gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
                 up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-                h = h + proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
+                mlp_out = proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
+                if "post_feedforward_layernorm" in lp:  # Gemma-2 sandwich
+                    mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"]["weight"],
+                                       config.rms_norm_eps, plus_one=config.norm_plus_one)
+                h = h + mlp_out
 
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
                      plus_one=config.norm_plus_one)
-        return _lm_logits(h, params), k_pages, v_pages, k_scales, v_scales
+        return (_lm_logits(h, params, softcap=config.final_logit_softcapping),
+                k_pages, v_pages, k_scales, v_scales)
 
     donate = (2, 3, 4, 5) if quantized else (2, 3)
     return jax.jit(fn, donate_argnums=donate)
@@ -411,7 +435,12 @@ class SpeculativeServingEngine(ServingEngine):
         self.dpool._free = self.pool._free  # ONE allocator: tables index both pools
         # a physical page backs BOTH pools, so it may only be recycled once
         # every future query of target AND draft is masked from it
-        if config.sliding_window is None or draft_config.sliding_window is None:
+        def _full_layers(c):  # any full-attention layer reads every slot
+            return c.layer_types is not None and any(
+                t != "sliding_attention" for t in c.layer_types)
+
+        if (config.sliding_window is None or draft_config.sliding_window is None
+                or _full_layers(config) or _full_layers(draft_config)):
             self._window_recycle = None
         else:
             self._window_recycle = max(config.sliding_window,

@@ -14,9 +14,11 @@ attn_implementation="eager" (HF's sdpa path silently skips softcapping):
     "full_attention") — ModelConfig.layer_window.
 
 Scan stacking keys on the per-layer window, so alternating layers never
-stack into one group with the wrong mask. The paged/speculative serving
-engines and pipeline/sequence parallelism reject these variants with clear
-errors (v1); the Generator KV-decode path supports them fully.
+stack into one group with the wrong mask. The Generator KV-decode path and
+the paged/speculative serving engines support all of these (the fused paged
+kernels cannot softcap, so Gemma-2 takes the gather path, and page
+recycling stays off — full-attention layers read every slot);
+pipeline/sequence parallelism reject them with clear errors.
 """
 
 import numpy as np
@@ -162,9 +164,52 @@ def test_gemma2_grasp_compression_end_to_end(ours, rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_gemma2_serving_engines_reject(ours):
+def test_gemma2_paged_serving_matches_generate(ours):
+    """Continuous batching on Gemma-2: per-layer window masks, softcapped
+    scores (pre-mask), sandwich norms and the capped lm head all live in the
+    paged decode body — the greedy stream matches the plain KV decode."""
+    from grasp_tpu.eval.generate import greedy_generate
     from grasp_tpu.serving.paged import ServingEngine
 
     config, params = ours
-    with pytest.raises(ValueError, match="Gemma-2"):
-        ServingEngine(params, config, num_pages=8, page_size=4)
+    r = np.random.default_rng(11)
+    prompts = [r.integers(1, 120, size=(n,)).astype(np.int32) for n in (9, 5)]
+    want = [greedy_generate(params, config, p, 8) for p in prompts]
+
+    eng = ServingEngine(params, config, num_pages=32, page_size=4,
+                        max_batch=2, max_pages_per_seq=8)
+    assert eng._window_recycle is None  # full-attention layers read every slot
+    rids = [eng.submit(p, 8) for p in prompts]
+    outs = eng.run()
+    for rid, w in zip(rids, want):
+        assert list(outs[rid]) == list(w)
+
+
+def test_gemma2_speculative_bit_identical(ours):
+    """Gemma-2 target+draft through the speculative engine: the multi-token
+    verify applies the same per-layer masks/softcaps as the plain decode."""
+    from grasp_tpu.models.llama import init_params as _init
+    from grasp_tpu.serving.paged import ServingEngine
+    from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
+    import dataclasses
+
+    config, params = ours
+    dconfig = dataclasses.replace(config, num_hidden_layers=2,
+                                  layer_types=config.layer_types[:2])
+    dparams = _init(jax.random.PRNGKey(9), dconfig)
+    r = np.random.default_rng(13)
+    prompts = [r.integers(1, 120, size=(n,)).astype(np.int32) for n in (10, 6)]
+
+    plain = ServingEngine(params, config, num_pages=64, page_size=4,
+                          max_batch=2, max_pages_per_seq=8)
+    rids = [plain.submit(p, 8) for p in prompts]
+    pouts = plain.run()
+    want = [pouts[rid] for rid in rids]
+
+    spec = SpeculativeServingEngine(params, config, dparams, dconfig, gamma=2,
+                                    num_pages=96, page_size=4, max_batch=2,
+                                    max_pages_per_seq=8)
+    rids = [spec.submit(p, 8) for p in prompts]
+    outs = spec.run()
+    for rid, w in zip(rids, want):
+        assert list(outs[rid]) == list(w)
