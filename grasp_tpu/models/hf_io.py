@@ -23,8 +23,28 @@ from grasp_tpu.models.llama import ATTN_PROJS, MLP_PROJS
 
 
 def config_from_hf(hf_config: Any) -> ModelConfig:
-    """Build a ModelConfig from an HF LlamaConfig/MistralConfig-like object."""
+    """Build a ModelConfig from an HF LlamaConfig/MistralConfig-like object.
+
+    Works on raw config.json namespaces too (config_from_dir), so family
+    defaults that transformers' config classes synthesize must be
+    re-derived here: original gemma/gemma-2 releases lack hidden_activation
+    (and carry a historical hidden_act="gelu" that HF IGNORES in favor of
+    the tanh approximation), and original gemma-2 configs lack layer_types
+    (HF synthesizes even-layers-sliding alternation)."""
     get = lambda k, d=None: getattr(hf_config, k, d)
+    mtype = str(get("model_type", ""))
+    if mtype.startswith("gemma"):
+        # HF GemmaConfig/Gemma2Config: hidden_activation defaults to
+        # gelu_pytorch_tanh regardless of any legacy hidden_act value
+        act = str(get("hidden_activation", None) or "gelu_pytorch_tanh")
+    else:
+        act = str(get("hidden_activation", None) or get("hidden_act", "silu"))
+    layer_types = get("layer_types", None)
+    if layer_types is None and mtype == "gemma2":
+        # HF Gemma2Config synthesizes alternation (even layers sliding)
+        layer_types = tuple(
+            "sliding_attention" if i % 2 == 0 else "full_attention"
+            for i in range(get("num_hidden_layers")))
     return ModelConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -41,7 +61,7 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         mlp_bias=bool(get("mlp_bias", False)),
         # Gemma family: GemmaConfig carries hidden_activation (gelu tanh),
         # and its model_type implies (1+w) norms + sqrt(hidden) embed scaling
-        hidden_act=str(get("hidden_activation", None) or get("hidden_act", "silu")),
+        hidden_act=act,
         norm_plus_one=str(get("model_type", "")).startswith("gemma"),
         scale_embeddings=str(get("model_type", "")).startswith("gemma"),
         # Mistral applies its sliding window unconditionally; Qwen2 carries
@@ -50,7 +70,7 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
                         if get("use_sliding_window", True) else None),
         rope_scaling=get("rope_scaling", None),  # llama3/linear (configs.py)
         # Gemma-2
-        layer_types=(tuple(get("layer_types")) if get("layer_types", None) else None),
+        layer_types=tuple(layer_types) if layer_types else None,
         attn_logit_softcapping=get("attn_logit_softcapping", None),
         final_logit_softcapping=get("final_logit_softcapping", None),
         query_pre_attn_scalar=(float(get("query_pre_attn_scalar"))

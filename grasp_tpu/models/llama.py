@@ -365,6 +365,46 @@ def _attention_q8(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v8.astype(q.dtype), preferred_element_type=q.dtype)
 
 
+def attn_mlp_residual(
+    h: jax.Array,
+    attn: jax.Array,
+    lp: Params,
+    kinds: Dict[str, str],
+    config: ModelConfig,
+    up: bool = False,
+) -> jax.Array:
+    """The post-attention half of a decoder layer, shared by EVERY decode
+    body (full forward, paged decode, speculative verify, sequence-parallel)
+    so family variants live in exactly one place.
+
+    h: the residual stream BEFORE the attention residual add; attn: the
+    o_proj output. Applies the Gemma-2 sandwich norms when the layer carries
+    them (post_attention_layernorm on the attention OUTPUT pre-residual,
+    pre/post_feedforward_layernorm around the MLP — HF Gemma2DecoderLayer),
+    the plain LLaMA flow otherwise, with the MLP gate activation and (1+w)
+    norm option config-driven. Returns the stream after the MLP residual."""
+    if "pre_feedforward_layernorm" in lp:  # Gemma-2 sandwich
+        attn = rms_norm(attn, lp["post_attention_layernorm"]["weight"],
+                        config.rms_norm_eps, plus_one=config.norm_plus_one)
+    h = h + attn
+
+    pre_mlp = lp.get("pre_feedforward_layernorm") or lp["post_attention_layernorm"]
+    x = rms_norm(h, pre_mlp["weight"], config.rms_norm_eps,
+                 plus_one=config.norm_plus_one)
+    if "moe" in lp:  # Mixtral-family sparse MoE block
+        from grasp_tpu.models.moe import moe_apply
+
+        return h + moe_apply(x, lp["moe"], config)
+    mp = lp["mlp"]
+    gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"], up)
+    up_h = proj_apply(x, mp["up_proj"], kinds["up_proj"], up)
+    mlp_out = proj_apply(mlp_act(config)(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
+    if "post_feedforward_layernorm" in lp:  # Gemma-2 sandwich
+        mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"]["weight"],
+                           config.rms_norm_eps, plus_one=config.norm_plus_one)
+    return h + mlp_out
+
+
 def _layer_forward(
     lp: Params,
     layer_plan: LayerPlan,
@@ -428,30 +468,7 @@ def _layer_forward(
         attn = _attention(q, k, v, mask, nh // nkv, scale=a_scale, softcap=a_cap)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
     attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"], up)
-    if "pre_feedforward_layernorm" in lp:  # Gemma-2 sandwich: norm the
-        # attention OUTPUT before the residual add (HF Gemma2DecoderLayer)
-        attn = rms_norm(attn, lp["post_attention_layernorm"]["weight"],
-                        config.rms_norm_eps, plus_one=config.norm_plus_one)
-    h = h + attn
-
-    # --- mlp (dense SwiGLU/GeGLU, or sparse MoE for Mixtral-family params) ---
-    pre_mlp = lp.get("pre_feedforward_layernorm") or lp["post_attention_layernorm"]
-    x = rms_norm(h, pre_mlp["weight"], config.rms_norm_eps,
-                 plus_one=config.norm_plus_one)
-    if "moe" in lp:
-        from grasp_tpu.models.moe import moe_apply
-
-        h = h + moe_apply(x, lp["moe"], config)
-        return h, kv
-    mp = lp["mlp"]
-    gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"], up)
-    up_h = proj_apply(x, mp["up_proj"], kinds["up_proj"], up)
-    mlp_out = proj_apply(mlp_act(config)(gate) * up_h, mp["down_proj"], kinds["down_proj"], up)
-    if "post_feedforward_layernorm" in lp:  # Gemma-2 sandwich
-        mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"]["weight"],
-                           config.rms_norm_eps, plus_one=config.norm_plus_one)
-    h = h + mlp_out
-    return h, kv
+    return attn_mlp_residual(h, attn, lp, kinds, config, up), kv
 
 
 

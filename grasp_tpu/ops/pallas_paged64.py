@@ -90,7 +90,7 @@ def _kernel(tables_ref, lengths_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = out.reshape(nkv * gqa, hd).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
 def paged_attention_hd64(
     q: jax.Array,          # [B, nh, hd] (UNscaled)
     k_pages: jax.Array,    # [nkv, P, ps, hd]
@@ -98,13 +98,15 @@ def paged_attention_hd64(
     lengths: jax.Array,    # [B] int32 — live tokens incl. the one this step
     tables: jax.Array,     # [B, pages_per_seq] int32 physical page ids
     interpret: bool = False,
+    scale: float = None,   # score scale; default head_dim**-0.5
 ) -> jax.Array:
     """Decode paged attention for sub-lane head dims. Returns [B, nh, hd]."""
     b, nh, hd = q.shape
     nkv, num_pages, ps, _ = k_pages.shape
     pages_per_seq = tables.shape[1]
     gqa = nh // nkv
-    scale = 1.0 / np.sqrt(hd)
+    if scale is None:
+        scale = 1.0 / np.sqrt(hd)
 
     grid = (b, pages_per_seq)
 
@@ -214,7 +216,7 @@ def _kernel_chunk(tables_ref, base_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_new / jnp.maximum(l_new, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
 def paged_attention_hd64_chunk(
     q: jax.Array,           # [B, C, nh, hd] (UNscaled), C = chunk length
     k_pages: jax.Array,     # [nkv, P, ps, hd]
@@ -222,6 +224,7 @@ def paged_attention_hd64_chunk(
     base_lengths: jax.Array,  # [B] int32 — live tokens incl. chunk token 0
     tables: jax.Array,      # [B, pages_per_seq] int32
     interpret: bool = False,
+    scale: float = None,    # score scale; default head_dim**-0.5
 ) -> jax.Array:
     """Chunked paged attention for sub-lane head dims. Returns [B, C, nh, hd];
     row (b, c) is bit-equal to paged_attention_hd64 at length base+c."""
@@ -230,7 +233,8 @@ def paged_attention_hd64_chunk(
     pages_per_seq = tables.shape[1]
     gqa = nh // nkv
     r = c_len * gqa
-    scale = 1.0 / np.sqrt(hd)
+    if scale is None:
+        scale = 1.0 / np.sqrt(hd)
 
     # [B, C, nkv, gqa, hd] -> [B, nkv, C*gqa, hd] with row j = c*gqa + g
     qr = q.reshape(b, c_len, nkv, gqa, hd).transpose(0, 2, 1, 3, 4)

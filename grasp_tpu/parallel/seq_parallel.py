@@ -37,9 +37,9 @@ from grasp_tpu.models.llama import (
     Params,
     _lm_logits,
     apply_rope,
+    attn_mlp_residual,
     default_plan,
     embed_lookup,
-    mlp_act,
     proj_apply,
     rms_norm,
     rope_cos_sin,
@@ -66,15 +66,8 @@ def _local_layer(lp, layer_plan, h, cos, sin, config, axis_name):
         v = jnp.repeat(v, groups, axis=1)
     attn = ring_attention(q, k, v, axis_name)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s_local, nh * hd)
-    h = h + proj_apply(attn, ap["o_proj"], kinds["o_proj"])
-
-    x = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
-                 plus_one=config.norm_plus_one)
-    mp = lp["mlp"]
-    gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
-    up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-    h = h + proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
-    return h
+    attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"])
+    return attn_mlp_residual(h, attn, lp, kinds, config)
 
 
 def seq_parallel_logits(
@@ -94,10 +87,12 @@ def seq_parallel_logits(
             "supported on this path — run the windowed mask forward instead"
         )
     if (config.attn_logit_softcapping is not None or config.sandwich_norms
-            or config.final_logit_softcapping is not None):
+            or config.final_logit_softcapping is not None
+            or config.query_pre_attn_scalar is not None):
         raise ValueError(
             "sequence parallelism does not support the Gemma-2 attention "
-            "variants yet (logit softcapping / sandwich norms)"
+            "variants yet (logit softcapping / sandwich norms / "
+            "query_pre_attn_scalar)"
         )
     plan = plan or default_plan(config)
 

@@ -40,9 +40,9 @@ from grasp_tpu.models.llama import (
     Params,
     _lm_logits,
     apply_rope,
+    attn_mlp_residual,
     default_plan,
     embed_lookup,
-    mlp_act,
     init_kv_cache,
     prefill,
     proj_apply,
@@ -114,11 +114,19 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     """
     import os
 
+    # a window >= the table capacity never masks anything: slot > pos - w
+    # is implied by slot < t_max <= w, so the kernels' [0, pos] span is
+    # exactly the windowed visibility and the 1.49x kernel stays usable
+    # (e.g. the mistral-7b preset, w=4096, served at t_max 1024)
+    def _windows_irrelevant(t_max):
+        return all(
+            config.layer_window(li) is None or config.layer_window(li) >= t_max
+            for li in range(config.num_hidden_layers))
+
     use_kernel = (
         jax.default_backend() == "tpu"
         # the fused kernels attend to [0, pos] and cannot softcap;
-        # windowed/capped models take the gather path
-        and config.sliding_window is None
+        # capped models take the gather path
         and config.attn_logit_softcapping is None
         # the kernel requires lane-aligned head_dim (probed on v5e: hd=64
         # fails block-shape checks for every head combo; hd=128 works) —
@@ -133,7 +141,6 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
     use_kernel64 = (
         not use_kernel
         and jax.default_backend() == "tpu"
-        and config.sliding_window is None
         and config.attn_logit_softcapping is None
         and config.head_dim_ < 128
         and not quantized
@@ -148,6 +155,9 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
         b = toks.shape[0]
         nh = config.num_attention_heads
         t_max = max_pages_per_seq * page_size
+        win_ok = config.sliding_window is None or _windows_irrelevant(t_max)
+        use_k = use_kernel and win_ok
+        use_k64 = use_kernel64 and win_ok
 
         cos, sin = rope_cos_sin(pos[:, None], hd, config.rope_theta,
                                 scaling=config.rope_scaling)  # [B,1,hd]
@@ -209,15 +219,15 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 v_pages = v_pages.at[li, :, phys, offset, :].set(
                     v[:, :, 0, :].astype(v_pages.dtype), mode="drop")
 
-            if use_kernel64:
+            if use_k64:
                 from grasp_tpu.ops.pallas_paged64 import paged_attention_hd64
 
                 lengths = jnp.where(live > 0, pos + 1, 1)
                 attn = paged_attention_hd64(
                     q[:, :, 0, :].astype(h.dtype), k_pages[li], v_pages[li],
-                    lengths, tables,
+                    lengths, tables, scale=a_scale,
                 )[:, :, None, :]  # [B, nh, 1, hd]
-            elif use_kernel:
+            elif use_k:
                 # fused TPU paged attention: reads pages via the page table
                 # inside the kernel — no gathered [B, nkv, T, hd] copy
                 from jax.experimental.pallas.ops.tpu.paged_attention import (
@@ -234,7 +244,7 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 else:
                     kp, vp = k_pages[li], v_pages[li]
                 attn = paged_attention(
-                    (q[:, :, 0, :] * (1.0 / np.sqrt(hd))).astype(h.dtype),
+                    (q[:, :, 0, :] * a_scale).astype(h.dtype),
                     kp, vp, lengths, tables,
                     pages_per_compute_block=ppcb,
                 )[:, None, :, :].transpose(0, 2, 1, 3)  # [B, nh, 1, hd]
@@ -267,27 +277,7 @@ def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                                   preferred_element_type=q.dtype)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
             attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"])
-            if "pre_feedforward_layernorm" in lp:  # Gemma-2 sandwich norms
-                attn = rms_norm(attn, lp["post_attention_layernorm"]["weight"],
-                                config.rms_norm_eps, plus_one=config.norm_plus_one)
-            h = h + attn
-
-            pre_mlp = lp.get("pre_feedforward_layernorm") or lp["post_attention_layernorm"]
-            x = rms_norm(h, pre_mlp["weight"], config.rms_norm_eps,
-                         plus_one=config.norm_plus_one)
-            if "moe" in lp:  # Mixtral-family sparse MoE block
-                from grasp_tpu.models.moe import moe_apply
-
-                h = h + moe_apply(x, lp["moe"], config)
-            else:
-                mp = lp["mlp"]
-                gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
-                up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-                mlp_out = proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
-                if "post_feedforward_layernorm" in lp:  # Gemma-2 sandwich
-                    mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"]["weight"],
-                                       config.rms_norm_eps, plus_one=config.norm_plus_one)
-                h = h + mlp_out
+            h = attn_mlp_residual(h, attn, lp, kinds, config)
 
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
                      plus_one=config.norm_plus_one)
@@ -326,7 +316,7 @@ def _make_sampler(max_k: int):
 class _Request:
     __slots__ = ("rid", "prompt", "pages", "pos", "out", "max_new", "done", "row",
                  "temperature", "top_k", "top_p", "seed", "emitted_steps",
-                 "freed_pages")
+                 "freed_pages", "reserved")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0, top_p=1.0,
                  seed=0):
@@ -344,6 +334,7 @@ class _Request:
         self.seed = 0 if seed is None else int(seed)
         self.emitted_steps = 0  # PRNG stream position (fold_in per pick)
         self.freed_pages = 0    # leading logical pages recycled (sliding window)
+        self.reserved = 0       # pages reserved against the pool (lazy mode)
 
     @property
     def greedy(self) -> bool:
@@ -392,11 +383,29 @@ class ServingEngine:
         # step() does not implement the ensure/stall dance (the speculative
         # engine) keep full upfront allocation and only recycle.
         self._lazy_pages = self._window_recycle is not None
+        # lazy mode reserves each admitted row's PEAK page demand (prompt
+        # pages + the in-window band) so the pool is never overcommitted:
+        # without the reservation, rows admitted against instantaneous
+        # free_pages can exhaust the pool in lockstep before recycling
+        # starts and ALL stall — a permanent livelock
+        self._reserved_pages = 0
         self._pending: List[_Request] = []
         self._live: List[Optional[_Request]] = [None] * max_batch
         self._finished: List[_Request] = []
         self._next_tok = np.zeros(max_batch, np.int32)
         self._rid = 0
+
+    def _bounded_need(self, prompt_len: int, max_new: int) -> int:
+        """Peak pages a request can ever hold. Full prompt+generation count,
+        or — with lazy alloc + window recycling — the prompt pages plus the
+        in-window band (holdings provably never exceed it: the write page
+        trails the first unexpired page by < window + page_size slots)."""
+        ps = self.pool.page_size
+        full = -(-(prompt_len + max_new) // ps)
+        if not self._lazy_pages:
+            return full
+        band = -(-self._window_recycle // ps) + 2
+        return min(full, -(-max(prompt_len, 1) // ps) + band)
 
     # -- public API --------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
@@ -411,13 +420,15 @@ class ServingEngine:
         request itself (docs/serving.md's determinism guarantee)."""
         if top_k > _MAX_TOP_K:
             raise ValueError(f"top_k={top_k} > supported max {_MAX_TOP_K}")
-        need = -(-(len(np.asarray(prompt_ids).reshape(-1)) + max_new_tokens) // self.pool.page_size)
+        p_len = len(np.asarray(prompt_ids).reshape(-1))
+        need = -(-(p_len + max_new_tokens) // self.pool.page_size)
         if need > self.max_pages_per_seq:
             raise ValueError(
                 f"request needs {need} pages > max_pages_per_seq={self.max_pages_per_seq}")
-        if need > self.pool.num_pages - 1:  # page 0 is the reserved null page
+        peak = self._bounded_need(p_len, max_new_tokens)
+        if peak > self.pool.num_pages - 1:  # page 0 is the reserved null page
             raise ValueError(
-                f"request needs {need} pages but the pool only has "
+                f"request needs {peak} pages but the pool only has "
                 f"{self.pool.num_pages - 1} allocatable — it could never be "
                 "admitted")
         self._rid += 1
@@ -525,6 +536,9 @@ class ServingEngine:
 
         req.pos = s
         req.row = row
+        if self._lazy_pages:
+            req.reserved = self._bounded_need(s, req.max_new)
+            self._reserved_pages += req.reserved
         self._live[row] = req
         self._next_tok[row] = int(self._pick_tokens(logits[:, s - 1], [req])[0])
 
@@ -533,15 +547,14 @@ class ServingEngine:
         for row in range(self.max_batch):
             if self._live[row] is None and self._pending:
                 nxt = self._pending[0]
-                ps = self.pool.page_size
-                need = -(-(len(nxt.prompt) + nxt.max_new) // ps)
+                need = self._bounded_need(len(nxt.prompt), nxt.max_new)
                 if self._lazy_pages:
-                    # steady-state bound: prompt pages + the in-window band
-                    # (+2 slack); recycling frees at the rate lazy alloc
-                    # consumes, so this is the row's true peak demand
-                    band = -(-self._window_recycle // ps) + 2
-                    need = min(need, -(-max(len(nxt.prompt), 1) // ps) + band)
-                if need > self.pool.free_pages:
+                    # admit against UNRESERVED capacity, not instantaneous
+                    # free pages: every live row may still grow to its own
+                    # reserved peak before recycling catches up
+                    if need > (self.pool.num_pages - 1) - self._reserved_pages:
+                        break
+                elif need > self.pool.free_pages:
                     break  # wait for pages to free up
                 self._admit(self._pending.pop(0), row)
 
@@ -591,7 +604,13 @@ class ServingEngine:
             self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
             jnp.asarray(tables), jnp.asarray(pos), jnp.asarray(live),
         )
-        nxt = self._pick_tokens(logits, list(self._live))
+        # stalled rows' slots pass None: _pick_tokens must not advance
+        # their PRNG stream for a token that is immediately discarded
+        # (sampled outputs would then depend on pool pressure)
+        nxt = self._pick_tokens(
+            logits,
+            [None if (r is not None and r.rid in stalled) else r
+             for r in self._live])
         for r in list(self._live):
             if r is None or r.rid in stalled:
                 continue
@@ -620,6 +639,8 @@ class ServingEngine:
         r.freed_pages = max(r.freed_pages, exp)
 
     def _retire(self, req: _Request) -> None:
+        self._reserved_pages -= req.reserved
+        req.reserved = 0
         self.pool.free(req.pages)
         req.pages = []
         req.done = True

@@ -60,9 +60,9 @@ from grasp_tpu.models.llama import (
     Params,
     _lm_logits,
     apply_rope,
+    attn_mlp_residual,
     default_plan,
     embed_lookup,
-    mlp_act,
     proj_apply,
     rms_norm,
     rope_cos_sin,
@@ -105,18 +105,25 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
 
     use_kernel64 = (
         jax.default_backend() == "tpu"
-        and config.sliding_window is None
         and config.attn_logit_softcapping is None
         and config.head_dim_ < 128
         and not quantized
         and os.environ.get("GRASP_PAGED64_KERNEL", "1") != "0"
     )
 
+    def _windows_irrelevant(t_max):
+        # a window >= the table capacity never masks anything (paged.py)
+        return all(
+            config.layer_window(li) is None or config.layer_window(li) >= t_max
+            for li in range(config.num_hidden_layers))
+
     def fn(params, toks, k_pages, v_pages, k_scales, v_scales, tables, pos, live):
         L, nkv, num_pages, page_size, hd = k_pages.shape
         b = toks.shape[0]
         nh = config.num_attention_heads
         t_max = max_pages_per_seq * page_size
+        use_k64 = use_kernel64 and (
+            config.sliding_window is None or _windows_irrelevant(t_max))
 
         positions = pos[:, None] + jnp.arange(chunk)[None, :]  # [B, chunk]
         cos, sin = rope_cos_sin(positions, hd, config.rope_theta,
@@ -185,13 +192,13 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                 v_pages = v_pages.at[li, :, pf, of, :].set(
                     vw.astype(v_pages.dtype), mode="drop")
 
-            if use_kernel64:
+            if use_k64:
                 from grasp_tpu.ops.pallas_paged64 import paged_attention_hd64_chunk
 
                 base = jnp.where(live > 0, pos + 1, 1)
                 attn = paged_attention_hd64_chunk(
                     q.transpose(0, 2, 1, 3).astype(h.dtype),  # [B, chunk, nh, hd]
-                    k_pages[li], v_pages[li], base, tables,
+                    k_pages[li], v_pages[li], base, tables, scale=a_scale,
                 )
                 attn = attn.reshape(b, chunk, nh * hd)
             else:
@@ -221,27 +228,7 @@ def _paged_verify_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: in
                                   preferred_element_type=q.dtype)
                 attn = attn.transpose(0, 2, 1, 3).reshape(b, chunk, nh * hd)
             attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"])
-            if "pre_feedforward_layernorm" in lp:  # Gemma-2 sandwich norms
-                attn = rms_norm(attn, lp["post_attention_layernorm"]["weight"],
-                                config.rms_norm_eps, plus_one=config.norm_plus_one)
-            h = h + attn
-
-            pre_mlp = lp.get("pre_feedforward_layernorm") or lp["post_attention_layernorm"]
-            x = rms_norm(h, pre_mlp["weight"], config.rms_norm_eps,
-                         plus_one=config.norm_plus_one)
-            if "moe" in lp:
-                from grasp_tpu.models.moe import moe_apply
-
-                h = h + moe_apply(x, lp["moe"], config)
-            else:
-                mp = lp["mlp"]
-                gate = proj_apply(x, mp["gate_proj"], kinds["gate_proj"])
-                up = proj_apply(x, mp["up_proj"], kinds["up_proj"])
-                mlp_out = proj_apply(mlp_act(config)(gate) * up, mp["down_proj"], kinds["down_proj"])
-                if "post_feedforward_layernorm" in lp:  # Gemma-2 sandwich
-                    mlp_out = rms_norm(mlp_out, lp["post_feedforward_layernorm"]["weight"],
-                                       config.rms_norm_eps, plus_one=config.norm_plus_one)
-                h = h + mlp_out
+            h = attn_mlp_residual(h, attn, lp, kinds, config)
 
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
                      plus_one=config.norm_plus_one)

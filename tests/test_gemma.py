@@ -145,3 +145,22 @@ def test_gemma_paged_serving_matches_generate(ours):
     rid = eng.submit(prompt, 8)
     outs = eng.run()
     assert list(outs[rid]) == list(want)
+
+
+def test_raw_config_legacy_gelu_maps_to_tanh():
+    """Original google/gemma config.json files carry hidden_act='gelu' and
+    no hidden_activation — HF ignores the former and runs the tanh
+    approximation; the raw-json import must do the same."""
+    class _NS:
+        model_type = "gemma"
+        vocab_size = 64
+        hidden_size = 32
+        intermediate_size = 64
+        num_hidden_layers = 2
+        num_attention_heads = 4
+        num_key_value_heads = 1
+        head_dim = 8
+        hidden_act = "gelu"  # legacy field, ignored by HF GemmaConfig
+
+    config = config_from_hf(_NS())
+    assert config.hidden_act == "gelu_pytorch_tanh"

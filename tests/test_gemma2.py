@@ -213,3 +213,29 @@ def test_gemma2_speculative_bit_identical(ours):
     outs = spec.run()
     for rid, w in zip(rids, want):
         assert list(outs[rid]) == list(w)
+
+
+def test_raw_config_without_layer_types_gets_alternation(hf_model):
+    """Original gemma-2 config.json files lack layer_types (transformers
+    synthesizes it); the raw-json import must synthesize the same
+    even-layers-sliding alternation — otherwise the 4096 window would
+    silently apply to the full-attention layers too."""
+    class _NS:
+        model_type = "gemma2"
+        vocab_size = 64
+        hidden_size = 32
+        intermediate_size = 64
+        num_hidden_layers = 4
+        num_attention_heads = 4
+        num_key_value_heads = 2
+        head_dim = 8
+        sliding_window = 4096
+        query_pre_attn_scalar = 8
+        attn_logit_softcapping = 50.0
+        final_logit_softcapping = 30.0
+
+    config = config_from_hf(_NS())
+    assert config.layer_types == ("sliding_attention", "full_attention") * 2
+    # matches what transformers synthesizes for the same architecture
+    want = tuple(Gemma2Config(num_hidden_layers=4).layer_types)
+    assert config.layer_types == want

@@ -241,3 +241,61 @@ def test_window_lazy_alloc_stalls_and_resumes(ours):
     eng.pool.free(hog)
     outs = eng.run()
     assert list(outs[rid]) == list(want)
+
+
+def test_windowed_pool_never_overcommits(ours):
+    """Admission reserves each lazy row's peak page demand: a pool that fits
+    only one row's peak serializes the rows instead of admitting both and
+    livelocking when they exhaust the pool in lockstep."""
+    from grasp_tpu.serving.paged import ServingEngine
+
+    config, params = ours  # w=4
+    r = np.random.default_rng(7)
+    prompts = [r.integers(1, 120, size=(4,)).astype(np.int32) for _ in range(2)]
+    # ps=2: peak = 2 prompt pages + band (2+2) = 6; pool of 9 pages (8
+    # usable) fits one peak, not two
+    eng = ServingEngine(params, config, num_pages=9, page_size=2,
+                        max_batch=2, max_pages_per_seq=16)
+    rids = [eng.submit(p, 20) for p in prompts]
+    outs = eng.run()  # must terminate (old code could livelock all-stalled)
+    assert all(len(outs[rid]) == 20 for rid in rids)
+    assert eng._reserved_pages == 0 and eng.pool.free_pages == 8
+
+
+def test_windowed_submit_accepts_beyond_pool_length(ours):
+    """A windowed request longer than the pool is servable via the rolling
+    buffer: the submit guard uses the bounded peak, not prompt+max_new."""
+    from grasp_tpu.serving.paged import ServingEngine
+
+    config, params = ours
+    eng = ServingEngine(params, config, num_pages=10, page_size=2,
+                        max_batch=1, max_pages_per_seq=64)
+    # full need = (4 + 100)/2 = 52 pages >> 9 usable; peak = 2 + 4 = 6
+    rid = eng.submit(np.asarray([1, 2, 3, 4], np.int32), 100)
+    outs = eng.run()
+    assert len(outs[rid]) == 100
+
+
+def test_stall_does_not_perturb_sampled_stream(ours):
+    """A stalled step must not advance a sampled row's PRNG stream: the
+    same seeded request produces the same tokens with and without a
+    transient page shortage."""
+    from grasp_tpu.serving.paged import ServingEngine
+
+    config, params = ours
+    prompt = np.asarray([5, 9, 2, 33, 7, 11], dtype=np.int32)
+
+    def run(stall):
+        eng = ServingEngine(params, config, num_pages=24, page_size=2,
+                            max_batch=1, max_pages_per_seq=16)
+        rid = eng.submit(prompt, 10, temperature=0.9, top_k=16, seed=123)
+        eng.step(); eng.step()  # next step needs a fresh page
+        hog = eng.pool.alloc(eng.pool.free_pages) if stall else []
+        if stall:
+            for _ in range(2):
+                eng.step()  # stalled: no emit, no PRNG advance
+            eng.pool.free(hog)
+        outs = eng.run()
+        return outs[rid]
+
+    assert list(run(stall=False)) == list(run(stall=True))
