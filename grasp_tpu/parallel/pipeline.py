@@ -307,13 +307,6 @@ def make_pipeline_loss(
     The scalar equals hf_causal_lm_loss(forward(params), labels) on the whole
     batch (mean CE over valid shifted labels) to fp tolerance.
     """
-    if (config.attn_logit_softcapping is not None or config.sandwich_norms
-            or config.layer_types is not None
-            or config.final_logit_softcapping is not None):
-        raise ValueError(
-            "pipeline parallelism does not support the Gemma-2 attention "
-            "variants yet (logit softcapping / per-layer windows / sandwich "
-            "norms) — train those models on the DP/TP mesh path")
     num_stages = mesh.shape[PIPE_AXIS]
     M = num_microbatches
     dtype = jnp.dtype(config.dtype)
@@ -328,22 +321,51 @@ def make_pipeline_loss(
         positions = jnp.arange(s_len)[None, :]
         cos, sin = rope_cos_sin(positions, config.head_dim_, config.rope_theta,
                                 scaling=config.rope_scaling)
-        mask = _causal_mask(s_len, s_len, 0, window=config.sliding_window)
 
-        def layer_body(h_, lp):
-            return _layer_forward(lp, layer_plan, h_, cos, sin, mask, config)[0], None
+        if config.layer_types is None:
+            mask = _causal_mask(s_len, s_len, 0, window=config.sliding_window)
 
-        scan_body = jax.checkpoint(layer_body) if remat else layer_body
+            def layer_body(h_, lp):
+                return _layer_forward(lp, layer_plan, h_, cos, sin, mask, config)[0], None
 
-        def stage_fn(h):
-            h_out, _ = jax.lax.scan(scan_body, h, local)
-            return h_out
+            scan_body = jax.checkpoint(layer_body) if remat else layer_body
+
+            def stage_fn(h):
+                h_out, _ = jax.lax.scan(scan_body, h, local)
+                return h_out
+        else:
+            # Gemma-2 per-layer sliding/full alternation: scan carries each
+            # layer's window flag (a traced slice of the static [L] table at
+            # this stage's global layer range — uniform SPMD program) and
+            # selects between the two precomputed masks
+            depth = jax.tree.leaves(local)[0].shape[0]
+            mask_full = _causal_mask(s_len, s_len, 0)
+            mask_win = _causal_mask(s_len, s_len, 0, window=config.sliding_window)
+            win_table = jnp.asarray(
+                [1 if t == "sliding_attention" else 0 for t in config.layer_types],
+                jnp.int32)
+            flags = jax.lax.dynamic_slice(
+                win_table, (stage * depth,), (depth,))
+
+            def layer_body(h_, xs):
+                lp, flag = xs
+                m = jnp.where(flag > 0, mask_win, mask_full)
+                return _layer_forward(lp, layer_plan, h_, cos, sin, m, config)[0], None
+
+            scan_body = jax.checkpoint(layer_body) if remat else layer_body
+
+            def stage_fn(h):
+                h_out, _ = jax.lax.scan(scan_body, h, (local, flags))
+                return h_out
 
         def ce_and_count(h_out, m):
             lab = labels_mb[jnp.clip(m, 0, M - 1)]
             hn = rms_norm(h_out, norm_w, config.rms_norm_eps,
                           plus_one=config.norm_plus_one)
             logits = jnp.dot(hn, head_k, preferred_element_type=hn.dtype)
+            cap = config.final_logit_softcapping
+            if cap is not None:  # Gemma-2 (llama._lm_logits parity)
+                logits = cap * jnp.tanh(logits / cap)
             ce = hf_causal_lm_loss_sum(logits, lab)
             cnt = (lab[:, 1:] != -100).sum()
             return ce, cnt

@@ -304,3 +304,26 @@ def test_gemma_pipeline_loss_matches_forward():
     got = float(jax.jit(loss_fn)(pparams, ids, labels))
     want = float(_ref_loss(params, config, plan, ids, labels))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_gemma2_pipeline_loss_matches_forward():
+    """Gemma-2 through the pipeline: the stage scan carries each layer's
+    window flag (sliding/full alternation) and selects the mask per layer;
+    softcaps/sandwich norms come from the shared layer body; the head caps
+    the final logits."""
+    config = ModelConfig.tiny(
+        num_hidden_layers=8, hidden_act="gelu_pytorch_tanh",
+        norm_plus_one=True, scale_embeddings=True, tie_word_embeddings=True,
+        sandwich_norms=True, sliding_window=6,
+        layer_types=("sliding_attention", "full_attention") * 4,
+        attn_logit_softcapping=0.5, final_logit_softcapping=3.0,
+        query_pre_attn_scalar=32.0)
+    params = init_params(jax.random.PRNGKey(6), config)
+    plan = default_plan(config)
+    mesh = _mesh(4)
+    ids, labels = _batch(config)
+    pparams = shard_pipeline_params(to_pipeline_params(params, 4), mesh)
+    loss_fn = make_pipeline_loss(config, uniform_layer_plan(plan), mesh, num_microbatches=4)
+    got = float(jax.jit(loss_fn)(pparams, ids, labels))
+    want = float(_ref_loss(params, config, plan, ids, labels))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
