@@ -37,11 +37,18 @@ def ring_attention(
     axis_name: str,
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Attention over a sequence sharded on `axis_name` (call inside shard_map).
 
     q, k, v: local blocks [B, H, S_local, D]; device i holds sequence block i.
     Returns the local output block [B, H, S_local, D].
+
+    window: sliding attention (Mistral/Gemma-2) — query i sees keys
+    (i-window, i], applied blockwise from the absolute positions.
+    softcap: Gemma-2 attention logit cap c*tanh(s/c), applied after the
+    scale and BEFORE the mask (HF eager order).
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -57,8 +64,12 @@ def ring_attention(
         kv_pos = src * s_local + jnp.arange(s_local)
 
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cur, preferred_element_type=jnp.float32) * scale
-        if causal:
-            allow = kv_pos[None, :] <= q_pos[:, None]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        if causal or window is not None:
+            allow = (kv_pos[None, :] <= q_pos[:, None]) if causal else jnp.bool_(True)
+            if window is not None:
+                allow = allow & (kv_pos[None, :] > q_pos[:, None] - window)
             s = jnp.where(allow[None, None], s, MASK_VALUE)
 
         m_curr = jnp.max(s, axis=-1, keepdims=True)

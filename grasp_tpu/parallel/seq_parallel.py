@@ -47,7 +47,7 @@ from grasp_tpu.models.llama import (
 from grasp_tpu.parallel.ring_attention import ring_attention
 
 
-def _local_layer(lp, layer_plan, h, cos, sin, config, axis_name):
+def _local_layer(lp, layer_plan, h, cos, sin, config, axis_name, window=None):
     b, s_local, d = h.shape
     nh, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim_
     kinds = dict(zip(PROJ_ORDER, layer_plan))
@@ -64,7 +64,10 @@ def _local_layer(lp, layer_plan, h, cos, sin, config, axis_name):
     if groups > 1:
         k = jnp.repeat(k, groups, axis=1)
         v = jnp.repeat(v, groups, axis=1)
-    attn = ring_attention(q, k, v, axis_name)
+    sm_scale = (config.query_pre_attn_scalar ** -0.5
+                if config.query_pre_attn_scalar else None)
+    attn = ring_attention(q, k, v, axis_name, sm_scale=sm_scale,
+                          window=window, softcap=config.attn_logit_softcapping)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s_local, nh * hd)
     attn = proj_apply(attn, ap["o_proj"], kinds["o_proj"])
     return attn_mlp_residual(h, attn, lp, kinds, config)
@@ -80,20 +83,6 @@ def seq_parallel_logits(
     remat: bool = False,
 ) -> jax.Array:
     """Logits [B, S, V] for a sequence sharded over `axis` (S % axis_size == 0)."""
-    if config.sliding_window is not None:
-        raise ValueError(
-            "sequence parallelism streams the full KV through ring attention; "
-            "sliding-window models (config.sliding_window set) are not "
-            "supported on this path — run the windowed mask forward instead"
-        )
-    if (config.attn_logit_softcapping is not None or config.sandwich_norms
-            or config.final_logit_softcapping is not None
-            or config.query_pre_attn_scalar is not None):
-        raise ValueError(
-            "sequence parallelism does not support the Gemma-2 attention "
-            "variants yet (logit softcapping / sandwich norms / "
-            "query_pre_attn_scalar)"
-        )
     plan = plan or default_plan(config)
 
     def local_forward(params, ids):
@@ -109,13 +98,14 @@ def seq_parallel_logits(
             layer_fn = functools.partial(
                 _local_layer, layer_plan=plan[li], cos=cos, sin=sin,
                 config=config, axis_name=axis,
+                window=config.layer_window(li),
             )
             if remat:
                 layer_fn = jax.checkpoint(layer_fn)
             h = layer_fn(params["layers"][li], h=h)
         h = rms_norm(h, params["norm"]["weight"], config.rms_norm_eps,
                      plus_one=config.norm_plus_one)
-        return _lm_logits(h, params)
+        return _lm_logits(h, params, softcap=config.final_logit_softcapping)
 
     fn = jax.shard_map(
         local_forward,

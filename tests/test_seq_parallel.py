@@ -113,3 +113,21 @@ def test_seq_parallel_gemma_matches_forward(mesh, rng):
     ref = np.asarray(forward(params, ids, config=config)["logits"])
     got = np.asarray(seq_parallel_logits(params, ids, mesh, config))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_seq_parallel_gemma2_matches_forward(mesh, rng):
+    """Gemma-2 variants through sequence parallelism: per-layer windows,
+    softcapped ring-attention scores (pre-mask, HF order), sandwich norms
+    via the shared layer body, qpas scale, capped final logits."""
+    config = ModelConfig.tiny(
+        num_hidden_layers=2, hidden_act="gelu_pytorch_tanh",
+        norm_plus_one=True, scale_embeddings=True, tie_word_embeddings=True,
+        sandwich_norms=True, sliding_window=6,
+        layer_types=("sliding_attention", "full_attention"),
+        attn_logit_softcapping=0.5, final_logit_softcapping=3.0,
+        query_pre_attn_scalar=32.0)
+    params = init_params(jax.random.PRNGKey(8), config)
+    ids = jnp.asarray(rng.integers(0, config.vocab_size, (2, 64)))
+    ref = np.asarray(forward(params, ids, config=config)["logits"])
+    got = np.asarray(seq_parallel_logits(params, ids, mesh, config))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)

@@ -129,14 +129,18 @@ def test_qwen2_style_gated_window_imports_as_none():
     assert config_from_hf(_NS()).sliding_window is None
 
 
-def test_seq_parallel_rejects_window(ours):
+def test_seq_parallel_windowed_matches_forward(ours, rng):
+    """Ring attention applies the window blockwise from absolute positions:
+    the sharded forward equals the single-device windowed forward."""
     from jax.sharding import Mesh
     from grasp_tpu.parallel.seq_parallel import seq_parallel_logits
 
-    config, params = ours
+    config, params = ours  # sliding_window = 4 << 64-token sequence
     mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
-    with pytest.raises(ValueError, match="sliding-window"):
-        seq_parallel_logits(params, jnp.zeros((1, 16), jnp.int32), mesh, config)
+    ids = jnp.asarray(rng.integers(1, 120, (2, 64)))
+    ref = np.asarray(forward(params, ids, config=config)["logits"])
+    got = np.asarray(seq_parallel_logits(params, ids, mesh, config))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 
 def test_sliding_speculative_bit_identical(ours):
