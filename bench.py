@@ -81,10 +81,21 @@ def main():
 
     ids, labels = batches[0]["input_ids"], batches[0]["labels"]
     float(fwd_scalar(engine.params, ids, labels))  # compile + warmup
-    fwd_s, _ = _median_timed(lambda: float(fwd_scalar(engine.params, ids, labels)))
+    fwd_disp_s, _ = _median_timed(lambda: float(fwd_scalar(engine.params, ids, labels)))
+    # device-side slope: the axon tunnel charges ~30-40 ms per dispatched
+    # call, which inflates a single-dispatch timing of a ~70 ms forward by
+    # ~45% — the chained-loop slope (perf.forward_device_benchmark) is the
+    # chip's true time, cross-checked against per-component chained probes
+    # (scripts/profile_fwd.py)
+    from grasp_tpu.perf import forward_device_benchmark
+
+    fwd_s = forward_device_benchmark(
+        engine.params, config, ids, plan=engine.plan, labels=labels
+    )["fwd_s_device"]
     flops = estimate_forward_flops(engine.params, config, engine.plan, seq_len=ids.shape[1])
     fwd_tflops = flops["flops"] * ids.shape[0] / fwd_s / 1e12
     details["fwd_ms_8x511"] = round(fwd_s * 1e3, 2)
+    details["fwd_ms_8x511_dispatch"] = round(fwd_disp_s * 1e3, 2)
     details["fwd_tflops"] = round(fwd_tflops, 1)
     if jax.default_backend() not in ("cpu",):
         details["fwd_mfu"] = round(fwd_tflops / V5E_BF16_PEAK_TFLOPS, 3)

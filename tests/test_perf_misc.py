@@ -143,6 +143,24 @@ def test_decode_device_benchmark_slope(tiny):
     assert abs(res["decode_tokens_per_s_device"] * res["decode_ms_per_token_device"] - 1e3) < 1
 
 
+def test_forward_device_benchmark_slope(tiny):
+    """Chained-forward slope timing: positive per-forward time, non-negative
+    dispatch overhead, and the labels epilogue compiles (the calibration
+    sweep's real forward shape)."""
+    import jax.numpy as jnp
+
+    from grasp_tpu.perf import forward_device_benchmark
+
+    config, params = tiny
+    ids = jnp.ones((2, 16), jnp.int32)
+    labels = jnp.ones((2, 16), jnp.int32)
+    res = forward_device_benchmark(
+        params, config, ids, labels=labels, k_small=1, k_large=4, reps=2
+    )
+    assert res["fwd_s_device"] > 0
+    assert res["per_call_overhead_ms"] >= 0
+
+
 def test_enable_compilation_cache(tmp_path, monkeypatch):
     """$GRASP_COMPILE_CACHE opt-in: configures jax's persistent cache dir;
     no-op without the env var."""
