@@ -70,8 +70,9 @@ def main():
         sweep="sequential",
     )
     t0 = time.time()
-    engine.run(batches, cfg)
+    summary = engine.run(batches, cfg)
     wall = time.time() - t0
+    details["e2e_stage_times_s"] = summary.get("stage_times_s", {})
 
     # ---- steady-state fwd on the compressed model (batch 8 x seq 511) ----
     @jax.jit

@@ -300,6 +300,7 @@ class GraspEngine:
         self._grad_fns: Dict[Tuple, Any] = {}
         self._done_rounds: set = set()   # crash-resume bookkeeping (run())
         self._resume_dir: Optional[str] = None
+        self._h2d_bw: Optional[float] = None  # measured once, _h2d_bandwidth
         self._set_prefix(0, "off")
 
     def _stage(self, name: str, dt: float) -> None:
@@ -816,14 +817,33 @@ class GraspEngine:
                 self._prefix_cache[i] = h0
         return h0
 
-    def _choose_prefix_cache(self, batches) -> str:
+    def _h2d_bandwidth(self) -> float:
+        """Measured host->device bandwidth in bytes/s (one 32 MiB probe,
+        cached). On a healthy PCIe host this is ~10 GB/s; through this
+        container's axon tunnel it measures ~40 MB/s — a 250x spread that
+        flips the cache_host-vs-recompute decision, so it must be measured,
+        not assumed."""
+        if self._h2d_bw is None:
+            probe = np.zeros((32 << 20,), np.uint8)
+            jax.block_until_ready(jax.device_put(probe[: 1 << 20]))  # warm path
+            t0 = time.time()
+            jax.block_until_ready(jax.device_put(probe))
+            self._h2d_bw = probe.nbytes / max(time.time() - t0, 1e-9)
+            logger.info("measured h2d bandwidth: %.1f MB/s", self._h2d_bw / 2**20)
+        return self._h2d_bw
+
+    def _choose_prefix_cache(self, batches, p_min: int = 0) -> str:
         """Pick the prefix mode for prefix="auto" by where the boundary
-        activations fit: on device ("cache" — also saves the prefix FLOPs
-        every round), in host RAM ("cache_host" — same FLOP win, pays a
-        per-batch re-upload), else "recompute" (prefix FLOPs every round,
-        no extra memory). Identical selection either way (pinned by
-        tests/test_engine_prefix.py); this is purely a memory placement
-        decision."""
+        activations fit AND what they cost to move: on device ("cache" —
+        also saves the prefix FLOPs every round); else compare host RAM
+        ("cache_host": prefix FLOPs once, but one boundary re-upload per
+        sweep batch) against "recompute" (prefix forward every batch every
+        round, no transfers) using the MEASURED h2d bandwidth — through this
+        container's tunnel an upload of one 33 MB boundary costs ~0.9 s,
+        more than re-running a 25-layer 7B prefix forward on the MXU, which
+        a naive "host RAM is free" policy got wrong by +750 s on the 7B
+        bench. Identical selection either way (pinned by
+        tests/test_engine_prefix.py); this is purely a placement decision."""
         import os
 
         if jax.default_backend() == "cpu":
@@ -835,8 +855,8 @@ class GraspEngine:
 
             rows = sum(int(b["input_ids"].shape[0]) for b in batches)
             seq = int(batches[0]["input_ids"].shape[-1])
-            need = rows * seq * self.config.hidden_size * jnp.dtype(
-                self.config.dtype).itemsize
+            itemsize = jnp.dtype(self.config.dtype).itemsize
+            need = rows * seq * self.config.hidden_size * itemsize
             pool = float(os.environ.get("GRASP_HBM_GIB", 15.75)) * 2**30
             live = device_memory()["bytes_in_use"]
             # leave room for the sweep's grad arena + select-phase eigh
@@ -845,7 +865,22 @@ class GraspEngine:
                 return "cache"
             host_free = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
             if need < 0.5 * host_free:
-                return "cache_host"
+                # steady-state cost per sweep batch: re-upload (cache_host)
+                # vs prefix forward (recompute), at a conservative 40% MFU
+                batch_rows = int(batches[0]["input_ids"].shape[0])
+                upload_s = batch_rows * seq * self.config.hidden_size * itemsize \
+                    / self._h2d_bandwidth()
+                p_prefix = sum(
+                    int(np.prod(a.shape)) for lp in self.params["layers"][:p_min]
+                    for a in jax.tree.leaves(lp)
+                )
+                prefix_flops = 2.0 * p_prefix * batch_rows * seq
+                recompute_s = prefix_flops / (0.4 * 197e12)
+                logger.info(
+                    "prefix auto: upload %.3fs vs recompute %.3fs per batch",
+                    upload_s, recompute_s)
+                if upload_s < recompute_s:
+                    return "cache_host"
         except Exception as e:  # pragma: no cover - backend quirks
             logger.debug("prefix auto sizing failed: %s", e)
         return "recompute"
@@ -1774,7 +1809,7 @@ class GraspEngine:
                 if p_min < 4:
                     mode = "off"
                 else:
-                    mode = self._choose_prefix_cache(calibration_batches)
+                    mode = self._choose_prefix_cache(calibration_batches, p_min)
                     logger.info("prefix auto -> %s", mode)
             self._set_prefix(p_min, mode)
 

@@ -157,3 +157,28 @@ def test_prefix_recompute_compiles_once(tiny):
     assert all(f is seen[0] for f in seen)  # one python fn across rounds
     # one traced/compiled signature for the whole 2-round x 2-batch run
     assert seen[0]._cache_size() == 1
+
+
+def test_prefix_auto_uses_measured_bandwidth(tiny, monkeypatch):
+    """prefix="auto" must weigh the MEASURED h2d bandwidth: on a slow
+    transfer path (this container's axon tunnel: ~40 MB/s) re-uploading the
+    boundary per sweep batch costs more than recomputing the prefix forward
+    on-chip, so auto must pick "recompute"; on a healthy PCIe host
+    (~10 GB/s) the same sizes must pick "cache_host". A fixed 'host RAM is
+    free' policy cost +750 s on the 7B bench."""
+    config, params = tiny
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config)
+    batches = _batches(config)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        "grasp_tpu.perf.device_memory",
+        lambda device=None: {"bytes_in_use": 14 * 2**30,
+                             "peak_bytes_in_use": 14 * 2**30},
+    )
+
+    p_min = config.num_hidden_layers - 2
+    engine._h2d_bw = 1.0  # pathologically slow transfers
+    assert engine._choose_prefix_cache(batches, p_min) == "recompute"
+    engine._h2d_bw = 1e15  # effectively free transfers
+    assert engine._choose_prefix_cache(batches, p_min) == "cache_host"
