@@ -754,9 +754,11 @@ class GraspEngine:
     # "cache") through a fn compiled ONCE, so each round's grad graph covers
     # only the compressed tail. See configs.GraspConfig.prefix.
 
-    def _set_prefix(self, layer: int, mode: str) -> None:
+    def _set_prefix(self, layer: int, mode: str, auto: bool = False) -> None:
         self._prefix_layer = 0 if mode == "off" else layer
         self._prefix_mode = mode
+        self._prefix_auto = auto   # auto-chosen modes may self-demote
+        self._prefix_costs: Dict[str, float] = {}
         in_cache = mode in ("cache", "cache_host")
         self._prefix_cache = {} if (in_cache and self._prefix_layer) else None
         self._prefix_fns: Dict[Any, Any] = {}
@@ -801,21 +803,59 @@ class GraspEngine:
         use — for 7B scale, where the full boundary set (~2.1 GiB at the
         paper config) does not fit next to the sweep's HBM peak but trivially
         fits the 125 GB host. Either way the prefix forward runs ONCE per
-        batch for the whole run instead of once per batch per round."""
+        batch for the whole run instead of once per batch per round.
+
+        Self-correcting placement: when the mode came from prefix="auto",
+        both the re-upload and the prefix forward are timed in situ, and if
+        uploads measure slower than recomputing (this container's tunnel
+        degrades from ~900 MB/s idle to an effective ~35 MB/s mid-run —
+        unpredictable from any pre-run probe; measured +750 s on the 7B
+        bench), cache_host demotes itself to recompute at the next batch.
+        The values are bit-identical either way (tests/test_engine_prefix.py)
+        so the switch is purely a placement change."""
         if self._prefix_cache is not None and i in self._prefix_cache:
             h = self._prefix_cache[i]
-            return jax.device_put(h) if isinstance(h, np.ndarray) else h
+            if not isinstance(h, np.ndarray):
+                return h
+            t0 = time.time()
+            h_dev = jax.device_put(h)
+            if self._prefix_auto:  # timing sync only when auto may demote
+                jax.block_until_ready(h_dev)
+                self._note_prefix_cost("upload", time.time() - t0)
+            return h_dev
         fn = self._get_prefix_fn()
         pp = self._prefix_params()
         if not primed:
             _prime(fn, pp, batch["input_ids"], batch.get("attention_mask"))
+        t0 = time.time()
         h0 = fn(pp, batch["input_ids"], batch.get("attention_mask"))
+        if self._prefix_auto:
+            jax.block_until_ready(h0)
+            self._note_prefix_cost("fwd", time.time() - t0)
         if self._prefix_cache is not None:
             if self._prefix_mode == "cache_host":
                 self._prefix_cache[i] = np.asarray(jax.device_get(h0))
             else:
                 self._prefix_cache[i] = h0
         return h0
+
+    def _note_prefix_cost(self, kind: str, dt: float) -> None:
+        """EWMA of measured per-batch prefix costs; demote cache_host ->
+        recompute once uploads are measured slower than recomputing (only
+        for prefix="auto" — explicit modes are never overridden)."""
+        prev = self._prefix_costs.get(kind)
+        self._prefix_costs[kind] = dt if prev is None else 0.7 * prev + 0.3 * dt
+        self._prefix_costs[kind + "_n"] = self._prefix_costs.get(kind + "_n", 0) + 1
+        if (self._prefix_auto and self._prefix_mode == "cache_host"
+                and self._prefix_costs.get("upload_n", 0) >= 8
+                and self._prefix_costs.get("fwd_n", 0) >= 2
+                and self._prefix_costs["upload"] > self._prefix_costs["fwd"]):
+            logger.info(
+                "prefix cache_host demoted to recompute: measured upload "
+                "%.3fs/batch > prefix forward %.3fs/batch",
+                self._prefix_costs["upload"], self._prefix_costs["fwd"])
+            self._prefix_mode = "recompute"
+            self._prefix_cache = None
 
     def _h2d_bandwidth(self) -> float:
         """Measured host->device bandwidth in bytes/s (one 32 MiB probe,
@@ -1805,13 +1845,14 @@ class GraspEngine:
             # sweep graphs can start at that boundary (see GraspConfig.prefix)
             p_min = min((lid for lid, _, _ in rounds), default=0)
             mode = cfg.prefix
+            was_auto = cfg.prefix == "auto"
             if mode == "auto":
                 if p_min < 4:
                     mode = "off"
                 else:
                     mode = self._choose_prefix_cache(calibration_batches, p_min)
                     logger.info("prefix auto -> %s", mode)
-            self._set_prefix(p_min, mode)
+            self._set_prefix(p_min, mode, auto=was_auto)
 
             try:
                 if self.svd_method == "gram_device":

@@ -182,3 +182,36 @@ def test_prefix_auto_uses_measured_bandwidth(tiny, monkeypatch):
     assert engine._choose_prefix_cache(batches, p_min) == "recompute"
     engine._h2d_bw = 1e15  # effectively free transfers
     assert engine._choose_prefix_cache(batches, p_min) == "cache_host"
+
+
+def test_prefix_cache_host_self_demotes(tiny):
+    """In auto mode, cache_host demotes itself to recompute once measured
+    uploads are slower than the measured prefix forward (the tunnel's
+    effective bandwidth mid-run is unpredictable from any pre-run probe);
+    explicit modes never demote."""
+    config, params = tiny
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config)
+
+    engine._set_prefix(4, "cache_host", auto=True)
+    for _ in range(2):
+        engine._note_prefix_cost("fwd", 0.1)
+    for _ in range(8):
+        engine._note_prefix_cost("upload", 0.5)
+    assert engine._prefix_mode == "recompute"
+    assert engine._prefix_cache is None
+
+    # explicit (non-auto) cache_host must never be overridden
+    engine._set_prefix(4, "cache_host", auto=False)
+    for _ in range(2):
+        engine._note_prefix_cost("fwd", 0.1)
+    for _ in range(8):
+        engine._note_prefix_cost("upload", 0.5)
+    assert engine._prefix_mode == "cache_host"
+
+    # fast uploads (PCIe-class) stay cache_host in auto mode
+    engine._set_prefix(4, "cache_host", auto=True)
+    for _ in range(2):
+        engine._note_prefix_cost("fwd", 0.1)
+    for _ in range(8):
+        engine._note_prefix_cost("upload", 0.001)
+    assert engine._prefix_mode == "cache_host"
