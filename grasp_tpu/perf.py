@@ -31,6 +31,22 @@ from grasp_tpu.models.llama import ATTN_PROJS, MLP_PROJS, ModelPlan, Params, def
 logger = logging.getLogger("grasp_tpu")
 
 
+def _prime(fn, *args, **kwargs) -> None:
+    """AOT-compile a jitted fn before its first dispatch.
+
+    Same trap as core.engine._prime: on the axon runtime the jit
+    compile-dispatch path retains a PERSISTENT copy of every large argument,
+    so benchmarking a 7B-class model (10.9 GiB params) through a plain
+    ``fn(params, ...)`` first call would double-resident the params and OOM.
+    Lowering + compiling ahead of time populates the dispatch cache; the
+    subsequent call is a cache hit with no copies. Best-effort.
+    """
+    try:
+        fn.lower(*args, **kwargs).compile()
+    except Exception as e:  # pragma: no cover - backend-dependent
+        logger.debug("perf prime failed (falling back to dispatch): %s", e)
+
+
 def count_params(params: Params) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
 
@@ -281,9 +297,9 @@ def decode_device_benchmark(
 
     cache0 = init_kv_cache(config, batch=batch, max_len=cache_len)
     ids = jnp.ones((batch, prefill_len), jnp.int32)
-    _, cache0 = jax.jit(
-        lambda p, i, c: prefill(p, i, c, config=config, plan=plan)
-    )(params, ids, cache0)
+    pf = jax.jit(lambda p, i, c: prefill(p, i, c, config=config, plan=plan))
+    _prime(pf, params, ids, cache0)
+    _, cache0 = pf(params, ids, cache0)
 
     def timed(k):
         @jax.jit
@@ -303,7 +319,8 @@ def decode_device_benchmark(
             _, _, acc = jax.lax.fori_loop(0, k, body, (tok0, cache, jnp.float32(0)))
             return acc
 
-        float(run(params, cache0))  # compile + warm
+        _prime(run, params, cache0)
+        float(run(params, cache0))  # warm (cache hit after prime)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -383,7 +400,8 @@ def forward_device_benchmark(
             _, acc = jax.lax.fori_loop(0, k, body, (ids0, jnp.float32(0)))
             return acc
 
-        float(run(params, ids))  # compile + warm
+        _prime(run, params, ids)
+        float(run(params, ids))  # warm (cache hit after prime)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
