@@ -23,6 +23,7 @@ reads the same 4 bits/weight from HBM anyway.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -161,16 +162,46 @@ def quant_matmul_int4(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.
     return y.astype(x.dtype)
 
 
+@_functools.lru_cache(maxsize=None)
+def _quant_jit(bits: int, group_size: int):
+    if bits == 8:
+        return jax.jit(lambda w: quantize_int8(w, axis=0))
+    return jax.jit(lambda w: quantize_int4(w, axis=0, group_size=group_size))
+
+
+_PRIMED_QUANT_SHAPES: set = set()
+
+
+def _quantize_kernel(val: jax.Array, bits: int, group_size: int):
+    """Quantize one kernel through a primed jit.
+
+    Eager jnp quantization would hit the axon persistent-dispatch-copy trap
+    (first dispatch per shape retains a copy of the bf16 kernel — GiBs across
+    a 7B quantization) and materialize fp32 intermediates; a jit fuses the
+    whole absmax/round/pack chain and priming (lower+compile before dispatch)
+    keeps the dispatch cache copy-free. One compile per (shape, dtype, bits).
+    """
+    fn = _quant_jit(bits, group_size)
+    key = (val.shape, str(val.dtype), bits, group_size)
+    if key not in _PRIMED_QUANT_SHAPES:
+        _PRIMED_QUANT_SHAPES.add(key)
+        try:
+            fn.lower(val).compile()
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+    return fn(val)
+
+
 def quantize_proj(proj: Dict[str, Any], bits: int = 8, group_size: int = 128) -> Dict[str, Any]:
     """Quantize one projection's kernels in place-of (returns new dict)."""
     out: Dict[str, Any] = {}
     for key, val in proj.items():
         if key in _QUANTIZABLE:
             if bits == 8:
-                q, scale = quantize_int8(val, axis=0)
+                q, scale = _quantize_kernel(val, 8, group_size)
                 out[key + "_q"] = q
             elif bits == 4:
-                q, scale = quantize_int4(val, axis=0, group_size=group_size)
+                q, scale = _quantize_kernel(val, 4, group_size)
                 out[key + "_q4"] = q
             else:
                 raise ValueError(f"bits must be 4 or 8, got {bits}")
@@ -181,7 +212,8 @@ def quantize_proj(proj: Dict[str, Any], bits: int = 8, group_size: int = 128) ->
 
 
 def quantize_model_weights(
-    params: Params, quantize_lm_head: bool = True, bits: int = 8, group_size: int = 128
+    params: Params, quantize_lm_head: bool = True, bits: int = 8, group_size: int = 128,
+    consume: bool = False,
 ) -> Params:
     """Quantize every projection kernel (dense + low-rank) to int8 or int4.
 
@@ -191,9 +223,18 @@ def quantize_model_weights(
     per-token weight read at decode) is quantized by default; embeddings and
     norms stay in their original dtype (row-gather / accuracy-sensitive).
     MoE layers quantize their stacked expert tensors per expert.
+
+    consume=True releases each source layer as soon as its quantized copy is
+    built (the input pytree is emptied in place). Required at 7B scale on a
+    16 GiB chip: the non-consuming path holds bf16 (12.5 GiB) + int8
+    (6.3 GiB) trees simultaneously and OOMs; consuming keeps the transient
+    overhead to one layer (~0.2 GiB).
     """
+    if consume and not isinstance(params.get("layers"), list):
+        raise ValueError("consume=True requires a mutable params dict with a list of layers")
     layers = []
-    for layer in params["layers"]:
+    src_layers = params["layers"]
+    for li, layer in enumerate(src_layers):
         new_layer = dict(layer)
         groups = [("self_attn", ATTN_PROJS)]
         if "mlp" in layer:
@@ -219,9 +260,18 @@ def quantize_model_weights(
                 qex[w + "_scale"] = jnp.stack([s for _, s in qs])
             new_layer["moe"] = {"gate": layer["moe"]["gate"], "experts": qex}
         layers.append(new_layer)
+        if consume:
+            # drop every reference to the source layer's big kernels so the
+            # runtime frees them before the next layer quantizes
+            src_layers[li] = None
+            jax.block_until_ready(new_layer)
     out = {**params, "layers": layers}
     if quantize_lm_head and "lm_head" in params:
         out["lm_head"] = quantize_proj(params["lm_head"], bits, group_size)
+        if consume:
+            params["lm_head"] = None
+    if consume:
+        params.clear()
     return out
 
 

@@ -368,6 +368,7 @@ class ServingEngine:
         self._decode = _paged_decode_fn(config, self.plan, max_pages_per_seq,
                                         quantized=quantized_kv)
         self._prefill_fns: Dict[Tuple[int, int], any] = {}
+        self._primed: set = set()
 
         # window used for page recycling (subclasses with a second reader —
         # the speculative draft pool — tighten this to respect both masks).
@@ -479,6 +480,24 @@ class ServingEngine:
         return results
 
     # -- internals ----------------------------------------------------------
+    def _primed_call(self, key, fn, *args):
+        """Dispatch ``fn(*args)``, AOT-priming it on the first call per key.
+
+        On the axon TPU runtime a jitted fn's compile-dispatch path retains a
+        PERSISTENT copy of every large argument (same trap as
+        core.engine._prime) — at 7B scale the first decode dispatch would
+        double-resident the 12.5 GiB params and OOM the 16 GiB chip.
+        ``fn.lower(...).compile()`` populates the dispatch cache first, so the
+        actual call is a copy-free cache hit. Priming is best-effort: failures
+        fall back to plain dispatch."""
+        if key not in self._primed:
+            self._primed.add(key)
+            try:
+                fn.lower(*args).compile()
+            except Exception:  # pragma: no cover - backend-dependent
+                pass
+        return fn(*args)
+
     def _get_prefill(self, s_pad: int, cache_len: int):
         key = (s_pad, cache_len)
         if key not in self._prefill_fns:
@@ -511,7 +530,9 @@ class ServingEngine:
         # (requantizing an fp prefill would diverge by int8 noise)
         cache = init_kv_cache(self.config, batch=1, max_len=s_pad,
                               quantized=self.pool.quantized)
-        logits, cache = self._get_prefill(s_pad, s_pad)(self.params, jnp.asarray(padded), cache)
+        logits, cache = self._primed_call(
+            ("prefill", s_pad, s_pad), self._get_prefill(s_pad, s_pad),
+            self.params, jnp.asarray(padded), cache)
 
         n_prompt_pages = s_pad // ps
         phys = jnp.asarray(req.pages[:n_prompt_pages], jnp.int32)
@@ -599,7 +620,8 @@ class ServingEngine:
             return
 
         (logits, self.pool.k_pages, self.pool.v_pages,
-         self.pool.k_scales, self.pool.v_scales) = self._decode(
+         self.pool.k_scales, self.pool.v_scales) = self._primed_call(
+            "decode", self._decode,
             self.params, jnp.asarray(self._next_tok), self.pool.k_pages,
             self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
             jnp.asarray(tables), jnp.asarray(pos), jnp.asarray(live),

@@ -491,7 +491,9 @@ class SpeculativeServingEngine(ServingEngine):
         # the same quantized K/V its paged decode will (plain-engine parity)
         dcache = init_kv_cache(self.dconfig, batch=1, max_len=s_pad,
                                quantized=self.dpool.quantized)
-        _, dcache = self._dprefill_fns[key](self.dparams, jnp.asarray(padded), dcache)
+        _, dcache = self._primed_call(
+            ("dprefill", s_pad, s_pad), self._dprefill_fns[key],
+            self.dparams, jnp.asarray(padded), dcache)
 
         n_pages = s_pad // ps
         phys = jnp.asarray(req.pages[:n_pages], jnp.int32)
@@ -587,7 +589,8 @@ class SpeculativeServingEngine(ServingEngine):
             greedy_j = jnp.asarray(greedy)
 
             (drafts_j, q_j, self.dpool.k_pages, self.dpool.v_pages,
-             self.dpool.k_scales, self.dpool.v_scales) = self._dmulti_sampled(
+             self.dpool.k_scales, self.dpool.v_scales) = self._primed_call(
+                "dmulti_sampled", self._dmulti_sampled,
                 self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
                 self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
                 tables_j, jnp.asarray(pos0), jnp.asarray(live),
@@ -597,7 +600,8 @@ class SpeculativeServingEngine(ServingEngine):
 
             verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
             (tlogits, self.pool.k_pages, self.pool.v_pages,
-             self.pool.k_scales, self.pool.v_scales) = self._verify(
+             self.pool.k_scales, self.pool.v_scales) = self._primed_call(
+                "verify", self._verify,
                 self.params, jnp.asarray(verify_in), self.pool.k_pages,
                 self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
                 tables_j, jnp.asarray(pos0), jnp.asarray(live),
@@ -612,7 +616,8 @@ class SpeculativeServingEngine(ServingEngine):
             # step on device; the last iteration only lands d_gamma's KV,
             # mirroring SpeculativeGenerator). One host sync for the block.
             (drafts_j, self.dpool.k_pages, self.dpool.v_pages,
-             self.dpool.k_scales, self.dpool.v_scales) = self._dmulti(
+             self.dpool.k_scales, self.dpool.v_scales) = self._primed_call(
+                "dmulti", self._dmulti,
                 self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
                 self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
                 tables_j, jnp.asarray(pos0), jnp.asarray(live),
@@ -622,7 +627,8 @@ class SpeculativeServingEngine(ServingEngine):
             # --- target verify: one batched (gamma+1)-token paged forward ---
             verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
             (tlogits, self.pool.k_pages, self.pool.v_pages,
-             self.pool.k_scales, self.pool.v_scales) = self._verify(
+             self.pool.k_scales, self.pool.v_scales) = self._primed_call(
+                "verify", self._verify,
                 self.params, jnp.asarray(verify_in), self.pool.k_pages,
                 self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
                 tables_j, jnp.asarray(pos0), jnp.asarray(live),

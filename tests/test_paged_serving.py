@@ -188,6 +188,45 @@ def test_paged_quantized_kv_matches_quantized_generator(compressed, rng):
         assert got[rid] == w, f"request {rid}: {got[rid]} != {w}"
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_paged_quantized_weights_match_quantized_generator(compressed, rng, bits):
+    """int8/int4 WEIGHTS through the paged engine (the 7B-on-one-chip serving
+    configuration): outputs match the dense-cache Generator running the same
+    quantized params token for token, on a rank-heterogeneous plan."""
+    from grasp_tpu.ops.quant import quantize_model_weights
+
+    config, params, plan = compressed
+    qp = quantize_model_weights(params, bits=bits, group_size=16)
+    prompts = _prompts(config, rng, [5, 11])
+    max_new = 5
+
+    gen = Generator(qp, config, plan)
+    want = [gen.greedy(p, max_new) for p in prompts]
+
+    srv = ServingEngine(qp, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=4)
+    rids = [srv.submit(p, max_new) for p in prompts]
+    got = srv.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w, f"request {rid}: {got[rid]} != {w}"
+
+
+def test_quantize_consume_releases_source_tree(compressed):
+    """quantize_model_weights(consume=True) empties the source pytree (the
+    7B memory-safety path) and produces leaves identical to the plain path."""
+    import copy
+
+    from grasp_tpu.ops.quant import quantize_model_weights
+
+    config, params, plan = compressed
+    want = quantize_model_weights(params, bits=8)
+    src = copy.copy({**params, "layers": list(params["layers"])})
+    got = quantize_model_weights(src, bits=8, consume=True)
+    assert not src, "consume=True must clear the source dict"
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        assert a.dtype == b.dtype and bool((a == b).all())
+
+
 @pytest.mark.skipif(
     not any(d.platform == "tpu" for d in jax.devices()), reason="needs a real TPU"
 )
