@@ -221,6 +221,114 @@ def make_accum_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def _subtree_split(params: Params, redundant: Tuple[int, ...]):
+    """(trainable subtree {str(li): layer}, merge_fn) for the redundant layers."""
+
+    def merge(tr, base):
+        layers = list(base["layers"])
+        for li in redundant:
+            layers[li] = tr[str(li)]
+        return {**base, "layers": layers}
+
+    train = {str(li): params["layers"][li] for li in redundant}
+    return train, merge
+
+
+def make_subtree_train_step(
+    config: ModelConfig,
+    plan: ModelPlan,
+    optimizer: optax.GradientTransformation,
+    redundant_layers: List[int],
+    remat: bool = False,
+) -> Callable:
+    """make_train_step differentiating ONLY the redundant layers' subtree.
+
+    The full-tree step materializes a gradient pytree the size of the model —
+    at 7B that is a second 12.5 GiB resident for params that are ~94% frozen,
+    which cannot fit a single 16 GiB chip next to the params and optimizer
+    state. Here the loss is a function of the redundant layers alone (frozen
+    leaves are captured constants), so grads are the size of the trainable
+    subtree (~0.9 GiB at the paper config), and the frozen layers stay inside
+    scan stacks: ``split_layers=redundant`` keeps the trainable layers
+    unrolled so the stacks remain non-differentiable (models.llama.forward
+    docstring — a traced kernel inside a stack would otherwise materialize
+    model-sized zero cotangents).
+
+    The optimizer must be built WITHOUT a mask (the subtree is entirely
+    trainable) and initialized over the subtree:
+    ``optimizer.init({str(li): params['layers'][li] for li in redundant})``.
+    Updates match make_train_step's on the trainable leaves — the full-tree
+    path zeroes frozen grads before its global clip, so both clip over the
+    same norm (pinned by tests/test_recover_subtree.py).
+    """
+    redundant = tuple(sorted({int(i) for i in redundant_layers}))
+
+    def step(params, opt_state, input_ids, labels, attention_mask):
+        train, merge = _subtree_split(params, redundant)
+
+        def loss_fn(tr):
+            p = merge(tr, params)
+            logits = forward(
+                p, input_ids, config=config, plan=plan,
+                attention_mask=attention_mask, remat=remat,
+                scan_layers=True, split_layers=redundant,
+            )["logits"]
+            return hf_causal_lm_loss(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train)
+        updates, opt_state = optimizer.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return merge(train, params), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_subtree_accum_train_step(
+    config: ModelConfig,
+    plan: ModelPlan,
+    optimizer: optax.GradientTransformation,
+    redundant_layers: List[int],
+    remat: bool = False,
+) -> Callable:
+    """make_accum_train_step (token-weighted HF semantics) over the redundant
+    layers' subtree only — see make_subtree_train_step for why at 7B."""
+    redundant = tuple(sorted({int(i) for i in redundant_layers}))
+
+    def step(params, opt_state, input_ids, labels, attention_mask):
+        train, merge = _subtree_split(params, redundant)
+        n_items = jnp.maximum((labels != -100).sum(), 1).astype(jnp.float32)
+
+        def ce_sum(tr, ids, lab, am):
+            p = merge(tr, params)
+            logits = forward(
+                p, ids, config=config, plan=plan,
+                attention_mask=am, remat=remat,
+                scan_layers=True, split_layers=redundant,
+            )["logits"]
+            return hf_causal_lm_loss_sum(logits, lab)
+
+        has_mask = attention_mask is not None
+
+        def body(carry, xs):
+            g_acc, ce_acc = carry
+            am = xs[2] if has_mask else None
+            ce, g = jax.value_and_grad(ce_sum)(train, xs[0], xs[1], am)
+            return (jax.tree.map(jnp.add, g_acc, g), ce_acc + ce), None
+
+        zeros = jax.tree.map(jnp.zeros_like, train)
+        xs = (input_ids, labels) + ((attention_mask,) if has_mask else ())
+        (grads, ce_total), _ = jax.lax.scan(body, (zeros, jnp.float32(0.0)), xs)
+        grads = jax.tree.map(
+            lambda g: (g.astype(jnp.float32) / n_items).astype(g.dtype), grads
+        )
+        loss = ce_total / n_items
+        updates, opt_state = optimizer.update(grads, opt_state, train)
+        train = optax.apply_updates(train, updates)
+        return merge(train, params), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def stack_micro_batches(
     group: List[Dict[str, Any]], pad_token_id: int = 0
 ) -> Dict[str, Optional[np.ndarray]]:
@@ -360,8 +468,16 @@ def recovery_train(
     save_total_limit: int = 3,
     resume_from_checkpoint: Optional[str] = None,
     load_best_at_end: bool = True,
+    grad_scope: str = "full",
 ) -> Tuple[Params, Dict[str, Any]]:
     """Run GRASP* recovery training; returns (new_params, history).
+
+    grad_scope: "full" differentiates the whole tree with frozen grads zeroed
+    (reference-faithful bookkeeping); "layers" differentiates only the
+    redundant layers' subtree — same updates (tests/test_recover_subtree.py),
+    but gradients cost the subtree instead of the model, which is what makes
+    7B recovery fit a single 16 GiB chip. Checkpoints are scope-specific
+    (the optimizer-state pytree differs): resume with the scope that saved.
 
     train_batches: iterable of {"input_ids", "labels", "attention_mask"}
     (labels use -100 for masked positions; loss shifts internally exactly as
@@ -405,17 +521,29 @@ def recovery_train(
         raise ValueError(f"accum_mode must be token_weighted|mean, got {accum_mode!r}")
     token_weighted = accum_mode == "token_weighted" and accum_steps > 1
 
+    if grad_scope not in ("full", "layers"):
+        raise ValueError(f"grad_scope must be full|layers, got {grad_scope!r}")
     optimizer = make_optimizer(
         learning_rate=learning_rate,
         total_steps=total_steps,
         warmup_steps=min(warmup_steps, total_steps),
         accum_steps=1 if token_weighted else accum_steps,
-        mask=mask,
+        mask=None if grad_scope == "layers" else mask,
     )
-    opt_state = optimizer.init(params)
-    if token_weighted:
+    if grad_scope == "layers":
+        sub, _ = _subtree_split(params, tuple(sorted({int(i) for i in redundant_layers})))
+        opt_state = optimizer.init(sub)
+        if token_weighted:
+            train_step = make_subtree_accum_train_step(
+                config, plan, optimizer, redundant_layers, remat=remat)
+        else:
+            train_step = make_subtree_train_step(
+                config, plan, optimizer, redundant_layers, remat=remat)
+    elif token_weighted:
+        opt_state = optimizer.init(params)
         train_step = make_accum_train_step(config, plan, optimizer, remat=remat)
     else:
+        opt_state = optimizer.init(params)
         train_step = make_train_step(config, plan, optimizer, remat=remat)
     eval_step = make_eval_step(config, plan) if val_batches else None
 
