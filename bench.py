@@ -215,6 +215,21 @@ def main():
         with open(spec_rec) as f:
             details["spec_recorded"] = json.load(f)
 
+    # ---- 7B serving: recorded by scripts/bench_7b_serving.py (paged
+    # continuous batching + device decode slope for the 7B-class configs
+    # that fit one 16 GiB chip: dense int8/int4, compressed bf16/int8) ----
+    srv_rec = os.path.join(repo, "BENCH_7B_SERVING.json")
+    if os.path.exists(srv_rec):
+        with open(srv_rec) as f:
+            details["serving_7b_recorded"] = json.load(f)
+
+    # ---- 7B recovery training: recorded by scripts/bench_7b_recover.py
+    # (subtree-gradient GRASP* step time on one chip) ----
+    rec_rec = os.path.join(repo, "BENCH_7B_RECOVER.json")
+    if os.path.exists(rec_rec):
+        with open(rec_rec) as f:
+            details["recover_7b_recorded"] = json.load(f)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     vs = None
     if os.path.exists(baseline_path):
