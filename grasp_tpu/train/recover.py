@@ -234,12 +234,27 @@ def _subtree_split(params: Params, redundant: Tuple[int, ...]):
     return train, merge
 
 
+def _auto_scan_layers(params: Params, scan_layers: Optional[bool]) -> bool:
+    """Scan-over-stacked-layers is a runtime COPY of the layer params — at 7B
+    the ~10 GiB stack temp next to the 10.9 GiB params OOMs one chip, so big
+    models unroll (same 6 GB heuristic as core.engine.GraspEngine.scan_fwd).
+    Works on tracers: the decision uses static shapes only."""
+    if scan_layers is not None:
+        return scan_layers
+    layer_bytes = sum(
+        x.size * jnp.dtype(x.dtype).itemsize
+        for x in jax.tree.leaves(params["layers"])
+    )
+    return layer_bytes < 6e9
+
+
 def make_subtree_train_step(
     config: ModelConfig,
     plan: ModelPlan,
     optimizer: optax.GradientTransformation,
     redundant_layers: List[int],
     remat: bool = False,
+    scan_layers: Optional[bool] = None,
 ) -> Callable:
     """make_train_step differentiating ONLY the redundant layers' subtree.
 
@@ -265,13 +280,14 @@ def make_subtree_train_step(
 
     def step(params, opt_state, input_ids, labels, attention_mask):
         train, merge = _subtree_split(params, redundant)
+        scan = _auto_scan_layers(params, scan_layers)
 
         def loss_fn(tr):
             p = merge(tr, params)
             logits = forward(
                 p, input_ids, config=config, plan=plan,
                 attention_mask=attention_mask, remat=remat,
-                scan_layers=True, split_layers=redundant,
+                scan_layers=scan, split_layers=redundant,
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 
@@ -289,6 +305,7 @@ def make_subtree_accum_train_step(
     optimizer: optax.GradientTransformation,
     redundant_layers: List[int],
     remat: bool = False,
+    scan_layers: Optional[bool] = None,
 ) -> Callable:
     """make_accum_train_step (token-weighted HF semantics) over the redundant
     layers' subtree only — see make_subtree_train_step for why at 7B."""
@@ -297,13 +314,14 @@ def make_subtree_accum_train_step(
     def step(params, opt_state, input_ids, labels, attention_mask):
         train, merge = _subtree_split(params, redundant)
         n_items = jnp.maximum((labels != -100).sum(), 1).astype(jnp.float32)
+        scan = _auto_scan_layers(params, scan_layers)
 
         def ce_sum(tr, ids, lab, am):
             p = merge(tr, params)
             logits = forward(
                 p, ids, config=config, plan=plan,
                 attention_mask=am, remat=remat,
-                scan_layers=True, split_layers=redundant,
+                scan_layers=scan, split_layers=redundant,
             )["logits"]
             return hf_causal_lm_loss_sum(logits, lab)
 

@@ -82,9 +82,12 @@ def main(micro_bs=None, seq=None, steps=(2, 6), reps=3):
                 tr, s, acc = c
 
                 def loss_fn(tr):
+                    # scan_layers=False: the 25-layer stack temp (~10 GiB)
+                    # next to the params would OOM (recover._auto_scan_layers
+                    # makes the same call at these shapes)
                     logits = forward(
                         merge(tr, params), ids, config=config, plan=plan,
-                        remat=True, scan_layers=True,
+                        remat=True, scan_layers=False,
                         split_layers=redundant_t)["logits"]
                     return hf_causal_lm_loss(logits, labels)
 
