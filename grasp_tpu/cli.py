@@ -367,5 +367,100 @@ def evaluate_main(argv=None) -> int:
     return 0
 
 
+def serve_main(argv=None) -> int:
+    """``grasp-serve``: OpenAI-style HTTP completions over the paged engine.
+
+    Serves a grasp_tpu checkpoint (compressed or dense), a local HF dir, or a
+    random-init preset through :func:`grasp_tpu.serving.server.serve` —
+    continuous batching, optional int8/int4 weights, int8 KV pages, and
+    speculative decoding with an int8 self-draft (beyond-reference; the
+    reference has no serving surface at all — its only generation path is the
+    offline loop in tools/eval_longbench.py:337-353).
+    """
+    p = argparse.ArgumentParser(description="GRASP serving (TPU-native)")
+    p.add_argument("--model_path", type=str, required=True,
+                   help="grasp_tpu checkpoint dir, local HF dir, or preset name")
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    p.add_argument("--model_name", type=str, default=None,
+                   help="model id reported by /v1/models (default: model_path)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8", "int4"],
+                   help="weight quantization for the serving copy")
+    p.add_argument("--quantized_kv", action="store_true",
+                   help="int8 KV pages (half the decode KV traffic)")
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--num_pages", type=int, default=256)
+    p.add_argument("--page_size", type=int, default=128)
+    p.add_argument("--max_pages_per_seq", type=int, default=16)
+    p.add_argument("--chat_template", type=str, default=None,
+                   choices=[None, "llama2", "generic"],
+                   help="chat rendering for /v1/chat/completions (default: the "
+                        "tokenizer's own template, else generic)")
+    p.add_argument("--speculative", type=str, default="none", choices=["none", "int8"],
+                   help="int8: self-draft speculation (int8-quantized copy drafts, "
+                        "the served weights verify; outputs identical)")
+    p.add_argument("--gamma", type=int, default=4, help="speculation draft length")
+    p.add_argument("--log_file", type=str, default=None)
+    args = p.parse_args(argv)
+    setup_logger(args.log_file)
+    from grasp_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from grasp_tpu.data.tokenizer import load_tokenizer
+
+    meta_path = os.path.join(args.model_path, "grasp_meta.json")
+    if os.path.exists(meta_path):
+        from grasp_tpu.checkpoints import load_checkpoint
+
+        params, config, plan, _meta = load_checkpoint(args.model_path)
+        params = jax.tree.map(jnp.asarray, params)
+        tokenizer = load_tokenizer(args.tokenizer_path)
+    else:
+        config, params, tokenizer = load_model(args.model_path, dtype=args.dtype)
+        from grasp_tpu.models.llama import default_plan
+
+        plan = default_plan(config)
+        if args.tokenizer_path:
+            tokenizer = load_tokenizer(args.tokenizer_path)
+
+    serve_params = params
+    if args.quantize != "none":
+        from grasp_tpu.ops.quant import quantize_model_weights
+
+        serve_params = quantize_model_weights(params, bits=8 if args.quantize == "int8" else 4)
+
+    eos = getattr(tokenizer, "eos_token_id", None)
+    kw = dict(num_pages=args.num_pages, page_size=args.page_size,
+              max_batch=args.max_batch, max_pages_per_seq=args.max_pages_per_seq,
+              eos_token_id=eos, quantized_kv=args.quantized_kv)
+    if args.speculative == "int8":
+        from grasp_tpu.ops.quant import quantize_model_weights
+        from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
+
+        draft = quantize_model_weights(params, bits=8)
+        engine = SpeculativeServingEngine(serve_params, config, draft, config,
+                                          plan=plan, draft_plan=plan,
+                                          gamma=args.gamma, **kw)
+    else:
+        from grasp_tpu.serving.paged import ServingEngine
+
+        engine = ServingEngine(serve_params, config, plan=plan, **kw)
+
+    from grasp_tpu.serving.server import serve
+
+    serve(engine, host=args.host, port=args.port, tokenizer=tokenizer,
+          model_id=args.model_name or args.model_path,
+          chat_template=args.chat_template)
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(compress_main())

@@ -1,0 +1,441 @@
+"""HTTP serving frontend: an OpenAI-style completions API over the paged
+continuous-batching engine.
+
+Beyond-reference serving extension (the reference's only generation surface is
+an offline loop around HF ``model.generate``, tools/eval_longbench.py:337-353;
+it has no server). This module puts a network front door on
+:class:`~grasp_tpu.serving.paged.ServingEngine`:
+
+  - ``POST /v1/completions`` — OpenAI-compatible text completion (prompt as a
+    string or a list of token ids, ``max_tokens``/``temperature``/``top_k``/
+    ``top_p``/``seed``), with ``"stream": true`` serving incremental tokens as
+    Server-Sent Events;
+  - ``POST /v1/chat/completions`` — chat messages rendered through the
+    tokenizer's own chat template when it has one, else a family template
+    (:func:`render_chat`: "llama2" [INST] bracketing or a generic transcript);
+  - ``GET /v1/models`` and ``GET /health`` — model listing and live engine
+    stats (live/pending requests, free KV pages);
+  - one **scheduler thread** owns the TPU: it loops ``engine.step()`` —
+    admitting pending prompts and advancing every live row one token per
+    jitted call — while HTTP handler threads only enqueue requests and wait.
+    Requests arriving mid-flight join the running batch (continuous
+    batching); nothing recompiles per request.
+
+Design notes (TPU-first): the HTTP layer is stdlib ``http.server`` with a
+thread per connection — fine, because handlers never touch the device. All
+device work happens on the single scheduler thread, so engine state needs no
+locking beyond the submit/collect boundary (`_lock`). Token delivery is a
+per-request ``queue.Queue`` the scheduler pushes into after each step, which
+gives streaming for free and makes non-streaming a drain-until-done.
+
+Determinism matches the engine contract (docs/serving.md): greedy requests
+depend only on the prompt; sampled requests depend only on (prompt, seed) when
+a seed is given. Unseeded sampled requests fall back to the engine's
+rid-derived seed and therefore depend on arrival order.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from grasp_tpu.serving.paged import ServingEngine
+
+logger = logging.getLogger("grasp_tpu")
+
+
+class _Delivery:
+    """Per-request token stream the scheduler fills and a handler drains."""
+
+    __slots__ = ("q", "sent", "final", "error")
+
+    def __init__(self):
+        self.q: "queue.Queue[tuple]" = queue.Queue()
+        self.sent = 0          # tokens pushed so far (scheduler-side cursor)
+        self.final: Optional[List[int]] = None
+        self.error: Optional[str] = None
+
+
+class GraspServer:
+    """Scheduler + request registry around one :class:`ServingEngine`.
+
+    Drive it directly (``submit``/``iter_tokens`` — what the HTTP layer uses)
+    or through :func:`serve` for the network frontend. ``start()`` launches
+    the scheduler thread; ``close()`` stops it after the current step.
+    """
+
+    def __init__(self, engine: ServingEngine, tokenizer=None, model_id: str = "grasp-tpu",
+                 chat_template: Optional[str] = None):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_id = model_id
+        self.chat_template = chat_template  # None=auto (tokenizer template/generic)
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._deliveries: Dict[int, _Delivery] = {}
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self.started_at = time.time()
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> "GraspServer":
+        self._thread = threading.Thread(target=self._loop, name="grasp-scheduler",
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        with self._wake:
+            self._stop = True
+            self._wake.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # -- request path --------------------------------------------------------
+    def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
+               top_k: int = 0, top_p: float = 1.0,
+               seed: Optional[int] = None) -> tuple:
+        """Enqueue one request; returns (rid, delivery). Raises ValueError on
+        requests the engine could never admit (too many pages, bad top_k)."""
+        with self._wake:
+            rid = self.engine.submit(prompt_ids, max_new_tokens,
+                                     temperature=temperature, top_k=top_k,
+                                     top_p=top_p, seed=seed)
+            d = _Delivery()
+            self._deliveries[rid] = d
+            self._wake.notify_all()
+        return rid, d
+
+    def iter_tokens(self, delivery: _Delivery, timeout: float = 600.0):
+        """Yield token ids as the scheduler produces them; returns on done."""
+        deadline = time.time() + timeout
+        while True:
+            try:
+                kind, val = delivery.q.get(timeout=max(0.0, deadline - time.time()))
+            except queue.Empty:
+                raise TimeoutError("generation timed out") from None
+            if kind == "tok":
+                yield val
+            elif kind == "done":
+                return
+            else:  # "err"
+                raise RuntimeError(val)
+
+    def wait(self, delivery: _Delivery, timeout: float = 600.0) -> List[int]:
+        """Drain a delivery to completion; returns the full output ids."""
+        out: List[int] = []
+        for tok in self.iter_tokens(delivery, timeout=timeout):
+            out.append(tok)
+        return delivery.final if delivery.final is not None else out
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            live = sum(1 for r in self.engine._live if r is not None)
+            pending = len(self.engine._pending)
+            free = self.engine.pool.free_pages
+        return {"status": "ok", "model": self.model_id, "live": live,
+                "pending": pending, "free_pages": free,
+                "uptime_s": round(time.time() - self.started_at, 1)}
+
+    # -- scheduler -----------------------------------------------------------
+    def _loop(self) -> None:
+        while True:
+            with self._wake:
+                while not self._stop and not self.engine.has_work():
+                    self._wake.wait(timeout=0.05)
+                if self._stop:
+                    for d in self._deliveries.values():
+                        if d.final is None:
+                            d.q.put(("err", "server shutting down"))
+                    self._deliveries.clear()
+                    return
+                try:
+                    self.engine.step()
+                except Exception as e:  # engine failure must not kill delivery
+                    logger.exception("engine.step failed")
+                    for d in self._deliveries.values():
+                        if d.final is None:
+                            d.q.put(("err", f"{type(e).__name__}: {e}"))
+                    self._deliveries.clear()
+                    continue
+                # push live rows' new tokens (streaming), then finished rows
+                for r in self.engine._live:
+                    if r is None:
+                        continue
+                    d = self._deliveries.get(r.rid)
+                    if d is None:
+                        continue
+                    while d.sent < len(r.out):
+                        d.q.put(("tok", int(r.out[d.sent])))
+                        d.sent += 1
+                for rid, out in self.engine.collect().items():
+                    d = self._deliveries.pop(rid, None)
+                    if d is None:
+                        continue
+                    while d.sent < len(out):
+                        d.q.put(("tok", int(out[d.sent])))
+                        d.sent += 1
+                    d.final = list(out)
+                    d.q.put(("done", None))
+
+
+# ---------------------------------------------------------------------------
+# Chat templating
+# ---------------------------------------------------------------------------
+
+
+def render_chat(messages: List[Dict[str, str]], tokenizer=None,
+                template: Optional[str] = None) -> List[int]:
+    """Render an OpenAI-style messages list to prompt token ids.
+
+    template=None auto-selects: a HF tokenizer with a chat template uses
+    ``apply_chat_template(add_generation_prompt=True)``; otherwise the
+    "generic" plain transcript. "llama2" renders the LLaMA-2-chat [INST]
+    format (same bracketing as the reference's LongBench wrapper for the
+    llama2 family, tools/eval_longbench.py:293-294, extended to multi-turn).
+    """
+    for m in messages:
+        if not isinstance(m, dict) or "role" not in m or "content" not in m:
+            raise ValueError("each message needs 'role' and 'content'")
+        if m["role"] not in ("system", "user", "assistant"):
+            raise ValueError(f"unknown role {m['role']!r}")
+
+    if template is None and tokenizer is not None and \
+            getattr(tokenizer, "chat_template", None) and \
+            hasattr(tokenizer, "apply_chat_template"):
+        return list(tokenizer.apply_chat_template(messages, tokenize=True,
+                                                  add_generation_prompt=True))
+
+    if template == "llama2":
+        # [INST] blocks pair (user, assistant) turns; the system prompt rides
+        # inside the first block's <<SYS>> section
+        sys_txt = ""
+        turns = [m for m in messages if m["role"] != "system"]
+        for m in messages:
+            if m["role"] == "system":
+                sys_txt = f"<<SYS>>\n{m['content']}\n<</SYS>>\n\n"
+        text, pending = "", sys_txt
+        for m in turns:
+            if m["role"] == "user":
+                pending += m["content"]
+            else:
+                text += f"[INST] {pending} [/INST] {m['content']} "
+                pending = ""
+        if pending:
+            text += f"[INST] {pending} [/INST]"
+        else:
+            text = text.rstrip()
+    else:  # generic plain transcript (vicuna-style roles)
+        lines = []
+        for m in messages:
+            role = {"system": "SYSTEM", "user": "USER", "assistant": "ASSISTANT"}[m["role"]]
+            lines.append(f"{role}: {m['content']}")
+        text = "\n".join(lines) + "\nASSISTANT:"
+
+    if tokenizer is None:
+        raise ValueError("chat completions need a tokenizer")
+    return tokenizer.encode(text, add_special_tokens=True)
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+
+def _usage(prompt_ids: List[int], out: List[int]) -> Dict[str, int]:
+    return {"prompt_tokens": len(prompt_ids), "completion_tokens": len(out),
+            "total_tokens": len(prompt_ids) + len(out)}
+
+
+def _completion_body(server: GraspServer, rid: int, prompt_ids: List[int],
+                     ids: List[int], finish: str) -> Dict[str, Any]:
+    text = ""
+    if server.tokenizer is not None:
+        text = server.tokenizer.decode(ids, skip_special_tokens=True)
+    return {
+        "id": f"cmpl-{rid}",
+        "object": "text_completion",
+        "created": int(time.time()),
+        "model": server.model_id,
+        "choices": [{"text": text, "index": 0, "token_ids": ids,
+                     "logprobs": None, "finish_reason": finish}],
+        "usage": _usage(prompt_ids, ids),
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "grasp-tpu"
+    grasp: GraspServer = None  # set by serve()
+
+    # quiet the default per-request stderr lines; route through logging
+    def log_message(self, fmt, *args):  # pragma: no cover - logging detail
+        logger.debug("http: " + fmt, *args)
+
+    def _json(self, code: int, obj: Dict[str, Any]) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        g = self.grasp
+        if self.path == "/health":
+            return self._json(200, g.stats())
+        if self.path == "/v1/models":
+            return self._json(200, {"object": "list", "data": [
+                {"id": g.model_id, "object": "model", "owned_by": "grasp-tpu"}]})
+        return self._json(404, {"error": {"message": f"no route {self.path}"}})
+
+    def do_POST(self):  # noqa: N802
+        g = self.grasp
+        chat = self.path in ("/v1/chat/completions", "/chat/completions")
+        if not chat and self.path not in ("/v1/completions", "/completions"):
+            return self._json(404, {"error": {"message": f"no route {self.path}"}})
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return self._json(400, {"error": {"message": "invalid JSON body"}})
+
+        if chat:
+            messages = req.get("messages")
+            if not isinstance(messages, list) or not messages:
+                return self._json(400, {"error": {"message": "messages must be a non-empty list"}})
+            try:
+                ids = render_chat(messages, tokenizer=g.tokenizer,
+                                  template=g.chat_template)
+            except (ValueError, TypeError, KeyError) as e:
+                return self._json(400, {"error": {"message": str(e)}})
+        else:
+            prompt = req.get("prompt", "")
+            if isinstance(prompt, str):
+                if g.tokenizer is None:
+                    return self._json(400, {"error": {
+                        "message": "string prompt needs a tokenizer; send token ids"}})
+                ids = g.tokenizer.encode(prompt, add_special_tokens=True)
+            elif isinstance(prompt, list) and all(isinstance(t, int) for t in prompt):
+                ids = prompt
+            else:
+                return self._json(400, {"error": {
+                    "message": "prompt must be a string or a list of token ids"}})
+        if not ids:
+            return self._json(400, {"error": {"message": "empty prompt"}})
+
+        try:
+            max_new = int(req.get("max_tokens", 16))
+            temperature = float(req.get("temperature", 0.0))
+            top_k = int(req.get("top_k", 0))
+            top_p = float(req.get("top_p", 1.0))
+            seed = req.get("seed")
+            seed = int(seed) if seed is not None else None
+            stream = bool(req.get("stream", False))
+        except (TypeError, ValueError):
+            return self._json(400, {"error": {"message": "bad sampling parameter"}})
+
+        try:
+            rid, delivery = g.submit(ids, max_new, temperature=temperature,
+                                     top_k=top_k, top_p=top_p, seed=seed)
+        except (ValueError, MemoryError) as e:
+            return self._json(400, {"error": {"message": str(e)}})
+
+        timeout = float(req.get("timeout_s", 600.0))
+        if not stream:
+            try:
+                out = g.wait(delivery, timeout=timeout)
+            except (TimeoutError, RuntimeError) as e:
+                return self._json(500, {"error": {"message": str(e)}})
+            finish = "stop" if (g.engine.eos is not None and out and
+                                out[-1] == g.engine.eos) else "length"
+            if chat:
+                text = ""
+                if g.tokenizer is not None:
+                    text = g.tokenizer.decode(out, skip_special_tokens=True)
+                return self._json(200, {
+                    "id": f"chatcmpl-{rid}", "object": "chat.completion",
+                    "created": int(time.time()), "model": g.model_id,
+                    "choices": [{"index": 0, "finish_reason": finish,
+                                 "message": {"role": "assistant", "content": text,
+                                             "token_ids": out}}],
+                    "usage": _usage(ids, out)})
+            return self._json(200, _completion_body(g, rid, ids, out, finish))
+
+        # SSE streaming: one data: chunk per token, then [DONE]
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        out: List[int] = []
+        try:
+            for tok in g.iter_tokens(delivery, timeout=timeout):
+                out.append(tok)
+                piece = ""
+                if g.tokenizer is not None:
+                    piece = g.tokenizer.decode([tok], skip_special_tokens=True)
+                if chat:
+                    chunk = {"id": f"chatcmpl-{rid}", "object": "chat.completion.chunk",
+                             "model": g.model_id,
+                             "choices": [{"index": 0, "finish_reason": None,
+                                          "delta": {"content": piece,
+                                                    "token_ids": [tok]}}]}
+                else:
+                    chunk = {"id": f"cmpl-{rid}", "object": "text_completion",
+                             "model": g.model_id,
+                             "choices": [{"text": piece, "index": 0,
+                                          "token_ids": [tok], "finish_reason": None}]}
+                self.wfile.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                self.wfile.flush()
+        except (TimeoutError, RuntimeError) as e:
+            err = {"error": {"message": str(e)}}
+            self.wfile.write(f"data: {json.dumps(err)}\n\n".encode())
+        except BrokenPipeError:  # client went away; tokens keep generating
+            return
+        finish = "stop" if (g.engine.eos is not None and out and
+                            out[-1] == g.engine.eos) else "length"
+        if chat:
+            final = {"id": f"chatcmpl-{rid}", "object": "chat.completion.chunk",
+                     "model": g.model_id,
+                     "choices": [{"index": 0, "delta": {},
+                                  "finish_reason": finish}]}
+        else:
+            final = {"id": f"cmpl-{rid}", "object": "text_completion",
+                     "model": g.model_id,
+                     "choices": [{"text": "", "index": 0, "token_ids": [],
+                                  "finish_reason": finish}]}
+        try:
+            self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+        except BrokenPipeError:
+            pass
+
+
+def serve(engine: ServingEngine, host: str = "127.0.0.1", port: int = 8000,
+          tokenizer=None, model_id: str = "grasp-tpu",
+          chat_template: Optional[str] = None, block: bool = True):
+    """Start the scheduler + HTTP server. With ``block=False`` returns
+    ``(GraspServer, ThreadingHTTPServer, thread)`` for embedding/tests —
+    call ``httpd.shutdown()`` then ``gserver.close()`` to stop."""
+    gserver = GraspServer(engine, tokenizer=tokenizer, model_id=model_id,
+                          chat_template=chat_template).start()
+    handler = type("BoundHandler", (_Handler,), {"grasp": gserver})
+    httpd = ThreadingHTTPServer((host, port), handler)
+    httpd.daemon_threads = True
+    logger.info("serving %s on http://%s:%d", model_id, host, httpd.server_address[1])
+    if block:
+        try:
+            httpd.serve_forever()
+        finally:
+            gserver.close()
+        return None
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return gserver, httpd, t

@@ -160,3 +160,20 @@ def test_recovery_train_bad_grad_scope(compressed):
     with pytest.raises(ValueError):
         recovery_train(_copy(params0), config, plan, REDUNDANT, [],
                        grad_scope="nope")
+
+
+def test_auto_scan_layers_decision(compressed):
+    """Big layer stacks unroll (the 7B stack-temp OOM guard); small models
+    scan; an explicit scan_layers always wins over the heuristic."""
+    from grasp_tpu.train.recover import _auto_scan_layers
+
+    config, params, plan = compressed
+    assert _auto_scan_layers(params, None) is True      # tiny: KBs of layers
+    assert _auto_scan_layers(params, False) is False    # explicit override
+    assert _auto_scan_layers(params, True) is True
+
+    # a fake >6 GB layer stack (shape metadata only — jax.eval_shape, no
+    # allocation) must flip the decision to unroll
+    big = {"layers": [{"w": jax.ShapeDtypeStruct((40000, 40000), jnp.bfloat16)}
+                      for _ in range(3)]}
+    assert _auto_scan_layers(big, None) is False

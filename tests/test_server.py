@@ -1,0 +1,237 @@
+"""HTTP serving frontend (grasp_tpu/serving/server.py).
+
+Correctness gate: completions served over HTTP are token-identical to driving
+the ServingEngine directly — for greedy and for seeded sampling, under
+concurrent requests, streamed and unstreamed. The reference has no serving
+surface (its only generation path is the offline loop in
+tools/eval_longbench.py:337-353); this pins the beyond-parity one.
+"""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from grasp_tpu.configs import GraspConfig, ModelConfig
+from grasp_tpu.core.engine import GraspEngine
+from grasp_tpu.data.tokenizer import ByteTokenizer
+from grasp_tpu.models import init_params
+from grasp_tpu.serving import ServingEngine
+from grasp_tpu.serving.server import serve
+
+
+@pytest.fixture(scope="module")
+def compressed():
+    config = ModelConfig.tiny(num_hidden_layers=3, vocab_size=512)
+    engine = GraspEngine(init_params(jax.random.PRNGKey(0), config), config)
+    rng = np.random.default_rng(7)
+    batches = [{
+        "input_ids": jnp.asarray(rng.integers(0, config.vocab_size, (1, 16))),
+        "labels": jnp.asarray(rng.integers(0, config.vocab_size, (1, 16))),
+    }]
+    engine.run(batches, GraspConfig(num_prune_layers=1, compression_ratio=0.4))
+    return config, engine.params, engine.plan
+
+
+def _engine(config, params, plan):
+    return ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                         max_batch=4, max_pages_per_seq=4)
+
+
+@pytest.fixture(scope="module")
+def server(compressed):
+    config, params, plan = compressed
+    gserver, httpd, thread = serve(_engine(config, params, plan), port=0,
+                                   tokenizer=ByteTokenizer(config.vocab_size),
+                                   model_id="tiny-test", block=False)
+    yield httpd.server_address[1]
+    httpd.shutdown()
+    gserver.close()
+
+
+def _post(port, body, path="/v1/completions"):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, json.loads(data)
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, json.loads(data)
+
+
+def test_greedy_completion_matches_engine(server, compressed, rng):
+    config, params, plan = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(9,)).astype(int).tolist()
+
+    direct = _engine(config, params, plan)
+    rid = direct.submit(np.asarray(prompt, np.int32), 6)
+    want = direct.run()[rid]
+
+    status, out = _post(server, {"prompt": prompt, "max_tokens": 6})
+    assert status == 200
+    choice = out["choices"][0]
+    assert choice["token_ids"] == want
+    assert choice["finish_reason"] in ("length", "stop")
+    assert out["object"] == "text_completion"
+
+
+def test_concurrent_mixed_sampling_matches_engine(server, compressed, rng):
+    """Concurrent greedy + seeded-sampled requests over HTTP reproduce a
+    fresh engine run with the same explicit seeds (order-independent)."""
+    config, params, plan = compressed
+    prompts = [rng.integers(1, config.vocab_size, size=(n,)).astype(int).tolist()
+               for n in (5, 12, 8)]
+    kws = [dict(max_tokens=5),
+           dict(max_tokens=5, temperature=0.8, top_k=8, seed=123),
+           dict(max_tokens=5, temperature=1.1, top_p=0.9, seed=7)]
+
+    direct = _engine(config, params, plan)
+    want = {}
+    for p, kw in zip(prompts, kws):
+        rid = direct.submit(np.asarray(p, np.int32), kw["max_tokens"],
+                            temperature=kw.get("temperature", 0.0),
+                            top_k=kw.get("top_k", 0), top_p=kw.get("top_p", 1.0),
+                            seed=kw.get("seed"))
+        want[rid] = None
+    got_direct = direct.run()
+    want = [got_direct[r] for r in sorted(got_direct)]
+
+    results = [None] * len(prompts)
+
+    def worker(i):
+        status, out = _post(server, {"prompt": prompts[i], **kws[i]})
+        assert status == 200
+        results[i] = out["choices"][0]["token_ids"]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert results == want
+
+
+def test_streaming_matches_nonstream(server, compressed, rng):
+    config, _, _ = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(7,)).astype(int).tolist()
+    _, plain = _post(server, {"prompt": prompt, "max_tokens": 5})
+    want = plain["choices"][0]["token_ids"]
+
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=300)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({"prompt": prompt, "max_tokens": 5, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type", "").startswith("text/event-stream")
+    ids, finish, done = [], None, False
+    for raw in resp.read().decode().splitlines():
+        if not raw.startswith("data: "):
+            continue
+        payload = raw[len("data: "):]
+        if payload == "[DONE]":
+            done = True
+            break
+        chunk = json.loads(payload)
+        assert "error" not in chunk, chunk
+        ids.extend(chunk["choices"][0]["token_ids"])
+        finish = chunk["choices"][0]["finish_reason"]
+    conn.close()
+    assert done and ids == want and finish in ("length", "stop")
+
+
+def test_string_prompt_roundtrips_through_tokenizer(server):
+    status, out = _post(server, {"prompt": "hello tpu", "max_tokens": 4})
+    assert status == 200
+    choice = out["choices"][0]
+    assert len(choice["token_ids"]) == 4
+    assert isinstance(choice["text"], str)
+
+
+def test_health_models_and_errors(server):
+    status, health = _get(server, "/health")
+    assert status == 200 and health["status"] == "ok" and health["model"] == "tiny-test"
+    assert health["free_pages"] > 0
+
+    status, models = _get(server, "/v1/models")
+    assert status == 200 and models["data"][0]["id"] == "tiny-test"
+
+    status, err = _get(server, "/nope")
+    assert status == 404 and "error" in err
+
+    status, err = _post(server, {"prompt": [0.5, "x"], "max_tokens": 4})
+    assert status == 400 and "error" in err
+
+    status, err = _post(server, {"prompt": [], "max_tokens": 4})
+    assert status == 400 and "error" in err
+
+    # a request the engine could never admit is rejected at submit, not hung
+    status, err = _post(server, {"prompt": list(range(1, 30)), "max_tokens": 500})
+    assert status == 400 and "pages" in err["error"]["message"]
+
+
+def test_chat_completions_matches_engine(server, compressed):
+    """/v1/chat/completions renders the generic transcript template (the
+    ByteTokenizer has no chat template) and generates exactly like submitting
+    the rendered ids directly."""
+    from grasp_tpu.serving.server import render_chat
+
+    config, params, plan = compressed
+    tok = ByteTokenizer(config.vocab_size)
+    # short conversation: the test pool caps a sequence at 4x8 = 32 tokens
+    messages = [{"role": "user", "content": "hi"}]
+    ids = render_chat(messages, tokenizer=tok)
+    assert tok.decode(ids).endswith("ASSISTANT:")
+
+    direct = _engine(config, params, plan)
+    rid = direct.submit(np.asarray(ids, np.int32), 5)
+    want = direct.run()[rid]
+
+    status, out = _post(server, {"messages": messages, "max_tokens": 5},
+                        path="/v1/chat/completions")
+    assert status == 200
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant" and msg["token_ids"] == want
+
+    status, err = _post(server, {"messages": [{"role": "robot", "content": "x"}]},
+                        path="/v1/chat/completions")
+    assert status == 400 and "role" in err["error"]["message"]
+
+    status, err = _post(server, {"messages": []}, path="/v1/chat/completions")
+    assert status == 400
+
+
+def test_render_chat_llama2_template():
+    from grasp_tpu.serving.server import render_chat
+
+    tok = ByteTokenizer(512)
+    messages = [{"role": "system", "content": "S"},
+                {"role": "user", "content": "a"},
+                {"role": "assistant", "content": "b"},
+                {"role": "user", "content": "c"}]
+    text = tok.decode(render_chat(messages, tokenizer=tok, template="llama2"))
+    assert text == "[INST] <<SYS>>\nS\n<</SYS>>\n\na [/INST] b [INST] c [/INST]"
+
+
+def test_usage_accounting(server, compressed, rng):
+    config, _, _ = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(6,)).astype(int).tolist()
+    status, out = _post(server, {"prompt": prompt, "max_tokens": 4})
+    assert status == 200
+    assert out["usage"] == {"prompt_tokens": 6, "completion_tokens": 4,
+                            "total_tokens": 10}
