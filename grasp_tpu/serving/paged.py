@@ -301,8 +301,7 @@ def _make_sampler(max_k: int):
     decode step, same dispatch count as the argmax it replaces.
     """
 
-    @jax.jit
-    def sample(logits, keys, temps, ks, top_ps, greedy):
+    def pick(logits, keys, temps, ks, top_ps, greedy):
         from grasp_tpu.eval.generate import topk_topp_filter
 
         scaled = logits.astype(jnp.float32) / temps[:, None]
@@ -310,16 +309,32 @@ def _make_sampler(max_k: int):
         sampled = jax.vmap(jax.random.categorical)(keys, filt).astype(jnp.int32)
         return jnp.where(greedy, jnp.argmax(logits, axis=-1).astype(jnp.int32), sampled)
 
-    return sample
+    @jax.jit
+    def sample(logits, keys, temps, ks, top_ps, greedy):
+        return pick(logits, keys, temps, ks, top_ps, greedy)
+
+    @jax.jit
+    def sample_lp(logits, keys, temps, ks, top_ps, greedy):
+        """Same token choice (identical math), plus the MODEL's raw
+        log-probabilities for the chosen token and the top-_MAX_LOGPROBS
+        alternatives (OpenAI `logprobs` semantics: the unfiltered, untempered
+        distribution — sampling filters affect the pick, not the report)."""
+        toks = pick(logits, keys, temps, ks, top_ps, greedy)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        chosen = jnp.take_along_axis(lp, toks[:, None].astype(jnp.int32), -1)[:, 0]
+        top_lps, top_ids = jax.lax.top_k(lp, _MAX_LOGPROBS)
+        return toks, chosen, top_ids.astype(jnp.int32), top_lps
+
+    return sample, sample_lp
 
 
 class _Request:
     __slots__ = ("rid", "prompt", "pages", "pos", "out", "max_new", "done", "row",
                  "temperature", "top_k", "top_p", "seed", "emitted_steps",
-                 "freed_pages", "reserved")
+                 "freed_pages", "reserved", "logprobs", "lp")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0, top_p=1.0,
-                 seed=0):
+                 seed=0, logprobs=0):
         self.rid = rid
         self.prompt = np.asarray(prompt).reshape(-1).astype(np.int32)
         self.pages: List[int] = []
@@ -335,13 +350,19 @@ class _Request:
         self.emitted_steps = 0  # PRNG stream position (fold_in per pick)
         self.freed_pages = 0    # leading logical pages recycled (sliding window)
         self.reserved = 0       # pages reserved against the pool (lazy mode)
+        self.logprobs = int(logprobs)  # top-N logprobs per token (0 = off)
+        self.lp: List[tuple] = []      # (chosen_lp, top_ids, top_lps) per out tok
 
     @property
     def greedy(self) -> bool:
         return self.temperature == 0.0 or self.top_k == 1
 
 
-_sample_tokens = _make_sampler(_MAX_TOP_K)  # shared across engines (one jit)
+_MAX_LOGPROBS = 8  # static top-N cap for the logprob-reporting sampler
+
+# shared across engines (one jit each); the lp variant picks the identical
+# token and additionally reports model logprobs
+_sample_tokens, _sample_tokens_lp = _make_sampler(_MAX_TOP_K)
 
 
 class ServingEngine:
@@ -394,6 +415,7 @@ class ServingEngine:
         self._live: List[Optional[_Request]] = [None] * max_batch
         self._finished: List[_Request] = []
         self._next_tok = np.zeros(max_batch, np.int32)
+        self._next_lp: List[Optional[tuple]] = [None] * max_batch
         self._rid = 0
 
     def _bounded_need(self, prompt_len: int, max_new: int) -> int:
@@ -410,7 +432,8 @@ class ServingEngine:
 
     # -- public API --------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None) -> int:
+               top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None,
+               logprobs: int = 0) -> int:
         """Enqueue a request. temperature=0 (default) decodes greedily;
         otherwise temperature/top-k/top-p sampling with a per-request seed —
         rows with different settings batch together in one decode step.
@@ -418,9 +441,18 @@ class ServingEngine:
         seed=None defaults to the request id, so an *unseeded* sampled
         request's output depends on its submission order within this engine
         instance. Pass an explicit seed for output that depends only on the
-        request itself (docs/serving.md's determinism guarantee)."""
+        request itself (docs/serving.md's determinism guarantee).
+
+        logprobs=N (<= _MAX_LOGPROBS) additionally records, per emitted token,
+        the MODEL's log-probability of the chosen token and the top-N
+        alternatives (raw distribution — sampling filters affect the pick,
+        never the report); read them from the request objects returned by
+        :meth:`collect_requests`. Token choice is bit-identical with and
+        without logprobs."""
         if top_k > _MAX_TOP_K:
             raise ValueError(f"top_k={top_k} > supported max {_MAX_TOP_K}")
+        if not 0 <= logprobs <= _MAX_LOGPROBS:
+            raise ValueError(f"logprobs={logprobs} not in [0, {_MAX_LOGPROBS}]")
         p_len = len(np.asarray(prompt_ids).reshape(-1))
         need = -(-(p_len + max_new_tokens) // self.pool.page_size)
         if need > self.max_pages_per_seq:
@@ -435,11 +467,35 @@ class ServingEngine:
         self._rid += 1
         self._pending.append(_Request(self._rid, prompt_ids, max_new_tokens,
                                       temperature, top_k, top_p,
-                                      self._rid if seed is None else seed))
+                                      self._rid if seed is None else seed,
+                                      logprobs=logprobs))
         return self._rid
 
+    def cancel(self, rid: int) -> bool:
+        """Stop a request early (host-side stop sequences, client abort).
+
+        A pending request finishes empty; a live one retires with whatever it
+        has emitted so far (pages freed immediately). Either way it shows up
+        in the next collect(). Returns False if the rid is unknown (already
+        finished or collected)."""
+        for i, r in enumerate(self._pending):
+            if r.rid == rid:
+                self._pending.pop(i)
+                r.done = True
+                self._finished.append(r)
+                return True
+        for r in self._live:
+            if r is not None and r.rid == rid:
+                self._retire(r)
+                return True
+        return False
+
     def _pick_tokens(self, logits: jax.Array, reqs: List["_Request"]) -> np.ndarray:
-        """Per-row next tokens for `reqs` (row i <- logits[i])."""
+        """Per-row next tokens for `reqs` (row i <- logits[i]).
+
+        When any request wants logprobs the lp-reporting sampler runs instead
+        (identical token choice) and the picked token's logprob record parks
+        in ``self._next_lp[r.row]`` until step() emits the token."""
         b = logits.shape[0]
         temps = np.ones(b, np.float32)
         ks = np.zeros(b, np.int32)
@@ -458,18 +514,32 @@ class ServingEngine:
                 keys[i] = np.asarray(jax.random.fold_in(
                     jax.random.PRNGKey(r.seed), r.emitted_steps))
                 r.emitted_steps += 1
-        toks = _sample_tokens(
-            logits, jnp.asarray(keys), jnp.asarray(temps), jnp.asarray(ks),
-            jnp.asarray(tps), jnp.asarray(greedy),
-        )
+        args = (logits, jnp.asarray(keys), jnp.asarray(temps), jnp.asarray(ks),
+                jnp.asarray(tps), jnp.asarray(greedy))
+        if any(r is not None and r.logprobs for r in reqs):
+            toks, chosen, top_ids, top_lps = _sample_tokens_lp(*args)
+            chosen, top_ids, top_lps = (np.asarray(chosen), np.asarray(top_ids),
+                                        np.asarray(top_lps))
+            for i, r in enumerate(reqs):
+                if r is not None and r.logprobs:
+                    k = r.logprobs
+                    self._next_lp[r.row] = (float(chosen[i]),
+                                            top_ids[i, :k].tolist(),
+                                            top_lps[i, :k].tolist())
+        else:
+            toks = _sample_tokens(*args)
         return np.asarray(toks, np.int32)
 
     def has_work(self) -> bool:
         return bool(self._pending) or any(r is not None for r in self._live)
 
-    def collect(self) -> Dict[int, List[int]]:
+    def collect_requests(self) -> List["_Request"]:
+        """Drain finished requests as objects (out tokens + logprob records)."""
         done, self._finished = self._finished, []
-        return {r.rid: r.out for r in done}
+        return done
+
+    def collect(self) -> Dict[int, List[int]]:
+        return {r.rid: r.out for r in self.collect_requests()}
 
     def run(self) -> Dict[int, List[int]]:
         """Drive until all submitted requests finish; return {rid: tokens}."""
@@ -606,6 +676,8 @@ class ServingEngine:
                 self._retire(r)  # stop token is not emitted (Generator parity)
             else:
                 r.out.append(tok)
+                if r.logprobs and self._next_lp[r.row] is not None:
+                    r.lp.append(self._next_lp[r.row])
 
         tables = np.zeros((self.max_batch, self.max_pages_per_seq), np.int32)
         pos = np.zeros(self.max_batch, np.int32)
@@ -667,4 +739,5 @@ class ServingEngine:
         req.pages = []
         req.done = True
         self._live[req.row] = None
+        self._next_lp[req.row] = None  # don't leak into the row's next tenant
         self._finished.append(req)

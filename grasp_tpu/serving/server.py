@@ -54,13 +54,18 @@ logger = logging.getLogger("grasp_tpu")
 class _Delivery:
     """Per-request token stream the scheduler fills and a handler drains."""
 
-    __slots__ = ("q", "sent", "final", "error")
+    __slots__ = ("q", "sent", "final", "error", "lps", "stop", "stop_cut",
+                 "stopped")
 
-    def __init__(self):
+    def __init__(self, stop: Optional[List[str]] = None):
         self.q: "queue.Queue[tuple]" = queue.Queue()
         self.sent = 0          # tokens pushed so far (scheduler-side cursor)
         self.final: Optional[List[int]] = None
         self.error: Optional[str] = None
+        self.lps: List[tuple] = []     # (chosen_lp, top_ids, top_lps) per token
+        self.stop = stop or []         # host-side stop strings
+        self.stop_cut: Optional[int] = None  # char index of the matched stop
+        self.stopped = False           # finished via a stop string
 
 
 class GraspServer:
@@ -100,15 +105,19 @@ class GraspServer:
 
     # -- request path --------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0,
-               seed: Optional[int] = None) -> tuple:
+               top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None,
+               logprobs: int = 0, stop: Optional[List[str]] = None) -> tuple:
         """Enqueue one request; returns (rid, delivery). Raises ValueError on
-        requests the engine could never admit (too many pages, bad top_k)."""
+        requests the engine could never admit (too many pages, bad top_k).
+        stop: host-side stop strings — generation cancels when the decoded
+        output contains one (needs a tokenizer)."""
+        if stop and self.tokenizer is None:
+            raise ValueError("stop strings need a tokenizer")
         with self._wake:
             rid = self.engine.submit(prompt_ids, max_new_tokens,
                                      temperature=temperature, top_k=top_k,
-                                     top_p=top_p, seed=seed)
-            d = _Delivery()
+                                     top_p=top_p, seed=seed, logprobs=logprobs)
+            d = _Delivery(stop=stop)
             self._deliveries[rid] = d
             self._wake.notify_all()
         return rid, d
@@ -165,25 +174,36 @@ class GraspServer:
                             d.q.put(("err", f"{type(e).__name__}: {e}"))
                     self._deliveries.clear()
                     continue
-                # push live rows' new tokens (streaming), then finished rows
+                # push live rows' new tokens (streaming) and check host-side
+                # stop strings, then drain finished rows
                 for r in self.engine._live:
                     if r is None:
                         continue
                     d = self._deliveries.get(r.rid)
                     if d is None:
                         continue
-                    while d.sent < len(r.out):
-                        d.q.put(("tok", int(r.out[d.sent])))
-                        d.sent += 1
-                for rid, out in self.engine.collect().items():
-                    d = self._deliveries.pop(rid, None)
+                    self._push_new(d, r)
+                    if d.stop and not d.stopped:
+                        text = self.tokenizer.decode(r.out, skip_special_tokens=True)
+                        hits = [i for i in (text.find(s) for s in d.stop) if i >= 0]
+                        if hits:
+                            d.stop_cut, d.stopped = min(hits), True
+                            self.engine.cancel(r.rid)
+                for r in self.engine.collect_requests():
+                    d = self._deliveries.pop(r.rid, None)
                     if d is None:
                         continue
-                    while d.sent < len(out):
-                        d.q.put(("tok", int(out[d.sent])))
-                        d.sent += 1
-                    d.final = list(out)
+                    self._push_new(d, r)
+                    d.final = list(r.out)
                     d.q.put(("done", None))
+
+    @staticmethod
+    def _push_new(d: _Delivery, r) -> None:
+        while d.sent < len(r.out):
+            if r.logprobs and d.sent < len(r.lp):
+                d.lps.append(r.lp[d.sent])
+            d.q.put(("tok", int(r.out[d.sent])))
+            d.sent += 1
 
 
 # ---------------------------------------------------------------------------
@@ -254,18 +274,51 @@ def _usage(prompt_ids: List[int], out: List[int]) -> Dict[str, int]:
             "total_tokens": len(prompt_ids) + len(out)}
 
 
-def _completion_body(server: GraspServer, rid: int, prompt_ids: List[int],
-                     ids: List[int], finish: str) -> Dict[str, Any]:
+def _finish_and_text(server: GraspServer, delivery: _Delivery,
+                     out: List[int]) -> tuple:
+    """(finish_reason, text): eos or a matched stop string => "stop"; the
+    text excludes everything from the stop match on (token_ids stay raw)."""
     text = ""
     if server.tokenizer is not None:
-        text = server.tokenizer.decode(ids, skip_special_tokens=True)
+        text = server.tokenizer.decode(out, skip_special_tokens=True)
+    if delivery.stopped:
+        return "stop", text[:delivery.stop_cut]
+    eos = server.engine.eos
+    return ("stop" if (eos is not None and out and out[-1] == eos) else "length",
+            text)
+
+
+def _lp_block(server: GraspServer, delivery: _Delivery,
+              out: List[int]) -> Optional[Dict[str, Any]]:
+    """OpenAI-style logprobs: per generated token, the model's logprob of the
+    chosen token and the top-N alternatives."""
+    if not delivery.lps:
+        return None
+
+    def piece(i):
+        if server.tokenizer is None:
+            return str(i)
+        return server.tokenizer.decode([i], skip_special_tokens=True) or str(i)
+
+    return {
+        "tokens": [piece(t) for t in out[: len(delivery.lps)]],
+        "token_logprobs": [e[0] for e in delivery.lps],
+        "top_logprobs": [
+            {piece(i): lp for i, lp in zip(e[1], e[2])} for e in delivery.lps
+        ],
+    }
+
+
+def _completion_body(server: GraspServer, rid: int, prompt_ids: List[int],
+                     ids: List[int], finish: str, text: str,
+                     lp: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     return {
         "id": f"cmpl-{rid}",
         "object": "text_completion",
         "created": int(time.time()),
         "model": server.model_id,
         "choices": [{"text": text, "index": 0, "token_ids": ids,
-                     "logprobs": None, "finish_reason": finish}],
+                     "logprobs": lp, "finish_reason": finish}],
         "usage": _usage(prompt_ids, ids),
     }
 
@@ -338,12 +391,20 @@ class _Handler(BaseHTTPRequestHandler):
             seed = req.get("seed")
             seed = int(seed) if seed is not None else None
             stream = bool(req.get("stream", False))
+            logprobs = int(req.get("logprobs") or 0)
+            stop = req.get("stop")
+            if isinstance(stop, str):
+                stop = [stop]
+            if stop is not None and (not isinstance(stop, list) or len(stop) > 4
+                                     or not all(isinstance(s, str) and s for s in stop)):
+                raise ValueError
         except (TypeError, ValueError):
             return self._json(400, {"error": {"message": "bad sampling parameter"}})
 
         try:
             rid, delivery = g.submit(ids, max_new, temperature=temperature,
-                                     top_k=top_k, top_p=top_p, seed=seed)
+                                     top_k=top_k, top_p=top_p, seed=seed,
+                                     logprobs=logprobs, stop=stop)
         except (ValueError, MemoryError) as e:
             return self._json(400, {"error": {"message": str(e)}})
 
@@ -353,20 +414,18 @@ class _Handler(BaseHTTPRequestHandler):
                 out = g.wait(delivery, timeout=timeout)
             except (TimeoutError, RuntimeError) as e:
                 return self._json(500, {"error": {"message": str(e)}})
-            finish = "stop" if (g.engine.eos is not None and out and
-                                out[-1] == g.engine.eos) else "length"
+            finish, text = _finish_and_text(g, delivery, out)
+            lp = _lp_block(g, delivery, out)
             if chat:
-                text = ""
-                if g.tokenizer is not None:
-                    text = g.tokenizer.decode(out, skip_special_tokens=True)
                 return self._json(200, {
                     "id": f"chatcmpl-{rid}", "object": "chat.completion",
                     "created": int(time.time()), "model": g.model_id,
                     "choices": [{"index": 0, "finish_reason": finish,
+                                 "logprobs": lp,
                                  "message": {"role": "assistant", "content": text,
                                              "token_ids": out}}],
                     "usage": _usage(ids, out)})
-            return self._json(200, _completion_body(g, rid, ids, out, finish))
+            return self._json(200, _completion_body(g, rid, ids, out, finish, text, lp))
 
         # SSE streaming: one data: chunk per token, then [DONE]
         self.send_response(200)
@@ -398,8 +457,11 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(f"data: {json.dumps(err)}\n\n".encode())
         except BrokenPipeError:  # client went away; tokens keep generating
             return
-        finish = "stop" if (g.engine.eos is not None and out and
-                            out[-1] == g.engine.eos) else "length"
+        # streamed tokens may include (part of) a matched stop string — the
+        # match is only detectable after the tokens were already sent
+        finish = "stop" if (delivery.stopped or
+                            (g.engine.eos is not None and out and
+                             out[-1] == g.engine.eos)) else "length"
         if chat:
             final = {"id": f"chatcmpl-{rid}", "object": "chat.completion.chunk",
                      "model": g.model_id,

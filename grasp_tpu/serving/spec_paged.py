@@ -446,11 +446,18 @@ class SpeculativeServingEngine(ServingEngine):
         self.last_stats: Dict[str, float] = {"chunks": 0, "drafted": 0, "accepted": 0}
 
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
-               top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None) -> int:
+               top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None,
+               logprobs: int = 0) -> int:
         """Enqueue a request; sampled rows (temperature > 0) speculate through
         the per-row Leviathan rejection path (exact target distribution, see
         module docstring); greedy rows stay bit-identical to ServingEngine.
-        seed=None defaults to the request id (plain-engine semantics)."""
+        seed=None defaults to the request id (plain-engine semantics).
+        logprobs is not supported here: the macro-step emits accepted tokens
+        in bulk without per-token model distributions — use the plain
+        ServingEngine for logprob-reporting requests."""
+        if logprobs:
+            raise ValueError("logprobs are not supported with speculation; "
+                             "use ServingEngine")
         # reserve chunk-overshoot slack: a macro-step may write up to gamma+1
         # positions past the accepted stream before trimming
         prompt = np.asarray(prompt_ids).reshape(-1)

@@ -360,3 +360,52 @@ def test_paged64_chunk_matches_single_query(rng):
                                     tables, interpret=True)
         np.testing.assert_array_equal(
             np.asarray(got[:, c]), np.asarray(want), err_msg=f"chunk pos {c}")
+
+
+def test_logprobs_and_cancel(compressed, rng):
+    """logprobs=N never changes token choice; records are per emitted token;
+    cancel() retires live requests (pages freed) and drops pending ones."""
+    config, params, plan = compressed
+    prompts = _prompts(config, rng, [5, 9])
+
+    srv = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=4, max_pages_per_seq=4)
+    plain = [srv.submit(p, 5) for p in prompts]
+    want = srv.run()
+
+    srv2 = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                         max_batch=4, max_pages_per_seq=4)
+    rids = [srv2.submit(p, 5, logprobs=3) for p in prompts]
+    reqs = {}
+    while srv2.has_work():
+        srv2.step()
+        for r in srv2.collect_requests():
+            reqs[r.rid] = r
+    for rid, p_rid in zip(rids, plain):
+        assert reqs[rid].out == want[p_rid]  # identical choice with logprobs
+        assert len(reqs[rid].lp) == len(reqs[rid].out)
+        for chosen, top_ids, top_lps in reqs[rid].lp:
+            assert len(top_ids) == len(top_lps) == 3
+            assert chosen <= 0.0
+            # greedy row: chosen token is the top-1 alternative
+            assert abs(chosen - top_lps[0]) < 1e-5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        srv2.submit(prompts[0], 4, logprobs=99)
+
+    # cancel: live request retires with a partial stream + frees its pages
+    srv3 = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                         max_batch=1, max_pages_per_seq=4)
+    live = srv3.submit(prompts[0], 6)
+    queued = srv3.submit(prompts[1], 6)  # waits for the single row
+    for _ in range(3):
+        srv3.step()
+    assert srv3.cancel(live) and srv3.cancel(queued)
+    assert not srv3.cancel(12345)
+    done = {r.rid: r for r in srv3.collect_requests()}
+    assert 0 < len(done[live].out) < 6 + 1
+    assert done[live].out == want[plain[0]][: len(done[live].out)]
+    assert done[queued].out == []
+    srv3.step()  # no-op drain after cancels
+    assert srv3.pool.free_pages == srv3.pool.num_pages - 1

@@ -235,3 +235,52 @@ def test_usage_accounting(server, compressed, rng):
     assert status == 200
     assert out["usage"] == {"prompt_tokens": 6, "completion_tokens": 4,
                             "total_tokens": 10}
+
+
+def test_logprobs(server, compressed, rng):
+    """logprobs=N returns the model's raw log-probabilities per generated
+    token, token choice unchanged, greedy choice = top-1."""
+    import math
+
+    config, _, _ = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(6,)).astype(int).tolist()
+    _, plain = _post(server, {"prompt": prompt, "max_tokens": 4})
+    status, out = _post(server, {"prompt": prompt, "max_tokens": 4, "logprobs": 3})
+    assert status == 200
+    choice = out["choices"][0]
+    assert choice["token_ids"] == plain["choices"][0]["token_ids"]
+    lp = choice["logprobs"]
+    assert len(lp["token_logprobs"]) == len(lp["tokens"]) == 4
+    for i, (tl, tops) in enumerate(zip(lp["token_logprobs"], lp["top_logprobs"])):
+        assert len(tops) <= 3 and tl <= 0.0 and math.isfinite(tl)
+        # greedy: the chosen token's logprob IS the max
+        assert abs(tl - max(tops.values())) < 1e-5
+
+    status, err = _post(server, {"prompt": prompt, "max_tokens": 2, "logprobs": 99})
+    assert status == 400
+
+
+def test_stop_sequences(server, compressed, rng):
+    """A stop string cancels generation early; text excludes the match."""
+    config, _, _ = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(5,)).astype(int).tolist()
+    _, plain = _post(server, {"prompt": prompt, "max_tokens": 8})
+    full_ids = plain["choices"][0]["token_ids"]
+    full_text = plain["choices"][0]["text"]
+    # pick a stop string from inside the unconstrained output's text
+    printable = [c for c in full_text if c.isprintable() and c not in "\\\""]
+    if not printable:
+        import pytest as _pytest
+        _pytest.skip("byte decode produced no printable char to stop on")
+    stop = printable[len(printable) // 2]
+    status, out = _post(server, {"prompt": prompt, "max_tokens": 8, "stop": stop})
+    assert status == 200
+    choice = out["choices"][0]
+    assert choice["finish_reason"] == "stop"
+    assert stop not in choice["text"]
+    assert full_text.startswith(choice["text"])
+    assert len(choice["token_ids"]) <= len(full_ids)
+
+    # malformed stop is rejected
+    status, _ = _post(server, {"prompt": prompt, "max_tokens": 2, "stop": [1]})
+    assert status == 400
