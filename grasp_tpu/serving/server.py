@@ -88,6 +88,10 @@ class GraspServer:
         self._stop = False
         self._thread: Optional[threading.Thread] = None
         self.started_at = time.time()
+        # scheduler-thread-owned counters (read lock-free by /metrics; int
+        # reads are atomic under the GIL)
+        self.counters = {"requests_total": 0, "completions_total": 0,
+                         "tokens_generated_total": 0, "engine_steps_total": 0}
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> "GraspServer":
@@ -119,6 +123,7 @@ class GraspServer:
                                      top_p=top_p, seed=seed, logprobs=logprobs)
             d = _Delivery(stop=stop)
             self._deliveries[rid] = d
+            self.counters["requests_total"] += 1
             self._wake.notify_all()
         return rid, d
 
@@ -144,6 +149,11 @@ class GraspServer:
             out.append(tok)
         return delivery.final if delivery.final is not None else out
 
+    def cancel(self, rid: int) -> bool:
+        """Thread-safe engine cancel (client abort, failed batch cleanup)."""
+        with self._wake:
+            return self.engine.cancel(rid)
+
     def stats(self) -> Dict[str, Any]:
         with self._lock:
             live = sum(1 for r in self.engine._live if r is not None)
@@ -167,6 +177,7 @@ class GraspServer:
                     return
                 try:
                     self.engine.step()
+                    self.counters["engine_steps_total"] += 1
                 except Exception as e:  # engine failure must not kill delivery
                     logger.exception("engine.step failed")
                     for d in self._deliveries.values():
@@ -195,15 +206,16 @@ class GraspServer:
                         continue
                     self._push_new(d, r)
                     d.final = list(r.out)
+                    self.counters["completions_total"] += 1
                     d.q.put(("done", None))
 
-    @staticmethod
-    def _push_new(d: _Delivery, r) -> None:
+    def _push_new(self, d: _Delivery, r) -> None:
         while d.sent < len(r.out):
             if r.logprobs and d.sent < len(r.lp):
                 d.lps.append(r.lp[d.sent])
             d.q.put(("tok", int(r.out[d.sent])))
             d.sent += 1
+            self.counters["tokens_generated_total"] += 1
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +286,27 @@ def _usage(prompt_ids: List[int], out: List[int]) -> Dict[str, int]:
             "total_tokens": len(prompt_ids) + len(out)}
 
 
+_MAX_CHOICES = 16  # cap on len(prompts) * n per HTTP request
+
+
+def _parse_prompts(server: GraspServer, prompt) -> List[List[int]]:
+    """OpenAI prompt forms: a string, a token-id list, or a batch of either."""
+    def one(p):
+        if isinstance(p, str):
+            if server.tokenizer is None:
+                raise ValueError("string prompt needs a tokenizer; send token ids")
+            return server.tokenizer.encode(p, add_special_tokens=True)
+        if isinstance(p, list) and all(isinstance(t, int) for t in p):
+            return p
+        raise ValueError("prompt must be a string or a list of token ids")
+
+    if isinstance(prompt, list) and prompt and all(
+            isinstance(p, (str, list)) for p in prompt) and not all(
+            isinstance(t, int) for t in prompt):
+        return [one(p) for p in prompt]  # batch of prompts
+    return [one(prompt)]
+
+
 def _finish_and_text(server: GraspServer, delivery: _Delivery,
                      out: List[int]) -> tuple:
     """(finish_reason, text): eos or a matched stop string => "stop"; the
@@ -309,20 +342,6 @@ def _lp_block(server: GraspServer, delivery: _Delivery,
     }
 
 
-def _completion_body(server: GraspServer, rid: int, prompt_ids: List[int],
-                     ids: List[int], finish: str, text: str,
-                     lp: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-    return {
-        "id": f"cmpl-{rid}",
-        "object": "text_completion",
-        "created": int(time.time()),
-        "model": server.model_id,
-        "choices": [{"text": text, "index": 0, "token_ids": ids,
-                     "logprobs": lp, "finish_reason": finish}],
-        "usage": _usage(prompt_ids, ids),
-    }
-
-
 class _Handler(BaseHTTPRequestHandler):
     server_version = "grasp-tpu"
     grasp: GraspServer = None  # set by serve()
@@ -343,6 +362,20 @@ class _Handler(BaseHTTPRequestHandler):
         g = self.grasp
         if self.path == "/health":
             return self._json(200, g.stats())
+        if self.path == "/metrics":
+            s = g.stats()
+            lines = [f"grasp_{k} {v}" for k, v in g.counters.items()]
+            lines += [f"grasp_live_requests {s['live']}",
+                      f"grasp_pending_requests {s['pending']}",
+                      f"grasp_free_kv_pages {s['free_pages']}",
+                      f"grasp_uptime_seconds {s['uptime_s']}"]
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if self.path == "/v1/models":
             return self._json(200, {"object": "list", "data": [
                 {"id": g.model_id, "object": "model", "owned_by": "grasp-tpu"}]})
@@ -364,23 +397,16 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(messages, list) or not messages:
                 return self._json(400, {"error": {"message": "messages must be a non-empty list"}})
             try:
-                ids = render_chat(messages, tokenizer=g.tokenizer,
-                                  template=g.chat_template)
+                prompts = [render_chat(messages, tokenizer=g.tokenizer,
+                                       template=g.chat_template)]
             except (ValueError, TypeError, KeyError) as e:
                 return self._json(400, {"error": {"message": str(e)}})
         else:
-            prompt = req.get("prompt", "")
-            if isinstance(prompt, str):
-                if g.tokenizer is None:
-                    return self._json(400, {"error": {
-                        "message": "string prompt needs a tokenizer; send token ids"}})
-                ids = g.tokenizer.encode(prompt, add_special_tokens=True)
-            elif isinstance(prompt, list) and all(isinstance(t, int) for t in prompt):
-                ids = prompt
-            else:
-                return self._json(400, {"error": {
-                    "message": "prompt must be a string or a list of token ids"}})
-        if not ids:
+            try:
+                prompts = _parse_prompts(g, req.get("prompt", ""))
+            except ValueError as e:
+                return self._json(400, {"error": {"message": str(e)}})
+        if any(not p for p in prompts):
             return self._json(400, {"error": {"message": "empty prompt"}})
 
         try:
@@ -392,42 +418,71 @@ class _Handler(BaseHTTPRequestHandler):
             seed = int(seed) if seed is not None else None
             stream = bool(req.get("stream", False))
             logprobs = int(req.get("logprobs") or 0)
+            n = int(req.get("n", 1))
             stop = req.get("stop")
             if isinstance(stop, str):
                 stop = [stop]
             if stop is not None and (not isinstance(stop, list) or len(stop) > 4
                                      or not all(isinstance(s, str) and s for s in stop)):
                 raise ValueError
+            if n < 1 or n * len(prompts) > _MAX_CHOICES:
+                raise ValueError
         except (TypeError, ValueError):
             return self._json(400, {"error": {"message": "bad sampling parameter"}})
+        if stream and (n > 1 or len(prompts) > 1):
+            return self._json(400, {"error": {
+                "message": "stream supports a single prompt with n=1"}})
 
+        # one engine request per (prompt, sample); choice index = pi*n + j,
+        # OpenAI batch semantics. An explicit seed gives sample j seed+j
+        # (identical seeds would duplicate the sampled stream).
+        subs = []
         try:
-            rid, delivery = g.submit(ids, max_new, temperature=temperature,
-                                     top_k=top_k, top_p=top_p, seed=seed,
-                                     logprobs=logprobs, stop=stop)
+            for pi, p_ids in enumerate(prompts):
+                for j in range(n):
+                    s = seed + j if seed is not None else None
+                    rid, d = g.submit(p_ids, max_new, temperature=temperature,
+                                      top_k=top_k, top_p=top_p, seed=s,
+                                      logprobs=logprobs, stop=stop)
+                    subs.append((p_ids, rid, d))
         except (ValueError, MemoryError) as e:
+            for _, rid, _d in subs:  # don't strand the already-admitted part
+                g.cancel(rid)
             return self._json(400, {"error": {"message": str(e)}})
 
         timeout = float(req.get("timeout_s", 600.0))
         if not stream:
-            try:
-                out = g.wait(delivery, timeout=timeout)
-            except (TimeoutError, RuntimeError) as e:
-                return self._json(500, {"error": {"message": str(e)}})
-            finish, text = _finish_and_text(g, delivery, out)
-            lp = _lp_block(g, delivery, out)
-            if chat:
-                return self._json(200, {
-                    "id": f"chatcmpl-{rid}", "object": "chat.completion",
-                    "created": int(time.time()), "model": g.model_id,
-                    "choices": [{"index": 0, "finish_reason": finish,
-                                 "logprobs": lp,
-                                 "message": {"role": "assistant", "content": text,
-                                             "token_ids": out}}],
-                    "usage": _usage(ids, out)})
-            return self._json(200, _completion_body(g, rid, ids, out, finish, text, lp))
+            choices, usage = [], {"prompt_tokens": 0, "completion_tokens": 0,
+                                  "total_tokens": 0}
+            for idx, (p_ids, rid, d) in enumerate(subs):
+                try:
+                    out = g.wait(d, timeout=timeout)
+                except (TimeoutError, RuntimeError) as e:
+                    return self._json(500, {"error": {"message": str(e)}})
+                finish, text = _finish_and_text(g, d, out)
+                lp = _lp_block(g, d, out)
+                for k, v in _usage(p_ids, out).items():
+                    usage[k] += v
+                if chat:
+                    choices.append({"index": idx, "finish_reason": finish,
+                                    "logprobs": lp,
+                                    "message": {"role": "assistant",
+                                                "content": text,
+                                                "token_ids": out}})
+                else:
+                    choices.append({"text": text, "index": idx,
+                                    "token_ids": out, "logprobs": lp,
+                                    "finish_reason": finish})
+            kind = "chatcmpl" if chat else "cmpl"
+            return self._json(200, {
+                "id": f"{kind}-{subs[0][1]}",
+                "object": "chat.completion" if chat else "text_completion",
+                "created": int(time.time()), "model": g.model_id,
+                "choices": choices, "usage": usage})
 
-        # SSE streaming: one data: chunk per token, then [DONE]
+        # SSE streaming (single prompt, n=1): one data: chunk per token,
+        # then [DONE]
+        _, rid, delivery = subs[0]
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Cache-Control", "no-cache")

@@ -284,3 +284,56 @@ def test_stop_sequences(server, compressed, rng):
     # malformed stop is rejected
     status, _ = _post(server, {"prompt": prompt, "max_tokens": 2, "stop": [1]})
     assert status == 400
+
+
+def test_batched_prompts_and_n(server, compressed, rng):
+    """A list of prompts and n>1 fan out to index-ordered choices, each
+    identical to a single-prompt request with the same settings."""
+    config, _, _ = compressed
+    p1 = rng.integers(1, config.vocab_size, size=(4,)).astype(int).tolist()
+    p2 = rng.integers(1, config.vocab_size, size=(7,)).astype(int).tolist()
+
+    _, w1 = _post(server, {"prompt": p1, "max_tokens": 3})
+    _, w2 = _post(server, {"prompt": p2, "max_tokens": 3})
+    status, out = _post(server, {"prompt": [p1, p2], "max_tokens": 3})
+    assert status == 200 and len(out["choices"]) == 2
+    assert [c["index"] for c in out["choices"]] == [0, 1]
+    assert out["choices"][0]["token_ids"] == w1["choices"][0]["token_ids"]
+    assert out["choices"][1]["token_ids"] == w2["choices"][0]["token_ids"]
+    assert out["usage"]["prompt_tokens"] == 4 + 7
+    assert out["usage"]["completion_tokens"] == 6
+
+    # n=2 sampled with an explicit seed: sample j uses seed+j, so the two
+    # choices equal single requests at seed and seed+1
+    kw = {"max_tokens": 3, "temperature": 0.9, "top_k": 8}
+    _, s0 = _post(server, {"prompt": p1, "seed": 11, **kw})
+    _, s1 = _post(server, {"prompt": p1, "seed": 12, **kw})
+    status, out = _post(server, {"prompt": p1, "n": 2, "seed": 11, **kw})
+    assert status == 200
+    assert out["choices"][0]["token_ids"] == s0["choices"][0]["token_ids"]
+    assert out["choices"][1]["token_ids"] == s1["choices"][0]["token_ids"]
+
+    # caps and stream restrictions
+    status, _ = _post(server, {"prompt": p1, "n": 99})
+    assert status == 400
+    status, _ = _post(server, {"prompt": [p1, p2], "max_tokens": 2, "stream": True})
+    assert status == 400
+
+
+def test_metrics_endpoint(server, compressed, rng):
+    config, _, _ = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(4,)).astype(int).tolist()
+    _post(server, {"prompt": prompt, "max_tokens": 2})
+
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=60)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    conn.close()
+    assert resp.status == 200
+    metrics = dict(line.split(" ", 1) for line in body.strip().splitlines())
+    assert int(metrics["grasp_requests_total"]) >= 1
+    assert int(metrics["grasp_tokens_generated_total"]) >= 2
+    assert int(metrics["grasp_completions_total"]) >= 1
+    assert int(metrics["grasp_engine_steps_total"]) >= 1
+    assert int(metrics["grasp_live_requests"]) == 0
