@@ -392,6 +392,10 @@ def serve_main(argv=None) -> int:
                    help="weight quantization for the serving copy")
     p.add_argument("--quantized_kv", action="store_true",
                    help="int8 KV pages (half the decode KV traffic)")
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="share KV pages across requests with matching prompt "
+                        "prefixes (skips the shared prefix's prefill; "
+                        "bit-identical outputs; not with --speculative)")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--num_pages", type=int, default=256)
     p.add_argument("--page_size", type=int, default=128)
@@ -442,6 +446,8 @@ def serve_main(argv=None) -> int:
               max_batch=args.max_batch, max_pages_per_seq=args.max_pages_per_seq,
               eos_token_id=eos, quantized_kv=args.quantized_kv)
     if args.speculative == "int8":
+        if args.prefix_cache:
+            p.error("--prefix_cache is not supported with --speculative")
         from grasp_tpu.ops.quant import quantize_model_weights
         from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
 
@@ -452,7 +458,8 @@ def serve_main(argv=None) -> int:
     else:
         from grasp_tpu.serving.paged import ServingEngine
 
-        engine = ServingEngine(serve_params, config, plan=plan, **kw)
+        engine = ServingEngine(serve_params, config, plan=plan,
+                               prefix_cache=args.prefix_cache, **kw)
 
     from grasp_tpu.serving.server import serve
 

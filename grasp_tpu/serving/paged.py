@@ -27,6 +27,8 @@ within fp tolerance on rank-heterogeneous (GRASP-compressed) plans
 
 from __future__ import annotations
 
+import hashlib
+from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -38,6 +40,7 @@ from grasp_tpu.models.llama import (
     PROJ_ORDER,
     ModelPlan,
     Params,
+    _forward_with_cache,
     _lm_logits,
     apply_rope,
     attn_mlp_residual,
@@ -52,10 +55,19 @@ from grasp_tpu.models.llama import (
 
 
 class PagePool:
-    """Global KV page pool (device) + host-side free-list allocator.
+    """Global KV page pool (device) + host-side refcounting allocator.
 
     quantized=True stores pages int8 with per-(page-slot, head) fp32 absmax
-    scales — ~half the KV gather traffic (models.llama int8-KV scheme)."""
+    scales — ~half the KV gather traffic (models.llama int8-KV scheme).
+
+    Pages are refcounted so the prefix cache (ServingEngine prefix_cache=True)
+    can share one physical page between requests whose prompts agree on its
+    token content: ``lookup_shared`` takes an extra reference, ``free``
+    releases one, and a zero-ref page that is *registered* under a content
+    hash parks in an LRU "evictable" set instead of the free list — still
+    allocatable (``alloc`` evicts least-recently-shared first), but reusable
+    as cached KV until pool pressure reclaims it (vLLM-style automatic
+    prefix caching, re-designed for jit-static page tables)."""
 
     def __init__(self, config: ModelConfig, num_pages: int, page_size: int = 128,
                  dtype=None, quantized: bool = False):
@@ -78,18 +90,66 @@ class PagePool:
             self.k_scales = self.v_scales = None
         # page 0 is reserved as the null page unallocated table slots point at
         self._free: List[int] = list(range(num_pages - 1, 0, -1))
+        self._ref = [0] * num_pages
+        # content hash <-> page for the prefix cache; zero-ref registered
+        # pages wait here (LRU order) until re-shared or evicted by alloc
+        self._hash_to_page: Dict[bytes, int] = {}
+        self._page_to_hash: Dict[int, bytes] = {}
+        self._evictable: "OrderedDict[int, None]" = OrderedDict()
 
     def alloc(self, n: int) -> List[int]:
-        if n > len(self._free):
-            raise MemoryError(f"page pool exhausted: need {n}, have {len(self._free)} free")
-        return [self._free.pop() for _ in range(n)]
+        if n > self.free_pages:
+            raise MemoryError(
+                f"page pool exhausted: need {n}, have {self.free_pages} free")
+        out = []
+        for _ in range(n):
+            if self._free:
+                p = self._free.pop()
+            else:  # reclaim the least-recently-shared cached page
+                p, _ = self._evictable.popitem(last=False)
+                del self._hash_to_page[self._page_to_hash.pop(p)]
+            self._ref[p] = 1
+            out.append(p)
+        return out
 
     def free(self, pages: List[int]) -> None:
-        self._free.extend(p for p in pages if p > 0)
+        """Release one reference per page; a zero-ref page returns to the
+        free list, unless it is registered in the prefix cache (then it
+        parks in the evictable LRU, still counted by free_pages)."""
+        for p in pages:
+            if p <= 0:
+                continue
+            self._ref[p] -= 1
+            if self._ref[p] > 0:
+                continue
+            if p in self._page_to_hash:
+                self._evictable[p] = None
+                self._evictable.move_to_end(p)
+            else:
+                self._free.append(p)
+
+    def lookup_shared(self, key: bytes) -> Optional[int]:
+        """Page registered under `key`, with a new reference taken (the
+        caller now co-owns it and must free() it exactly once)."""
+        p = self._hash_to_page.get(key)
+        if p is None:
+            return None
+        self._ref[p] += 1
+        self._evictable.pop(p, None)
+        return p
+
+    def register(self, page: int, key: bytes) -> None:
+        """Publish a freshly written full page under its content hash. A key
+        that is already cached keeps its existing page (first writer wins —
+        both hold identical KV, so either is correct)."""
+        if key in self._hash_to_page or page in self._page_to_hash:
+            return
+        self._hash_to_page[key] = page
+        self._page_to_hash[page] = key
 
     @property
     def free_pages(self) -> int:
-        return len(self._free)
+        return len(self._free) + len(self._evictable)
 
 
 def _paged_decode_fn(config: ModelConfig, plan: ModelPlan, max_pages_per_seq: int,
@@ -378,7 +438,7 @@ class ServingEngine:
     def __init__(self, params: Params, config: ModelConfig, plan: Optional[ModelPlan] = None,
                  num_pages: int = 64, page_size: int = 128, max_batch: int = 8,
                  max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None,
-                 quantized_kv: bool = False):
+                 quantized_kv: bool = False, prefix_cache: bool = False):
         self.params = params
         self.config = config
         self.plan = plan or default_plan(config)
@@ -390,6 +450,16 @@ class ServingEngine:
                                         quantized=quantized_kv)
         self._prefill_fns: Dict[Tuple[int, int], any] = {}
         self._primed: set = set()
+        # automatic prefix caching: full prompt pages are content-hashed and
+        # shared across requests (refcounted, see PagePool); a hit skips the
+        # prefix's prefill compute — only the prompt suffix runs the model
+        # (KV at position p depends only on tokens [0, p], so shared pages
+        # are bit-identical to recomputed ones). Off by default: sharing
+        # keeps zero-ref pages parked in the pool, which changes free-page
+        # timing (never correctness).
+        self.prefix_cache = bool(prefix_cache)
+        self.prefix_tokens_saved = 0  # prefill tokens skipped via cache hits
+        self.prefix_tokens_total = 0  # prompt tokens admitted (hit-rate denom)
 
         # window used for page recycling (subclasses with a second reader —
         # the speculative draft pool — tighten this to respect both masks).
@@ -568,51 +638,110 @@ class ServingEngine:
                 pass
         return fn(*args)
 
-    def _get_prefill(self, s_pad: int, cache_len: int):
-        key = (s_pad, cache_len)
+    def _get_prefill(self, s_pad: int, cache_len: int, at: int = 0):
+        key = (s_pad, cache_len, at)
         if key not in self._prefill_fns:
             config, plan = self.config, self.plan
 
             @jax.jit
             def fn(params, ids, cache):
-                return prefill(params, ids, cache, config=config, plan=plan)
+                return _forward_with_cache(
+                    params, ids, cache, jnp.asarray(at, jnp.int32),
+                    config=config, plan=plan)
 
             self._prefill_fns[key] = fn
         return self._prefill_fns[key]
 
+    def _page_keys(self, prompt: np.ndarray, n: int) -> List[bytes]:
+        """Chained content hashes: key i covers tokens [0, (i+1)*page_size),
+        so a hit on page i implies the whole prefix through it matches."""
+        ps = self.pool.page_size
+        h = hashlib.blake2b(digest_size=16)
+        keys = []
+        for i in range(n):
+            h.update(prompt[i * ps:(i + 1) * ps].tobytes())
+            keys.append(h.digest())
+        return keys
+
     def _admit(self, req: _Request, row: int) -> None:
         """Prefill the prompt through the dense path, then scatter its KV into
-        freshly allocated pages (one bulk reshape — no per-token writes)."""
+        freshly allocated pages (one bulk reshape — no per-token writes).
+
+        With prefix_cache on, full prompt pages whose chained content hash is
+        already pooled are SHARED (refcounted, PagePool.lookup_shared) instead
+        of recomputed: the cached prefix KV gathers into the temp cache and
+        only the prompt *suffix* runs the model (_forward_with_cache at the
+        prefix offset — causal KV at position p depends only on tokens
+        [0, p], so shared pages are bit-identical to recomputed ones). The
+        last prompt token always prefills: its logits seed the first output
+        token. Newly written full pages are published for future requests."""
         ps = self.pool.page_size
         s = len(req.prompt)
         s_pad = -(-max(s, 1) // ps) * ps  # prompt rounded to whole pages
+        n_prompt_pages = s_pad // ps
+
+        shared: List[int] = []
+        keys: List[bytes] = []
+        if self.prefix_cache:
+            # only pages fully covered by the prompt can be shared, minus one
+            # token so the suffix prefill is never empty; the page decode
+            # first writes into (slot s) is private by this bound too
+            keys = self._page_keys(req.prompt, (s - 1) // ps)
+            for key in keys:
+                p = self.pool.lookup_shared(key)
+                if p is None:
+                    break
+                shared.append(p)
+            self.prefix_tokens_saved += len(shared) * ps
+            self.prefix_tokens_total += s
+        hits = len(shared)
+        prefix_len = hits * ps
+
         if self._lazy_pages:
-            need_pages = s_pad // ps  # generation pages alloc'd as reached
+            need_pages = n_prompt_pages  # generation pages alloc'd as reached
         else:
             need_pages = -(-(s + req.max_new) // ps)
-        req.pages = self.pool.alloc(need_pages)
+        try:
+            req.pages = shared + self.pool.alloc(need_pages - hits)
+        except MemoryError:
+            self.pool.free(shared)  # give back the cache references
+            raise
 
-        padded = np.zeros((1, s_pad), np.int32)
-        padded[0, :s] = req.prompt
+        suf_pad = s_pad - prefix_len
+        padded = np.zeros((1, suf_pad), np.int32)
+        padded[0, : s - prefix_len] = req.prompt[prefix_len:]
         # quantized pool: prefill over an int8 temp cache so prefill attention
         # reads the SAME quantized K/V the Generator(quantized_kv=True) path
         # does — the pool then receives those int8 values and scales verbatim
         # (requantizing an fp prefill would diverge by int8 noise)
         cache = init_kv_cache(self.config, batch=1, max_len=s_pad,
                               quantized=self.pool.quantized)
+        if hits:  # gather the cached prefix KV into the temp cache
+            sh = jnp.asarray(shared, jnp.int32)
+            planes = [("k", self.pool.k_pages), ("v", self.pool.v_pages)]
+            if self.pool.quantized:
+                planes += [("k_scale", self.pool.k_scales),
+                           ("v_scale", self.pool.v_scales)]
+            for li in range(self.config.num_hidden_layers):
+                for nm, pages in planes:
+                    pk = pages[li][:, sh]  # [nkv, hits, ps, last]
+                    cache[li][nm] = cache[li][nm].at[:, :, :prefix_len].set(
+                        pk.reshape(pk.shape[0], prefix_len, pk.shape[-1])[None])
         logits, cache = self._primed_call(
-            ("prefill", s_pad, s_pad), self._get_prefill(s_pad, s_pad),
+            ("prefill", suf_pad, s_pad, prefix_len),
+            self._get_prefill(suf_pad, s_pad, at=prefix_len),
             self.params, jnp.asarray(padded), cache)
 
-        n_prompt_pages = s_pad // ps
-        phys = jnp.asarray(req.pages[:n_prompt_pages], jnp.int32)
+        n_new = n_prompt_pages - hits
+        phys = jnp.asarray(req.pages[hits:n_prompt_pages], jnp.int32)
 
         def to_pages(arr):
-            # [1, nkv, s_pad, last] -> [n_pages, nkv, ps, last]: the scalar li
-            # + phys array are advanced indices separated by the head slice,
-            # so the page dim lands first in the indexed result
-            return (arr[0].reshape(arr.shape[1], n_prompt_pages, ps, arr.shape[-1])
-                    .transpose(1, 0, 2, 3))
+            # suffix slots [prefix_len, s_pad) of [1, nkv, s_pad, last]
+            # -> [n_new, nkv, ps, last]: the scalar li + phys array are
+            # advanced indices separated by the head slice, so the page dim
+            # lands first in the indexed result
+            a = arr[0, :, prefix_len:]
+            return a.reshape(arr.shape[1], n_new, ps, arr.shape[-1]).transpose(1, 0, 2, 3)
 
         for li in range(self.config.num_hidden_layers):
             self.pool.k_pages = self.pool.k_pages.at[li, :, phys].set(
@@ -625,13 +754,18 @@ class ServingEngine:
                 self.pool.v_scales = self.pool.v_scales.at[li, :, phys].set(
                     to_pages(cache[li]["v_scale"]))
 
+        if self.prefix_cache:  # publish the newly written full pages
+            for j in range(hits, len(keys)):
+                self.pool.register(req.pages[j], keys[j])
+
         req.pos = s
         req.row = row
         if self._lazy_pages:
             req.reserved = self._bounded_need(s, req.max_new)
             self._reserved_pages += req.reserved
         self._live[row] = req
-        self._next_tok[row] = int(self._pick_tokens(logits[:, s - 1], [req])[0])
+        self._next_tok[row] = int(
+            self._pick_tokens(logits[:, s - prefix_len - 1], [req])[0])
 
     def step(self) -> None:
         # admit pending requests into free rows (if pages suffice)

@@ -369,6 +369,10 @@ class _Handler(BaseHTTPRequestHandler):
                       f"grasp_pending_requests {s['pending']}",
                       f"grasp_free_kv_pages {s['free_pages']}",
                       f"grasp_uptime_seconds {s['uptime_s']}"]
+            if getattr(g.engine, "prefix_cache", False):
+                lines += [
+                    f"grasp_prefix_tokens_saved {g.engine.prefix_tokens_saved}",
+                    f"grasp_prefix_tokens_total {g.engine.prefix_tokens_total}"]
             body = ("\n".join(lines) + "\n").encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; version=0.0.4")

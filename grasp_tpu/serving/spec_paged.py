@@ -411,6 +411,12 @@ class SpeculativeServingEngine(ServingEngine):
                  gamma: int = 4, **kw):
         if config.vocab_size != draft_config.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
+        if kw.get("prefix_cache"):
+            # a physical page backs BOTH pools here; sharing a target page
+            # would also share its draft-pool twin, whose prefill this
+            # engine's _admit always rewrites in full — unsupported for now
+            raise ValueError("prefix_cache is not supported with speculation; "
+                             "use ServingEngine")
         super().__init__(params, config, plan=plan, **kw)
         self.gamma = int(gamma)
         self.dparams = draft_params
