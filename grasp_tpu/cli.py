@@ -396,6 +396,10 @@ def serve_main(argv=None) -> int:
                    help="share KV pages across requests with matching prompt "
                         "prefixes (skips the shared prefix's prefill; "
                         "bit-identical outputs; not with --speculative)")
+    p.add_argument("--prefill_chunk", type=int, default=None,
+                   help="admit prompts this many tokens per engine step "
+                        "(multiple of --page_size) so long prompts don't "
+                        "stall the running batch; not with --speculative")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--num_pages", type=int, default=256)
     p.add_argument("--page_size", type=int, default=128)
@@ -448,6 +452,8 @@ def serve_main(argv=None) -> int:
     if args.speculative == "int8":
         if args.prefix_cache:
             p.error("--prefix_cache is not supported with --speculative")
+        if args.prefill_chunk:
+            p.error("--prefill_chunk is not supported with --speculative")
         from grasp_tpu.ops.quant import quantize_model_weights
         from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
 
@@ -459,7 +465,8 @@ def serve_main(argv=None) -> int:
         from grasp_tpu.serving.paged import ServingEngine
 
         engine = ServingEngine(serve_params, config, plan=plan,
-                               prefix_cache=args.prefix_cache, **kw)
+                               prefix_cache=args.prefix_cache,
+                               prefill_chunk=args.prefill_chunk, **kw)
 
     from grasp_tpu.serving.server import serve
 

@@ -418,6 +418,22 @@ class _Request:
         return self.temperature == 0.0 or self.top_k == 1
 
 
+class _Admission:
+    """In-progress (possibly chunked) admission: the request, its temp
+    prefill cache, and how far the prompt has been prefilled."""
+
+    __slots__ = ("req", "row", "s_pad", "prefix_len", "keys", "cache", "filled")
+
+    def __init__(self, req, row, s_pad, prefix_len, keys, cache):
+        self.req = req
+        self.row = row
+        self.s_pad = s_pad
+        self.prefix_len = prefix_len
+        self.keys = keys
+        self.cache = cache
+        self.filled = prefix_len  # tokens already in the temp cache
+
+
 _MAX_LOGPROBS = 8  # static top-N cap for the logprob-reporting sampler
 
 # shared across engines (one jit each); the lp variant picks the identical
@@ -438,7 +454,13 @@ class ServingEngine:
     def __init__(self, params: Params, config: ModelConfig, plan: Optional[ModelPlan] = None,
                  num_pages: int = 64, page_size: int = 128, max_batch: int = 8,
                  max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None,
-                 quantized_kv: bool = False, prefix_cache: bool = False):
+                 quantized_kv: bool = False, prefix_cache: bool = False,
+                 prefill_chunk: Optional[int] = None):
+        if prefill_chunk is not None and (
+                prefill_chunk <= 0 or prefill_chunk % page_size):
+            raise ValueError(
+                f"prefill_chunk={prefill_chunk} must be a positive multiple "
+                f"of page_size={page_size}")
         self.params = params
         self.config = config
         self.plan = plan or default_plan(config)
@@ -460,6 +482,12 @@ class ServingEngine:
         self.prefix_cache = bool(prefix_cache)
         self.prefix_tokens_saved = 0  # prefill tokens skipped via cache hits
         self.prefix_tokens_total = 0  # prompt tokens admitted (hit-rate denom)
+        # chunked prefill: admission runs the prompt through the model
+        # prefill_chunk tokens per step() instead of all at once, so live
+        # rows keep decoding while a long prompt admits (no head-of-line
+        # blocking). None = whole-prompt admission (one chunk).
+        self.prefill_chunk = prefill_chunk
+        self._admitting: Dict[int, "_Admission"] = {}  # row -> in-progress
 
         # window used for page recycling (subclasses with a second reader —
         # the speculative draft pool — tighten this to respect both masks).
@@ -554,6 +582,16 @@ class ServingEngine:
                 r.done = True
                 self._finished.append(r)
                 return True
+        for row, adm in list(self._admitting.items()):
+            if adm.req.rid == rid:  # abort a chunked admission mid-prefill
+                del self._admitting[row]
+                self._reserved_pages -= adm.req.reserved
+                adm.req.reserved = 0
+                self.pool.free(adm.req.pages)
+                adm.req.pages = []
+                adm.req.done = True
+                self._finished.append(adm.req)
+                return True
         for r in self._live:
             if r is not None and r.rid == rid:
                 self._retire(r)
@@ -601,7 +639,8 @@ class ServingEngine:
         return np.asarray(toks, np.int32)
 
     def has_work(self) -> bool:
-        return bool(self._pending) or any(r is not None for r in self._live)
+        return (bool(self._pending) or bool(self._admitting)
+                or any(r is not None for r in self._live))
 
     def collect_requests(self) -> List["_Request"]:
         """Drain finished requests as objects (out tokens + logprob records)."""
@@ -638,16 +677,18 @@ class ServingEngine:
                 pass
         return fn(*args)
 
-    def _get_prefill(self, s_pad: int, cache_len: int, at: int = 0):
-        key = (s_pad, cache_len, at)
+    def _get_prefill(self, s_pad: int, cache_len: int):
+        """Prefill jit writing `s_pad` tokens at a TRACED cache offset — one
+        compile per (chunk length, cache length) serves every offset, so
+        chunked admission and prefix-cache offsets never recompile."""
+        key = (s_pad, cache_len)
         if key not in self._prefill_fns:
             config, plan = self.config, self.plan
 
             @jax.jit
-            def fn(params, ids, cache):
+            def fn(params, ids, cache, at):
                 return _forward_with_cache(
-                    params, ids, cache, jnp.asarray(at, jnp.int32),
-                    config=config, plan=plan)
+                    params, ids, cache, at, config=config, plan=plan)
 
             self._prefill_fns[key] = fn
         return self._prefill_fns[key]
@@ -664,8 +705,8 @@ class ServingEngine:
         return keys
 
     def _admit(self, req: _Request, row: int) -> None:
-        """Prefill the prompt through the dense path, then scatter its KV into
-        freshly allocated pages (one bulk reshape — no per-token writes).
+        """Admit `req` into `row`: allocate pages, prefill the prompt, scatter
+        its KV into the pages, and activate the row.
 
         With prefix_cache on, full prompt pages whose chained content hash is
         already pooled are SHARED (refcounted, PagePool.lookup_shared) instead
@@ -674,7 +715,16 @@ class ServingEngine:
         prefix offset — causal KV at position p depends only on tokens
         [0, p], so shared pages are bit-identical to recomputed ones). The
         last prompt token always prefills: its logits seed the first output
-        token. Newly written full pages are published for future requests."""
+        token. Newly written full pages are published for future requests.
+
+        With prefill_chunk set, only the first chunk runs here; the admission
+        parks in self._admitting and step() advances it one chunk per call
+        while other rows keep decoding (no head-of-line blocking)."""
+        adm = self._admit_start(req, row)
+        if not self._admit_chunk(adm):
+            self._admitting[row] = adm
+
+    def _admit_start(self, req: _Request, row: int) -> "_Admission":
         ps = self.pool.page_size
         s = len(req.prompt)
         s_pad = -(-max(s, 1) // ps) * ps  # prompt rounded to whole pages
@@ -706,10 +756,13 @@ class ServingEngine:
         except MemoryError:
             self.pool.free(shared)  # give back the cache references
             raise
+        if self._lazy_pages:
+            # reserve the row's peak demand NOW (not at activation): a
+            # chunked admission spans steps, and other admissions must see
+            # this row's claim on the pool in the meantime
+            req.reserved = self._bounded_need(s, req.max_new)
+            self._reserved_pages += req.reserved
 
-        suf_pad = s_pad - prefix_len
-        padded = np.zeros((1, suf_pad), np.int32)
-        padded[0, : s - prefix_len] = req.prompt[prefix_len:]
         # quantized pool: prefill over an int8 temp cache so prefill attention
         # reads the SAME quantized K/V the Generator(quantized_kv=True) path
         # does — the pool then receives those int8 values and scales verbatim
@@ -727,10 +780,35 @@ class ServingEngine:
                     pk = pages[li][:, sh]  # [nkv, hits, ps, last]
                     cache[li][nm] = cache[li][nm].at[:, :, :prefix_len].set(
                         pk.reshape(pk.shape[0], prefix_len, pk.shape[-1])[None])
-        logits, cache = self._primed_call(
-            ("prefill", suf_pad, s_pad, prefix_len),
-            self._get_prefill(suf_pad, s_pad, at=prefix_len),
-            self.params, jnp.asarray(padded), cache)
+        return _Admission(req, row, s_pad, prefix_len, keys, cache)
+
+    def _admit_chunk(self, adm: "_Admission") -> bool:
+        """Advance one prefill chunk; on the final chunk, scatter the prompt
+        KV into the pages and activate the row. Returns True when done."""
+        req, s = adm.req, len(adm.req.prompt)
+        s_pad, f = adm.s_pad, adm.filled
+        c = min(self.prefill_chunk or (s_pad - f), s_pad - f)
+        chunk = np.zeros((1, c), np.int32)
+        n_real = max(0, min(s, f + c) - f)
+        if n_real:
+            chunk[0, :n_real] = req.prompt[f:f + n_real]
+        logits, adm.cache = self._primed_call(
+            ("prefill", c, s_pad), self._get_prefill(c, s_pad),
+            self.params, jnp.asarray(chunk), adm.cache,
+            jnp.asarray(f, jnp.int32))
+        adm.filled = f + c
+        if adm.filled < s_pad:
+            return False
+        self._admit_finish(adm, logits, f)
+        return True
+
+    def _admit_finish(self, adm: "_Admission", logits, f: int) -> None:
+        ps = self.pool.page_size
+        req, row = adm.req, adm.row
+        s, s_pad, prefix_len = len(req.prompt), adm.s_pad, adm.prefix_len
+        hits = prefix_len // ps
+        n_prompt_pages = s_pad // ps
+        cache = adm.cache
 
         n_new = n_prompt_pages - hits
         phys = jnp.asarray(req.pages[hits:n_prompt_pages], jnp.int32)
@@ -755,22 +833,29 @@ class ServingEngine:
                     to_pages(cache[li]["v_scale"]))
 
         if self.prefix_cache:  # publish the newly written full pages
-            for j in range(hits, len(keys)):
-                self.pool.register(req.pages[j], keys[j])
+            for j in range(hits, len(adm.keys)):
+                self.pool.register(req.pages[j], adm.keys[j])
 
+        adm.cache = None  # release the temp prefill cache
         req.pos = s
         req.row = row
-        if self._lazy_pages:
-            req.reserved = self._bounded_need(s, req.max_new)
-            self._reserved_pages += req.reserved
         self._live[row] = req
+        # the final chunk [f, s_pad) always contains the last prompt token
+        # (s > s_pad - page_size >= f), whose logits seed the first output
         self._next_tok[row] = int(
-            self._pick_tokens(logits[:, s - prefix_len - 1], [req])[0])
+            self._pick_tokens(logits[:, (s - 1) - f], [req])[0])
 
     def step(self) -> None:
+        # advance in-progress chunked admissions one chunk each (live rows
+        # still decode below — long prompts never block the running batch)
+        for row, adm in list(self._admitting.items()):
+            if self._admit_chunk(adm):
+                del self._admitting[row]
+
         # admit pending requests into free rows (if pages suffice)
         for row in range(self.max_batch):
-            if self._live[row] is None and self._pending:
+            if (self._live[row] is None and row not in self._admitting
+                    and self._pending):
                 nxt = self._pending[0]
                 need = self._bounded_need(len(nxt.prompt), nxt.max_new)
                 if self._lazy_pages:

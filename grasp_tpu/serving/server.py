@@ -158,9 +158,10 @@ class GraspServer:
         with self._lock:
             live = sum(1 for r in self.engine._live if r is not None)
             pending = len(self.engine._pending)
+            admitting = len(getattr(self.engine, "_admitting", ()))
             free = self.engine.pool.free_pages
         return {"status": "ok", "model": self.model_id, "live": live,
-                "pending": pending, "free_pages": free,
+                "pending": pending, "admitting": admitting, "free_pages": free,
                 "uptime_s": round(time.time() - self.started_at, 1)}
 
     # -- scheduler -----------------------------------------------------------

@@ -417,6 +417,11 @@ class SpeculativeServingEngine(ServingEngine):
             # engine's _admit always rewrites in full — unsupported for now
             raise ValueError("prefix_cache is not supported with speculation; "
                              "use ServingEngine")
+        if kw.get("prefill_chunk"):
+            # this engine's _admit writes the draft prefill immediately after
+            # super()._admit returns — it requires whole-prompt admission
+            raise ValueError("prefill_chunk is not supported with speculation; "
+                             "use ServingEngine")
         super().__init__(params, config, plan=plan, **kw)
         self.gamma = int(gamma)
         self.dparams = draft_params
