@@ -293,18 +293,22 @@ class Generator:
 
 
 def topk_topp_filter(
-    scaled: jax.Array, ks: jax.Array, top_ps: jax.Array, max_k: int
+    scaled: jax.Array, ks: jax.Array, top_ps: jax.Array, max_k: int,
+    min_ps: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Batched HF-semantics top-k / nucleus filter — THE single filtering
-    implementation (filter_logits and the paged per-request sampler both
-    route here, so semantics cannot drift between serving paths).
+    """Batched HF-semantics top-k / nucleus / min-p filter — THE single
+    filtering implementation (filter_logits and the paged per-request sampler
+    both route here, so semantics cannot drift between serving paths).
 
     scaled: [B, V] temperature-scaled logits. ks: [B] per-row k (traced;
     0 = no top-k; capped by static max_k, which sizes lax.top_k). top_ps: [B]
     per-row nucleus threshold — keep the smallest prefix of the
     descending-prob distribution covering top_p, always at least one token
     (tokens whose cumulative mass EXCLUDING themselves is already >= top_p
-    drop). Filtered entries become -inf.
+    drop). min_ps (optional, [B], 0 = off): drop tokens whose probability is
+    below min_p * max-token-probability, HF MinPLogitsWarper semantics and
+    order (temperature -> top_k -> top_p -> min_p; the top token itself
+    always survives). Filtered entries become -inf.
     """
     neg = jnp.finfo(jnp.float32).min
     scaled = scaled.astype(jnp.float32)
@@ -318,7 +322,13 @@ def topk_topp_filter(
     drop_sorted = (jnp.cumsum(probs, axis=-1) - probs) >= top_ps[:, None]
     inv = jnp.argsort(order, axis=-1)  # scatter the mask back to vocab order
     drop = jnp.take_along_axis(drop_sorted, inv, axis=-1)
-    return jnp.where(drop, neg, filt)
+    out = jnp.where(drop, neg, filt)
+    if min_ps is not None:
+        p = jax.nn.softmax(out, axis=-1)
+        low = p < min_ps[:, None] * p.max(axis=-1, keepdims=True)
+        keep_top = out >= out.max(axis=-1, keepdims=True)  # min_tokens_to_keep=1
+        out = jnp.where(low & ~keep_top & (min_ps[:, None] > 0), neg, out)
+    return out
 
 
 def filter_logits(logits: jax.Array, top_k: int, top_p: jax.Array) -> jax.Array:

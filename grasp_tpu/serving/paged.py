@@ -388,13 +388,86 @@ def _make_sampler(max_k: int):
     return sample, sample_lp
 
 
+def apply_penalties(logits, counts, bias, pres, freq, reps):
+    """Context-dependent logit adjustments, [B, V] batched:
+
+    - ``bias``: per-row dense logit offsets (OpenAI logit_bias), added first;
+    - ``reps``: HF RepetitionPenaltyLogitsProcessor — a SEEN token's
+      (post-bias) logit divides by the penalty when >= 0, multiplies when < 0
+      (transformers logits_process.py semantics, pinned golden);
+    - ``pres``/``freq``: OpenAI presence/frequency — subtract
+      pres * [count > 0] + freq * count.
+
+    counts: [B, V] int token counts over prompt + generated tokens (vLLM
+    convention). Identity settings (bias 0, rep 1, pres/freq 0) are fp-exact
+    no-ops."""
+    l = logits.astype(jnp.float32) + bias
+    seen = counts > 0
+    pen = jnp.where(l < 0, l * reps[:, None], l / reps[:, None])
+    l = jnp.where(seen, pen, l)
+    return l - counts.astype(jnp.float32) * freq[:, None] - seen * pres[:, None]
+
+
+def _make_penalized_sampler(max_k: int):
+    """Sampler variant with per-row logit_bias, presence/frequency penalties
+    (OpenAI semantics), HF repetition_penalty, and min_p — plus the device
+    token-count bookkeeping they need.
+
+    counts/bias are [max_batch, V] engine-resident buffers; `rows` maps each
+    logits row to its engine row, `upd` masks which picks are real (stalled
+    rows must not count a discarded token). Rows at the identity settings
+    (bias 0, pres/freq 0, rep 1, min_p 0) reduce EXACTLY to the plain
+    sampler's math (x+0, x/1, x-0 are fp-exact), so mixed batches never
+    perturb unpenalized requests. Applied before temperature, HF
+    processor-then-warper order: bias -> repetition -> presence/frequency ->
+    temperature -> top_k -> top_p -> min_p. Greedy rows argmax the ADJUSTED
+    logits (penalties steer greedy decoding too, OpenAI behavior).
+    """
+
+    def pick(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
+             min_ps, pres, freq, reps, greedy):
+        from grasp_tpu.eval.generate import topk_topp_filter
+
+        adj = apply_penalties(logits, counts[rows], bias[rows], pres, freq, reps)
+        filt = topk_topp_filter(adj / temps[:, None], ks, top_ps, max_k,
+                                min_ps=min_ps)
+        sampled = jax.vmap(jax.random.categorical)(keys, filt).astype(jnp.int32)
+        toks = jnp.where(greedy, jnp.argmax(adj, axis=-1).astype(jnp.int32),
+                         sampled)
+        counts = counts.at[rows, toks].add(upd)
+        return toks, counts
+
+    @jax.jit
+    def sample(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
+               min_ps, pres, freq, reps, greedy):
+        return pick(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
+                    min_ps, pres, freq, reps, greedy)
+
+    @jax.jit
+    def sample_lp(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
+                  min_ps, pres, freq, reps, greedy):
+        """Penalized pick + the MODEL's raw logprobs (penalties and filters
+        affect the pick, never the report — plain-sampler semantics)."""
+        toks, counts = pick(logits, counts, rows, upd, bias, keys, temps, ks,
+                            top_ps, min_ps, pres, freq, reps, greedy)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        chosen = jnp.take_along_axis(lp, toks[:, None].astype(jnp.int32), -1)[:, 0]
+        top_lps, top_ids = jax.lax.top_k(lp, _MAX_LOGPROBS)
+        return toks, counts, chosen, top_ids.astype(jnp.int32), top_lps
+
+    return sample, sample_lp
+
+
 class _Request:
     __slots__ = ("rid", "prompt", "pages", "pos", "out", "max_new", "done", "row",
                  "temperature", "top_k", "top_p", "seed", "emitted_steps",
-                 "freed_pages", "reserved", "logprobs", "lp")
+                 "freed_pages", "reserved", "logprobs", "lp",
+                 "presence_penalty", "frequency_penalty", "repetition_penalty",
+                 "min_p", "logit_bias")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0, top_p=1.0,
-                 seed=0, logprobs=0):
+                 seed=0, logprobs=0, presence_penalty=0.0, frequency_penalty=0.0,
+                 repetition_penalty=1.0, min_p=0.0, logit_bias=None):
         self.rid = rid
         self.prompt = np.asarray(prompt).reshape(-1).astype(np.int32)
         self.pages: List[int] = []
@@ -412,10 +485,22 @@ class _Request:
         self.reserved = 0       # pages reserved against the pool (lazy mode)
         self.logprobs = int(logprobs)  # top-N logprobs per token (0 = off)
         self.lp: List[tuple] = []      # (chosen_lp, top_ids, top_lps) per out tok
+        self.presence_penalty = float(presence_penalty)
+        self.frequency_penalty = float(frequency_penalty)
+        self.repetition_penalty = float(repetition_penalty)
+        self.min_p = float(min_p)
+        self.logit_bias = dict(logit_bias) if logit_bias else None
 
     @property
     def greedy(self) -> bool:
         return self.temperature == 0.0 or self.top_k == 1
+
+    @property
+    def penalized(self) -> bool:
+        """Needs the penalized sampler (counts/bias device bookkeeping)."""
+        return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
+                or self.repetition_penalty != 1.0 or self.min_p > 0.0
+                or self.logit_bias is not None)
 
 
 class _Admission:
@@ -435,10 +520,12 @@ class _Admission:
 
 
 _MAX_LOGPROBS = 8  # static top-N cap for the logprob-reporting sampler
+_MAX_BIAS_ENTRIES = 300  # per-request logit_bias size cap (OpenAI's limit)
 
 # shared across engines (one jit each); the lp variant picks the identical
 # token and additionally reports model logprobs
 _sample_tokens, _sample_tokens_lp = _make_sampler(_MAX_TOP_K)
+_sample_pen, _sample_pen_lp = _make_penalized_sampler(_MAX_TOP_K)
 
 
 class ServingEngine:
@@ -488,6 +575,11 @@ class ServingEngine:
         # blocking). None = whole-prompt admission (one chunk).
         self.prefill_chunk = prefill_chunk
         self._admitting: Dict[int, "_Admission"] = {}  # row -> in-progress
+        # per-row token counts + dense logit bias for penalized sampling
+        # ([max_batch, V] device buffers), allocated on first penalized
+        # request; rows at identity settings never read their (stale) slices
+        self._counts = None
+        self._bias = None
 
         # window used for page recycling (subclasses with a second reader —
         # the speculative draft pool — tighten this to respect both masks).
@@ -531,7 +623,10 @@ class ServingEngine:
     # -- public API --------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None,
-               logprobs: int = 0) -> int:
+               logprobs: int = 0, presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0, repetition_penalty: float = 1.0,
+               min_p: float = 0.0,
+               logit_bias: Optional[Dict[int, float]] = None) -> int:
         """Enqueue a request. temperature=0 (default) decodes greedily;
         otherwise temperature/top-k/top-p sampling with a per-request seed —
         rows with different settings batch together in one decode step.
@@ -546,11 +641,39 @@ class ServingEngine:
         alternatives (raw distribution — sampling filters affect the pick,
         never the report); read them from the request objects returned by
         :meth:`collect_requests`. Token choice is bit-identical with and
-        without logprobs."""
+        without logprobs.
+
+        presence_penalty / frequency_penalty ([-2, 2], OpenAI semantics:
+        subtract pres*[seen] + freq*count), repetition_penalty (> 0, HF
+        semantics: seen tokens' logits /p if >= 0 else *p), min_p ([0, 1],
+        drop tokens below min_p * top-token probability, after top-k/top-p),
+        and logit_bias ({token_id: offset in [-100, 100]}) steer the pick —
+        greedy rows argmax the adjusted logits. Counts cover prompt +
+        generated tokens (vLLM semantics). Requests at the defaults are
+        bit-identical to the plain sampler, even batched with penalized
+        rows."""
         if top_k > _MAX_TOP_K:
             raise ValueError(f"top_k={top_k} > supported max {_MAX_TOP_K}")
         if not 0 <= logprobs <= _MAX_LOGPROBS:
             raise ValueError(f"logprobs={logprobs} not in [0, {_MAX_LOGPROBS}]")
+        if not -2.0 <= presence_penalty <= 2.0:
+            raise ValueError(f"presence_penalty={presence_penalty} not in [-2, 2]")
+        if not -2.0 <= frequency_penalty <= 2.0:
+            raise ValueError(f"frequency_penalty={frequency_penalty} not in [-2, 2]")
+        if not repetition_penalty > 0:
+            raise ValueError(f"repetition_penalty={repetition_penalty} must be > 0")
+        if not 0.0 <= min_p <= 1.0:
+            raise ValueError(f"min_p={min_p} not in [0, 1]")
+        if logit_bias is not None:
+            if len(logit_bias) > _MAX_BIAS_ENTRIES:
+                raise ValueError(f"logit_bias has {len(logit_bias)} entries "
+                                 f"(max {_MAX_BIAS_ENTRIES})")
+            for t, v in logit_bias.items():
+                if not (isinstance(t, (int, np.integer))
+                        and 0 <= t < self.config.vocab_size):
+                    raise ValueError(f"logit_bias token {t!r} out of vocab")
+                if not -100.0 <= float(v) <= 100.0:
+                    raise ValueError(f"logit_bias value {v} not in [-100, 100]")
         p_len = len(np.asarray(prompt_ids).reshape(-1))
         need = -(-(p_len + max_new_tokens) // self.pool.page_size)
         if need > self.max_pages_per_seq:
@@ -566,7 +689,11 @@ class ServingEngine:
         self._pending.append(_Request(self._rid, prompt_ids, max_new_tokens,
                                       temperature, top_k, top_p,
                                       self._rid if seed is None else seed,
-                                      logprobs=logprobs))
+                                      logprobs=logprobs,
+                                      presence_penalty=presence_penalty,
+                                      frequency_penalty=frequency_penalty,
+                                      repetition_penalty=repetition_penalty,
+                                      min_p=min_p, logit_bias=logit_bias))
         return self._rid
 
     def cancel(self, rid: int) -> bool:
@@ -603,17 +730,35 @@ class ServingEngine:
 
         When any request wants logprobs the lp-reporting sampler runs instead
         (identical token choice) and the picked token's logprob record parks
-        in ``self._next_lp[r.row]`` until step() emits the token."""
+        in ``self._next_lp[r.row]`` until step() emits the token. When any
+        LIVE request is penalized (penalties / logit_bias / min_p) the
+        penalized sampler runs for the whole batch — identity settings
+        reduce exactly to the plain math, so plain rows are unaffected."""
         b = logits.shape[0]
         temps = np.ones(b, np.float32)
         ks = np.zeros(b, np.int32)
         tps = np.ones(b, np.float32)
         greedy = np.ones(b, bool)
         keys = np.zeros((b, 2), np.uint32)
+        rows = np.zeros(b, np.int32)
+        upd = np.zeros(b, np.int32)
+        min_ps = np.zeros(b, np.float32)
+        pres = np.zeros(b, np.float32)
+        freq = np.zeros(b, np.float32)
+        reps = np.ones(b, np.float32)
+        penalized = False
         for i, r in enumerate(reqs):
             if r is None:
                 continue
+            rows[i] = r.row
+            upd[i] = 1
             greedy[i] = r.greedy
+            if r.penalized:
+                penalized = True
+                min_ps[i] = r.min_p
+                pres[i] = r.presence_penalty
+                freq[i] = r.frequency_penalty
+                reps[i] = r.repetition_penalty
             if not r.greedy:
                 temps[i] = max(r.temperature, 1e-6)
                 ks[i] = r.top_k
@@ -622,10 +767,25 @@ class ServingEngine:
                 keys[i] = np.asarray(jax.random.fold_in(
                     jax.random.PRNGKey(r.seed), r.emitted_steps))
                 r.emitted_steps += 1
-        args = (logits, jnp.asarray(keys), jnp.asarray(temps), jnp.asarray(ks),
-                jnp.asarray(tps), jnp.asarray(greedy))
-        if any(r is not None and r.logprobs for r in reqs):
-            toks, chosen, top_ids, top_lps = _sample_tokens_lp(*args)
+        want_lp = any(r is not None and r.logprobs for r in reqs)
+        if penalized:
+            args = (logits, self._counts, jnp.asarray(rows), jnp.asarray(upd),
+                    self._bias, jnp.asarray(keys), jnp.asarray(temps),
+                    jnp.asarray(ks), jnp.asarray(tps), jnp.asarray(min_ps),
+                    jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(reps),
+                    jnp.asarray(greedy))
+            if want_lp:
+                toks, self._counts, chosen, top_ids, top_lps = _sample_pen_lp(*args)
+            else:
+                toks, self._counts = _sample_pen(*args)
+        else:
+            args = (logits, jnp.asarray(keys), jnp.asarray(temps),
+                    jnp.asarray(ks), jnp.asarray(tps), jnp.asarray(greedy))
+            if want_lp:
+                toks, chosen, top_ids, top_lps = _sample_tokens_lp(*args)
+            else:
+                toks = _sample_tokens(*args)
+        if want_lp:
             chosen, top_ids, top_lps = (np.asarray(chosen), np.asarray(top_ids),
                                         np.asarray(top_lps))
             for i, r in enumerate(reqs):
@@ -634,8 +794,6 @@ class ServingEngine:
                     self._next_lp[r.row] = (float(chosen[i]),
                                             top_ids[i, :k].tolist(),
                                             top_lps[i, :k].tolist())
-        else:
-            toks = _sample_tokens(*args)
         return np.asarray(toks, np.int32)
 
     def has_work(self) -> bool:
@@ -762,6 +920,21 @@ class ServingEngine:
             # this row's claim on the pool in the meantime
             req.reserved = self._bounded_need(s, req.max_new)
             self._reserved_pages += req.reserved
+
+        if req.penalized:
+            # seed the row's device bookkeeping before its first pick:
+            # counts = prompt histogram (penalties cover prompt + generated
+            # tokens, vLLM semantics), bias = the request's dense offsets
+            V = self.config.vocab_size
+            if self._counts is None:
+                self._counts = jnp.zeros((self.max_batch, V), jnp.int32)
+                self._bias = jnp.zeros((self.max_batch, V), jnp.float32)
+            hist = np.bincount(req.prompt, minlength=V).astype(np.int32)
+            self._counts = self._counts.at[row].set(jnp.asarray(hist))
+            b = np.zeros(V, np.float32)
+            for t, v in (req.logit_bias or {}).items():
+                b[int(t)] = float(v)
+            self._bias = self._bias.at[row].set(jnp.asarray(b))
 
         # quantized pool: prefill over an int8 temp cache so prefill attention
         # reads the SAME quantized K/V the Generator(quantized_kv=True) path

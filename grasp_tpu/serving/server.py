@@ -110,17 +110,21 @@ class GraspServer:
     # -- request path --------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None,
-               logprobs: int = 0, stop: Optional[List[str]] = None) -> tuple:
+               logprobs: int = 0, stop: Optional[List[str]] = None,
+               **sampling) -> tuple:
         """Enqueue one request; returns (rid, delivery). Raises ValueError on
         requests the engine could never admit (too many pages, bad top_k).
         stop: host-side stop strings — generation cancels when the decoded
-        output contains one (needs a tokenizer)."""
+        output contains one (needs a tokenizer). Extra keyword arguments
+        (presence/frequency/repetition penalties, min_p, logit_bias) pass
+        through to the engine, which validates them."""
         if stop and self.tokenizer is None:
             raise ValueError("stop strings need a tokenizer")
         with self._wake:
             rid = self.engine.submit(prompt_ids, max_new_tokens,
                                      temperature=temperature, top_k=top_k,
-                                     top_p=top_p, seed=seed, logprobs=logprobs)
+                                     top_p=top_p, seed=seed, logprobs=logprobs,
+                                     **sampling)
             d = _Delivery(stop=stop)
             self._deliveries[rid] = d
             self.counters["requests_total"] += 1
@@ -424,6 +428,19 @@ class _Handler(BaseHTTPRequestHandler):
             stream = bool(req.get("stream", False))
             logprobs = int(req.get("logprobs") or 0)
             n = int(req.get("n", 1))
+            sampling = {
+                "presence_penalty": float(req.get("presence_penalty", 0.0)),
+                "frequency_penalty": float(req.get("frequency_penalty", 0.0)),
+                "repetition_penalty": float(req.get("repetition_penalty", 1.0)),
+                "min_p": float(req.get("min_p", 0.0)),
+            }
+            bias = req.get("logit_bias")
+            if bias is not None:
+                if not isinstance(bias, dict):
+                    raise ValueError
+                # OpenAI sends {"token_id_string": bias}; tolerate int keys
+                sampling["logit_bias"] = {int(t): float(v)
+                                          for t, v in bias.items()}
             stop = req.get("stop")
             if isinstance(stop, str):
                 stop = [stop]
@@ -448,7 +465,7 @@ class _Handler(BaseHTTPRequestHandler):
                     s = seed + j if seed is not None else None
                     rid, d = g.submit(p_ids, max_new, temperature=temperature,
                                       top_k=top_k, top_p=top_p, seed=s,
-                                      logprobs=logprobs, stop=stop)
+                                      logprobs=logprobs, stop=stop, **sampling)
                     subs.append((p_ids, rid, d))
         except (ValueError, MemoryError) as e:
             for _, rid, _d in subs:  # don't strand the already-admitted part

@@ -458,7 +458,7 @@ class SpeculativeServingEngine(ServingEngine):
 
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None,
-               logprobs: int = 0) -> int:
+               logprobs: int = 0, **penalties) -> int:
         """Enqueue a request; sampled rows (temperature > 0) speculate through
         the per-row Leviathan rejection path (exact target distribution, see
         module docstring); greedy rows stay bit-identical to ServingEngine.
@@ -469,6 +469,17 @@ class SpeculativeServingEngine(ServingEngine):
         if logprobs:
             raise ValueError("logprobs are not supported with speculation; "
                              "use ServingEngine")
+        defaults = {"presence_penalty": 0.0, "frequency_penalty": 0.0,
+                    "repetition_penalty": 1.0, "min_p": 0.0, "logit_bias": None}
+        for k, v in penalties.items():
+            if k not in defaults:
+                raise TypeError(f"submit() got an unexpected keyword {k!r}")
+            if v != defaults[k] and v is not None:
+                # the Leviathan draft/verify math assumes the plain filtered
+                # distribution; context-dependent logit edits would need the
+                # penalties threaded through BOTH models' samplers
+                raise ValueError(f"{k} is not supported with speculation; "
+                                 "use ServingEngine")
         # reserve chunk-overshoot slack: a macro-step may write up to gamma+1
         # positions past the accepted stream before trimming
         prompt = np.asarray(prompt_ids).reshape(-1)

@@ -337,3 +337,35 @@ def test_metrics_endpoint(server, compressed, rng):
     assert int(metrics["grasp_completions_total"]) >= 1
     assert int(metrics["grasp_engine_steps_total"]) >= 1
     assert int(metrics["grasp_live_requests"]) == 0
+
+
+def test_sampling_controls_over_http(server, compressed, rng):
+    """penalties / logit_bias / min_p ride the OpenAI request body."""
+    config, _, _ = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(5,)).astype(int).tolist()
+
+    status, out = _post(server, {"prompt": prompt, "max_tokens": 4,
+                                 "logit_bias": {"9": 100.0}})
+    assert status == 200
+    assert out["choices"][0]["token_ids"] == [9] * 4
+
+    status, out = _post(server, {
+        "prompt": prompt, "max_tokens": 6, "repetition_penalty": 1e9,
+        "presence_penalty": 0.5, "frequency_penalty": 0.5, "min_p": 0.0})
+    assert status == 200
+    ids = out["choices"][0]["token_ids"]
+    assert len(set(ids)) == len(ids)  # huge rep penalty: no repeats
+
+    # min_p=1 with sampling equals greedy
+    _, want = _post(server, {"prompt": prompt, "max_tokens": 4})
+    status, out = _post(server, {"prompt": prompt, "max_tokens": 4,
+                                 "temperature": 1.2, "seed": 3, "min_p": 1.0})
+    assert status == 200
+    assert out["choices"][0]["token_ids"] == want["choices"][0]["token_ids"]
+
+    # validation surfaces as 400s
+    for bad in ({"presence_penalty": 9}, {"repetition_penalty": -1},
+                {"min_p": 2}, {"logit_bias": {"1": 500}},
+                {"logit_bias": "nope"}):
+        status, _ = _post(server, {"prompt": prompt, "max_tokens": 2, **bad})
+        assert status == 400, bad
