@@ -400,6 +400,9 @@ def serve_main(argv=None) -> int:
                    help="admit prompts this many tokens per engine step "
                         "(multiple of --page_size) so long prompts don't "
                         "stall the running batch; not with --speculative")
+    p.add_argument("--stop_token_ids", type=str, default=None,
+                   help="comma-separated extra stop token ids beyond the "
+                        "tokenizer's eos (e.g. LLaMA-3's <|eot_id|>)")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--num_pages", type=int, default=256)
     p.add_argument("--page_size", type=int, default=128)
@@ -446,6 +449,9 @@ def serve_main(argv=None) -> int:
         serve_params = quantize_model_weights(params, bits=8 if args.quantize == "int8" else 4)
 
     eos = getattr(tokenizer, "eos_token_id", None)
+    if args.stop_token_ids:
+        extra = [int(t) for t in args.stop_token_ids.split(",") if t.strip()]
+        eos = ([int(eos)] if eos is not None else []) + extra
     kw = dict(num_pages=args.num_pages, page_size=args.page_size,
               max_batch=args.max_batch, max_pages_per_seq=args.max_pages_per_seq,
               eos_token_id=eos, quantized_kv=args.quantized_kv)

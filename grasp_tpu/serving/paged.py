@@ -463,7 +463,7 @@ class _Request:
                  "temperature", "top_k", "top_p", "seed", "emitted_steps",
                  "freed_pages", "reserved", "logprobs", "lp",
                  "presence_penalty", "frequency_penalty", "repetition_penalty",
-                 "min_p", "logit_bias")
+                 "min_p", "logit_bias", "finish")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0, top_p=1.0,
                  seed=0, logprobs=0, presence_penalty=0.0, frequency_penalty=0.0,
@@ -490,6 +490,7 @@ class _Request:
         self.repetition_penalty = float(repetition_penalty)
         self.min_p = float(min_p)
         self.logit_bias = dict(logit_bias) if logit_bias else None
+        self.finish = "length"  # why the request retired: eos/length/cancel
 
     @property
     def greedy(self) -> bool:
@@ -554,7 +555,15 @@ class ServingEngine:
         self.pool = PagePool(config, num_pages, page_size, quantized=quantized_kv)
         self.max_batch = max_batch
         self.max_pages_per_seq = max_pages_per_seq
+        # eos_token_id: one id or an iterable of them (LLaMA-3-style models
+        # stop on both <|end_of_text|> and <|eot_id|>)
         self.eos = eos_token_id
+        if eos_token_id is None:
+            self._eos = frozenset()
+        elif isinstance(eos_token_id, (int, np.integer)):
+            self._eos = frozenset([int(eos_token_id)])
+        else:
+            self._eos = frozenset(int(t) for t in eos_token_id)
         self._decode = _paged_decode_fn(config, self.plan, max_pages_per_seq,
                                         quantized=quantized_kv)
         self._prefill_fns: Dict[Tuple[int, int], any] = {}
@@ -707,6 +716,7 @@ class ServingEngine:
             if r.rid == rid:
                 self._pending.pop(i)
                 r.done = True
+                r.finish = "cancel"
                 self._finished.append(r)
                 return True
         for row, adm in list(self._admitting.items()):
@@ -717,10 +727,12 @@ class ServingEngine:
                 self.pool.free(adm.req.pages)
                 adm.req.pages = []
                 adm.req.done = True
+                adm.req.finish = "cancel"
                 self._finished.append(adm.req)
                 return True
         for r in self._live:
             if r is not None and r.rid == rid:
+                r.finish = "cancel"
                 self._retire(r)
                 return True
         return False
@@ -1064,7 +1076,8 @@ class ServingEngine:
             if r is None or r.rid in stalled:
                 continue
             tok = int(self._next_tok[r.row])
-            if tok == self.eos:
+            if tok in self._eos:
+                r.finish = "eos"
                 self._retire(r)  # stop token is not emitted (Generator parity)
             else:
                 r.out.append(tok)

@@ -55,7 +55,7 @@ class _Delivery:
     """Per-request token stream the scheduler fills and a handler drains."""
 
     __slots__ = ("q", "sent", "final", "error", "lps", "stop", "stop_cut",
-                 "stopped")
+                 "stopped", "native_finish")
 
     def __init__(self, stop: Optional[List[str]] = None):
         self.q: "queue.Queue[tuple]" = queue.Queue()
@@ -66,6 +66,7 @@ class _Delivery:
         self.stop = stop or []         # host-side stop strings
         self.stop_cut: Optional[int] = None  # char index of the matched stop
         self.stopped = False           # finished via a stop string
+        self.native_finish = "length"  # engine's cause: "eos"/"length"/"cancel"
 
 
 class GraspServer:
@@ -211,6 +212,7 @@ class GraspServer:
                         continue
                     self._push_new(d, r)
                     d.final = list(r.out)
+                    d.native_finish = getattr(r, "finish", "length")
                     self.counters["completions_total"] += 1
                     d.q.put(("done", None))
 
@@ -321,9 +323,8 @@ def _finish_and_text(server: GraspServer, delivery: _Delivery,
         text = server.tokenizer.decode(out, skip_special_tokens=True)
     if delivery.stopped:
         return "stop", text[:delivery.stop_cut]
-    eos = server.engine.eos
-    return ("stop" if (eos is not None and out and out[-1] == eos) else "length",
-            text)
+    # the engine never EMITS a stop token — it records the cause instead
+    return ("stop" if delivery.native_finish == "eos" else "length", text)
 
 
 def _lp_block(server: GraspServer, delivery: _Delivery,
@@ -536,9 +537,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         # streamed tokens may include (part of) a matched stop string — the
         # match is only detectable after the tokens were already sent
-        finish = "stop" if (delivery.stopped or
-                            (g.engine.eos is not None and out and
-                             out[-1] == g.engine.eos)) else "length"
+        finish = "stop" if (delivery.stopped
+                            or delivery.native_finish == "eos") else "length"
         if chat:
             final = {"id": f"chatcmpl-{rid}", "object": "chat.completion.chunk",
                      "model": g.model_id,

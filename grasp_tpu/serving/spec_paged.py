@@ -565,7 +565,8 @@ class SpeculativeServingEngine(ServingEngine):
             if r is None:
                 continue
             tok = int(self._next_tok[r.row])
-            if tok == self.eos:
+            if tok in self._eos:
+                r.finish = "eos"
                 self._retire(r)
             else:
                 r.out.append(tok)
@@ -693,7 +694,8 @@ class SpeculativeServingEngine(ServingEngine):
                 if is_last:
                     self._next_tok[row] = tok  # pending, emitted next step
                     break
-                if tok == self.eos:
+                if tok in self._eos:
+                    r.finish = "eos"
                     self._retire(r)
                     break
                 r.out.append(tok)

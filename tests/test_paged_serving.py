@@ -409,3 +409,36 @@ def test_logprobs_and_cancel(compressed, rng):
     assert done[queued].out == []
     srv3.step()  # no-op drain after cancels
     assert srv3.pool.free_pages == srv3.pool.num_pages - 1
+
+
+def test_multiple_stop_tokens_and_finish_cause(compressed):
+    """eos_token_id accepts a list (LLaMA-3 stops on eos AND eot); the
+    retired request records why it finished."""
+    config, params, plan = compressed
+    prompt = _prompts(config, np.random.default_rng(77), [8])[0]
+    gen = Generator(params, config, plan)
+    full = gen.greedy(prompt, 8)
+    stop_a, stop_b = full[4], full[2]  # full[2] hits first
+
+    srv = ServingEngine(params, config, plan, num_pages=16, page_size=8,
+                        max_batch=2, max_pages_per_seq=4,
+                        eos_token_id=[stop_a, stop_b])
+    rid = srv.submit(prompt, 8)
+    while srv.has_work():
+        srv.step()
+    done = {r.rid: r for r in srv.collect_requests()}
+    assert done[rid].out == full[:2]
+    assert done[rid].finish == "eos"
+
+    # length-limited request records "length"; cancelled records "cancel"
+    srv = ServingEngine(params, config, plan, num_pages=16, page_size=8,
+                        max_batch=2, max_pages_per_seq=4)
+    r1 = srv.submit(prompt, 3)
+    r2 = srv.submit(prompt, 8)
+    srv.step()
+    srv.cancel(r2)
+    while srv.has_work():
+        srv.step()
+    done = {r.rid: r for r in srv.collect_requests()}
+    assert done[r1].finish == "length"
+    assert done[r2].finish == "cancel"

@@ -369,3 +369,38 @@ def test_sampling_controls_over_http(server, compressed, rng):
                 {"logit_bias": "nope"}):
         status, _ = _post(server, {"prompt": prompt, "max_tokens": 2, **bad})
         assert status == 400, bad
+
+
+def test_finish_reason_stop_on_eos(compressed, rng):
+    """An eos-retired request reports finish_reason "stop" even though the
+    stop token itself is never emitted."""
+    config, params, plan = compressed
+    prompt = rng.integers(1, config.vocab_size, size=(6,)).astype(int).tolist()
+
+    # find what greedy emits, then serve with its 3rd token as eos
+    eng = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=4)
+    rid = eng.submit(prompt, 6)
+    stream = eng.run()[rid]
+
+    eng = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=4,
+                        eos_token_id=[stream[2]])
+    gserver, httpd, _ = serve(eng, port=0,
+                              tokenizer=ByteTokenizer(config.vocab_size),
+                              model_id="tiny-eos", block=False)
+    try:
+        status, out = _post(httpd.server_address[1],
+                            {"prompt": prompt, "max_tokens": 6})
+        assert status == 200
+        c = out["choices"][0]
+        assert c["token_ids"] == stream[:stream.index(stream[2])]
+        assert c["finish_reason"] == "stop"
+
+        # a request capped BEFORE the eos would fire reports "length"
+        status, out = _post(httpd.server_address[1],
+                            {"prompt": prompt, "max_tokens": 1})
+        assert out["choices"][0]["finish_reason"] == "length"
+    finally:
+        httpd.shutdown()
+        gserver.close()
