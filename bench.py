@@ -230,6 +230,14 @@ def main():
         with open(rec_rec) as f:
             details["recover_7b_recorded"] = json.load(f)
 
+    # ---- serving admission features: recorded by scripts/bench_prefix.py
+    # (prefix-cache hit vs cold admission; chunked-prefill head-of-line
+    # latency bound) ----
+    pfx_rec = os.path.join(repo, "BENCH_PREFIX.json")
+    if os.path.exists(pfx_rec):
+        with open(pfx_rec) as f:
+            details["prefix_recorded"] = json.load(f)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_baseline.json")
     vs = None
     if os.path.exists(baseline_path):

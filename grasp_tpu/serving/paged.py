@@ -863,6 +863,68 @@ class ServingEngine:
             self._prefill_fns[key] = fn
         return self._prefill_fns[key]
 
+    def _get_gather(self, hits: int, s_pad: int):
+        """One-dispatch gather of `hits` cached prefix pages into the temp
+        prefill cache (the per-layer eager loop would cost ~2L tunnel
+        dispatches on axon)."""
+        key = ("gather", hits, s_pad)
+        if key not in self._prefill_fns:
+            L = self.config.num_hidden_layers
+            quant = self.pool.quantized
+            prefix_len = hits * self.pool.page_size
+
+            @jax.jit
+            def fn(cache, k_pages, v_pages, k_scales, v_scales, sh):
+                planes = [("k", k_pages), ("v", v_pages)]
+                if quant:
+                    planes += [("k_scale", k_scales), ("v_scale", v_scales)]
+                out = []
+                for li in range(L):
+                    lc = dict(cache[li])
+                    for nm, pages in planes:
+                        pk = pages[li][:, sh]  # [nkv, hits, ps, last]
+                        lc[nm] = lc[nm].at[:, :, :prefix_len].set(
+                            pk.reshape(pk.shape[0], prefix_len, pk.shape[-1])[None])
+                    out.append(lc)
+                return out
+
+            self._prefill_fns[key] = fn
+        return self._prefill_fns[key]
+
+    def _get_scatter(self, n_new: int, s_pad: int, prefix_len: int):
+        """One-dispatch scatter of the prefilled suffix KV into its pages
+        (donates the pool arrays — no copy, no per-layer dispatch storm)."""
+        key = ("scatter", n_new, s_pad, prefix_len)
+        if key not in self._prefill_fns:
+            L = self.config.num_hidden_layers
+            quant = self.pool.quantized
+            ps = self.pool.page_size
+
+            def to_pages(arr):
+                # suffix slots [prefix_len, s_pad) of [1, nkv, s_pad, last]
+                # -> [n_new, nkv, ps, last]: the scalar li + phys array are
+                # advanced indices separated by the head slice, so the page
+                # dim lands first in the indexed result
+                a = arr[0, :, prefix_len:]
+                return a.reshape(a.shape[0], n_new, ps, a.shape[-1]).transpose(1, 0, 2, 3)
+
+            def fn(k_pages, v_pages, k_scales, v_scales, cache, phys):
+                for li in range(L):
+                    k_pages = k_pages.at[li, :, phys].set(
+                        to_pages(cache[li]["k"]).astype(k_pages.dtype))
+                    v_pages = v_pages.at[li, :, phys].set(
+                        to_pages(cache[li]["v"]).astype(v_pages.dtype))
+                    if quant:
+                        k_scales = k_scales.at[li, :, phys].set(
+                            to_pages(cache[li]["k_scale"]))
+                        v_scales = v_scales.at[li, :, phys].set(
+                            to_pages(cache[li]["v_scale"]))
+                return k_pages, v_pages, k_scales, v_scales
+
+            donate = (0, 1, 2, 3) if quant else (0, 1)
+            self._prefill_fns[key] = jax.jit(fn, donate_argnums=donate)
+        return self._prefill_fns[key]
+
     def _page_keys(self, prompt: np.ndarray, n: int) -> List[bytes]:
         """Chained content hashes: key i covers tokens [0, (i+1)*page_size),
         so a hit on page i implies the whole prefix through it matches."""
@@ -955,16 +1017,11 @@ class ServingEngine:
         cache = init_kv_cache(self.config, batch=1, max_len=s_pad,
                               quantized=self.pool.quantized)
         if hits:  # gather the cached prefix KV into the temp cache
-            sh = jnp.asarray(shared, jnp.int32)
-            planes = [("k", self.pool.k_pages), ("v", self.pool.v_pages)]
-            if self.pool.quantized:
-                planes += [("k_scale", self.pool.k_scales),
-                           ("v_scale", self.pool.v_scales)]
-            for li in range(self.config.num_hidden_layers):
-                for nm, pages in planes:
-                    pk = pages[li][:, sh]  # [nkv, hits, ps, last]
-                    cache[li][nm] = cache[li][nm].at[:, :, :prefix_len].set(
-                        pk.reshape(pk.shape[0], prefix_len, pk.shape[-1])[None])
+            cache = self._primed_call(
+                ("gather", hits, s_pad), self._get_gather(hits, s_pad),
+                cache, self.pool.k_pages, self.pool.v_pages,
+                self.pool.k_scales, self.pool.v_scales,
+                jnp.asarray(shared, jnp.int32))
         return _Admission(req, row, s_pad, prefix_len, keys, cache)
 
     def _admit_chunk(self, adm: "_Admission") -> bool:
@@ -997,25 +1054,12 @@ class ServingEngine:
 
         n_new = n_prompt_pages - hits
         phys = jnp.asarray(req.pages[hits:n_prompt_pages], jnp.int32)
-
-        def to_pages(arr):
-            # suffix slots [prefix_len, s_pad) of [1, nkv, s_pad, last]
-            # -> [n_new, nkv, ps, last]: the scalar li + phys array are
-            # advanced indices separated by the head slice, so the page dim
-            # lands first in the indexed result
-            a = arr[0, :, prefix_len:]
-            return a.reshape(arr.shape[1], n_new, ps, arr.shape[-1]).transpose(1, 0, 2, 3)
-
-        for li in range(self.config.num_hidden_layers):
-            self.pool.k_pages = self.pool.k_pages.at[li, :, phys].set(
-                to_pages(cache[li]["k"]).astype(self.pool.k_pages.dtype))
-            self.pool.v_pages = self.pool.v_pages.at[li, :, phys].set(
-                to_pages(cache[li]["v"]).astype(self.pool.v_pages.dtype))
-            if self.pool.quantized:
-                self.pool.k_scales = self.pool.k_scales.at[li, :, phys].set(
-                    to_pages(cache[li]["k_scale"]))
-                self.pool.v_scales = self.pool.v_scales.at[li, :, phys].set(
-                    to_pages(cache[li]["v_scale"]))
+        (self.pool.k_pages, self.pool.v_pages,
+         self.pool.k_scales, self.pool.v_scales) = self._primed_call(
+            ("scatter", n_new, s_pad, prefix_len),
+            self._get_scatter(n_new, s_pad, prefix_len),
+            self.pool.k_pages, self.pool.v_pages,
+            self.pool.k_scales, self.pool.v_scales, cache, phys)
 
         if self.prefix_cache:  # publish the newly written full pages
             for j in range(hits, len(adm.keys)):
