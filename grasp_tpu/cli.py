@@ -472,7 +472,8 @@ def serve_main(argv=None) -> int:
 
         engine = ServingEngine(serve_params, config, plan=plan,
                                prefix_cache=args.prefix_cache,
-                               prefill_chunk=args.prefill_chunk, **kw)
+                               prefill_chunk=args.prefill_chunk,
+                               tokenizer=tokenizer, **kw)
 
     from grasp_tpu.serving.server import serve
 

@@ -422,13 +422,21 @@ def _make_penalized_sampler(max_k: int):
     processor-then-warper order: bias -> repetition -> presence/frequency ->
     temperature -> top_k -> top_p -> min_p. Greedy rows argmax the ADJUSTED
     logits (penalties steer greedy decoding too, OpenAI behavior).
+
+    An optional trailing [B, V] bool allow-mask (guided decoding) applies
+    before everything else: disallowed tokens become -inf for both the
+    sample and the greedy argmax; an all-True row is an fp-exact no-op.
+    The jit retraces once per arity (with/without the mask).
     """
+    neg = jnp.finfo(jnp.float32).min
 
     def pick(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-             min_ps, pres, freq, reps, greedy):
+             min_ps, pres, freq, reps, greedy, mask=None):
         from grasp_tpu.eval.generate import topk_topp_filter
 
         adj = apply_penalties(logits, counts[rows], bias[rows], pres, freq, reps)
+        if mask is not None:
+            adj = jnp.where(mask, adj, neg)
         filt = topk_topp_filter(adj / temps[:, None], ks, top_ps, max_k,
                                 min_ps=min_ps)
         sampled = jax.vmap(jax.random.categorical)(keys, filt).astype(jnp.int32)
@@ -437,25 +445,23 @@ def _make_penalized_sampler(max_k: int):
         counts = counts.at[rows, toks].add(upd)
         return toks, counts
 
-    @jax.jit
     def sample(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-               min_ps, pres, freq, reps, greedy):
+               min_ps, pres, freq, reps, greedy, *mask):
         return pick(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-                    min_ps, pres, freq, reps, greedy)
+                    min_ps, pres, freq, reps, greedy, *mask)
 
-    @jax.jit
     def sample_lp(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-                  min_ps, pres, freq, reps, greedy):
+                  min_ps, pres, freq, reps, greedy, *mask):
         """Penalized pick + the MODEL's raw logprobs (penalties and filters
         affect the pick, never the report — plain-sampler semantics)."""
         toks, counts = pick(logits, counts, rows, upd, bias, keys, temps, ks,
-                            top_ps, min_ps, pres, freq, reps, greedy)
+                            top_ps, min_ps, pres, freq, reps, greedy, *mask)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         chosen = jnp.take_along_axis(lp, toks[:, None].astype(jnp.int32), -1)[:, 0]
         top_lps, top_ids = jax.lax.top_k(lp, _MAX_LOGPROBS)
         return toks, counts, chosen, top_ids.astype(jnp.int32), top_lps
 
-    return sample, sample_lp
+    return jax.jit(sample), jax.jit(sample_lp)
 
 
 class _Request:
@@ -463,7 +469,7 @@ class _Request:
                  "temperature", "top_k", "top_p", "seed", "emitted_steps",
                  "freed_pages", "reserved", "logprobs", "lp",
                  "presence_penalty", "frequency_penalty", "repetition_penalty",
-                 "min_p", "logit_bias", "finish")
+                 "min_p", "logit_bias", "finish", "guided", "gstate")
 
     def __init__(self, rid, prompt, max_new, temperature=0.0, top_k=0, top_p=1.0,
                  seed=0, logprobs=0, presence_penalty=0.0, frequency_penalty=0.0,
@@ -491,6 +497,8 @@ class _Request:
         self.min_p = float(min_p)
         self.logit_bias = dict(logit_bias) if logit_bias else None
         self.finish = "length"  # why the request retired: eos/length/cancel
+        self.guided = None      # CompiledGrammar (guided decoding) or None
+        self.gstate = 0         # current DFA state while guided
 
     @property
     def greedy(self) -> bool:
@@ -501,7 +509,7 @@ class _Request:
         """Needs the penalized sampler (counts/bias device bookkeeping)."""
         return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
                 or self.repetition_penalty != 1.0 or self.min_p > 0.0
-                or self.logit_bias is not None)
+                or self.logit_bias is not None or self.guided is not None)
 
 
 class _Admission:
@@ -543,7 +551,7 @@ class ServingEngine:
                  num_pages: int = 64, page_size: int = 128, max_batch: int = 8,
                  max_pages_per_seq: int = 8, eos_token_id: Optional[int] = None,
                  quantized_kv: bool = False, prefix_cache: bool = False,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None, tokenizer=None):
         if prefill_chunk is not None and (
                 prefill_chunk <= 0 or prefill_chunk % page_size):
             raise ValueError(
@@ -589,6 +597,11 @@ class ServingEngine:
         # request; rows at identity settings never read their (stale) slices
         self._counts = None
         self._bias = None
+        # guided decoding: tokenizer gives token -> bytes for the grammar
+        # DFA; compiled grammars cache per pattern (serving/guided.py)
+        self.tokenizer = tokenizer
+        self._grammars: Dict[str, object] = {}
+        self._token_bytes = None
 
         # window used for page recycling (subclasses with a second reader —
         # the speculative draft pool — tighten this to respect both masks).
@@ -635,7 +648,8 @@ class ServingEngine:
                logprobs: int = 0, presence_penalty: float = 0.0,
                frequency_penalty: float = 0.0, repetition_penalty: float = 1.0,
                min_p: float = 0.0,
-               logit_bias: Optional[Dict[int, float]] = None) -> int:
+               logit_bias: Optional[Dict[int, float]] = None,
+               guided_regex: Optional[str] = None) -> int:
         """Enqueue a request. temperature=0 (default) decodes greedily;
         otherwise temperature/top-k/top-p sampling with a per-request seed —
         rows with different settings batch together in one decode step.
@@ -660,7 +674,13 @@ class ServingEngine:
         greedy rows argmax the adjusted logits. Counts cover prompt +
         generated tokens (vLLM semantics). Requests at the defaults are
         bit-identical to the plain sampler, even batched with penalized
-        rows."""
+        rows.
+
+        guided_regex constrains the OUTPUT to (a prefix of) the pattern:
+        every step masks to the tokens the grammar DFA can consume, eos is
+        allowed exactly in accepting states (serving/guided.py). Needs the
+        engine's tokenizer (token -> bytes) and a configured eos. Compiled
+        grammars cache per pattern across requests."""
         if top_k > _MAX_TOP_K:
             raise ValueError(f"top_k={top_k} > supported max {_MAX_TOP_K}")
         if not 0 <= logprobs <= _MAX_LOGPROBS:
@@ -683,6 +703,7 @@ class ServingEngine:
                     raise ValueError(f"logit_bias token {t!r} out of vocab")
                 if not -100.0 <= float(v) <= 100.0:
                     raise ValueError(f"logit_bias value {v} not in [-100, 100]")
+        grammar = self._compile_guided(guided_regex) if guided_regex else None
         p_len = len(np.asarray(prompt_ids).reshape(-1))
         need = -(-(p_len + max_new_tokens) // self.pool.page_size)
         if need > self.max_pages_per_seq:
@@ -695,15 +716,37 @@ class ServingEngine:
                 f"{self.pool.num_pages - 1} allocatable — it could never be "
                 "admitted")
         self._rid += 1
-        self._pending.append(_Request(self._rid, prompt_ids, max_new_tokens,
-                                      temperature, top_k, top_p,
-                                      self._rid if seed is None else seed,
-                                      logprobs=logprobs,
-                                      presence_penalty=presence_penalty,
-                                      frequency_penalty=frequency_penalty,
-                                      repetition_penalty=repetition_penalty,
-                                      min_p=min_p, logit_bias=logit_bias))
+        req = _Request(self._rid, prompt_ids, max_new_tokens,
+                       temperature, top_k, top_p,
+                       self._rid if seed is None else seed,
+                       logprobs=logprobs,
+                       presence_penalty=presence_penalty,
+                       frequency_penalty=frequency_penalty,
+                       repetition_penalty=repetition_penalty,
+                       min_p=min_p, logit_bias=logit_bias)
+        if grammar is not None:
+            req.guided = grammar
+            req.gstate = grammar.start
+        self._pending.append(req)
         return self._rid
+
+    def _compile_guided(self, pattern: str):
+        """Compile (and cache) a guided-decoding grammar for this engine's
+        tokenizer. Raises ValueError on unusable configs/patterns."""
+        if self.tokenizer is None:
+            raise ValueError("guided_regex needs the engine's tokenizer "
+                             "(ServingEngine(tokenizer=...))")
+        if not self._eos:
+            raise ValueError("guided_regex needs a configured eos_token_id "
+                             "(it terminates the match)")
+        if pattern not in self._grammars:
+            from grasp_tpu.serving.guided import CompiledGrammar, token_bytes_of
+
+            if self._token_bytes is None:
+                self._token_bytes = token_bytes_of(self.tokenizer,
+                                                   self.config.vocab_size)
+            self._grammars[pattern] = CompiledGrammar(pattern, self._token_bytes)
+        return self._grammars[pattern]
 
     def cancel(self, rid: int) -> bool:
         """Stop a request early (host-side stop sequences, client abort).
@@ -780,12 +823,30 @@ class ServingEngine:
                     jax.random.PRNGKey(r.seed), r.emitted_steps))
                 r.emitted_steps += 1
         want_lp = any(r is not None and r.logprobs for r in reqs)
+        guided = [r if r is not None and r.guided is not None else None
+                  for r in reqs]
         if penalized:
             args = (logits, self._counts, jnp.asarray(rows), jnp.asarray(upd),
                     self._bias, jnp.asarray(keys), jnp.asarray(temps),
                     jnp.asarray(ks), jnp.asarray(tps), jnp.asarray(min_ps),
                     jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(reps),
                     jnp.asarray(greedy))
+            if any(g is not None for g in guided):
+                mask = np.ones((b, logits.shape[-1]), bool)
+                for i, r in enumerate(guided):
+                    if r is None:
+                        continue
+                    m = r.guided.allowed[r.gstate].copy()
+                    acc = bool(r.guided.accepting[r.gstate])
+                    for e in self._eos:
+                        m[e] = acc
+                    if not m.any():
+                        # starved state (holey vocab: bytes exist but no
+                        # single token fits) — force-stop on eos
+                        for e in self._eos:
+                            m[e] = True
+                    mask[i] = m
+                args = args + (jnp.asarray(mask),)
             if want_lp:
                 toks, self._counts, chosen, top_ids, top_lps = _sample_pen_lp(*args)
             else:
@@ -806,7 +867,16 @@ class ServingEngine:
                     self._next_lp[r.row] = (float(chosen[i]),
                                             top_ids[i, :k].tolist(),
                                             top_lps[i, :k].tolist())
-        return np.asarray(toks, np.int32)
+        toks = np.asarray(toks, np.int32)
+        for i, r in enumerate(guided):  # advance the grammar DFA per pick
+            if r is None:
+                continue
+            tok = int(toks[i])
+            if tok not in self._eos:
+                ns = int(r.guided.token_trans[r.gstate, tok])
+                if ns >= 0:  # the mask guarantees this; -1 = forced eos row
+                    r.gstate = ns
+        return toks
 
     def has_work(self) -> bool:
         return (bool(self._pending) or bool(self._admitting)

@@ -339,12 +339,20 @@ def _lp_block(server: GraspServer, delivery: _Delivery,
             return str(i)
         return server.tokenizer.decode([i], skip_special_tokens=True) or str(i)
 
+    def top_block(e):
+        # the dict is keyed by decoded token TEXT (OpenAI legacy format);
+        # distinct ids can decode identically (e.g. two invalid bytes both
+        # render "�") — keep the most probable entry per text, so the
+        # dict's max is always the true rank-1 logprob
+        d: Dict[str, float] = {}
+        for i, lp in zip(e[1], e[2]):  # already rank-ordered
+            d.setdefault(piece(i), lp)
+        return d
+
     return {
         "tokens": [piece(t) for t in out[: len(delivery.lps)]],
         "token_logprobs": [e[0] for e in delivery.lps],
-        "top_logprobs": [
-            {piece(i): lp for i, lp in zip(e[1], e[2])} for e in delivery.lps
-        ],
+        "top_logprobs": [top_block(e) for e in delivery.lps],
     }
 
 
@@ -442,6 +450,22 @@ class _Handler(BaseHTTPRequestHandler):
                 # OpenAI sends {"token_id_string": bias}; tolerate int keys
                 sampling["logit_bias"] = {int(t): float(v)
                                           for t, v in bias.items()}
+            guided = req.get("guided_regex")
+            rf = req.get("response_format")
+            if rf is not None:
+                if not (isinstance(rf, dict) and rf.get("type") in
+                        ("json_object", "text")):
+                    raise ValueError
+                if rf.get("type") == "json_object":
+                    if guided is not None:
+                        raise ValueError  # pick one constraint
+                    from grasp_tpu.serving.guided import json_regex
+
+                    guided = json_regex()
+            if guided is not None:
+                if not isinstance(guided, str) or not guided:
+                    raise ValueError
+                sampling["guided_regex"] = guided
             stop = req.get("stop")
             if isinstance(stop, str):
                 stop = [stop]

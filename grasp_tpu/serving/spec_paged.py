@@ -470,7 +470,8 @@ class SpeculativeServingEngine(ServingEngine):
             raise ValueError("logprobs are not supported with speculation; "
                              "use ServingEngine")
         defaults = {"presence_penalty": 0.0, "frequency_penalty": 0.0,
-                    "repetition_penalty": 1.0, "min_p": 0.0, "logit_bias": None}
+                    "repetition_penalty": 1.0, "min_p": 0.0, "logit_bias": None,
+                    "guided_regex": None}
         for k, v in penalties.items():
             if k not in defaults:
                 raise TypeError(f"submit() got an unexpected keyword {k!r}")

@@ -404,3 +404,40 @@ def test_finish_reason_stop_on_eos(compressed, rng):
     finally:
         httpd.shutdown()
         gserver.close()
+
+
+def test_guided_decoding_over_http(compressed, rng):
+    """guided_regex and response_format json_object constrain the output."""
+    config, params, plan = compressed
+    tok = ByteTokenizer(config.vocab_size)
+    eng = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=8,
+                        tokenizer=tok, eos_token_id=tok.eos_token_id)
+    gserver, httpd, _ = serve(eng, port=0, tokenizer=tok,
+                              model_id="tiny-guided", block=False)
+    port = httpd.server_address[1]
+    prompt = rng.integers(1, 256, size=(5,)).astype(int).tolist()
+    try:
+        status, out = _post(port, {"prompt": prompt, "max_tokens": 16,
+                                   "guided_regex": "(yes|no)"})
+        assert status == 200
+        c = out["choices"][0]
+        assert c["text"] in ("yes", "no") and c["finish_reason"] == "stop"
+
+        status, out = _post(port, {"prompt": prompt, "max_tokens": 24,
+                                   "temperature": 0.8, "seed": 5,
+                                   "guided_regex": r'\{"k": [0-9]\}'})
+        assert status == 200
+        obj = json.loads(out["choices"][0]["text"])
+        assert set(obj) == {"k"}
+
+        # malformed constraint configurations are 400s
+        for bad in ({"guided_regex": "((("}, {"guided_regex": ""},
+                    {"response_format": {"type": "nope"}},
+                    {"response_format": {"type": "json_object"},
+                     "guided_regex": "a+"}):
+            status, _ = _post(port, {"prompt": prompt, "max_tokens": 2, **bad})
+            assert status == 400, bad
+    finally:
+        httpd.shutdown()
+        gserver.close()
