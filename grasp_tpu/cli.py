@@ -456,8 +456,6 @@ def serve_main(argv=None) -> int:
               max_batch=args.max_batch, max_pages_per_seq=args.max_pages_per_seq,
               eos_token_id=eos, quantized_kv=args.quantized_kv)
     if args.speculative == "int8":
-        if args.prefix_cache:
-            p.error("--prefix_cache is not supported with --speculative")
         if args.prefill_chunk:
             p.error("--prefill_chunk is not supported with --speculative")
         from grasp_tpu.ops.quant import quantize_model_weights
@@ -466,7 +464,8 @@ def serve_main(argv=None) -> int:
         draft = quantize_model_weights(params, bits=8)
         engine = SpeculativeServingEngine(serve_params, config, draft, config,
                                           plan=plan, draft_plan=plan,
-                                          gamma=args.gamma, **kw)
+                                          gamma=args.gamma,
+                                          prefix_cache=args.prefix_cache, **kw)
     else:
         from grasp_tpu.serving.paged import ServingEngine
 

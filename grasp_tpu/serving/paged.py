@@ -512,6 +512,54 @@ class _Request:
                 or self.logit_bias is not None or self.guided is not None)
 
 
+def _build_gather(L: int, quant: bool, prefix_len: int):
+    """Jitted gather of cached prefix pages into a temp prefill cache."""
+
+    @jax.jit
+    def fn(cache, k_pages, v_pages, k_scales, v_scales, sh):
+        planes = [("k", k_pages), ("v", v_pages)]
+        if quant:
+            planes += [("k_scale", k_scales), ("v_scale", v_scales)]
+        out = []
+        for li in range(L):
+            lc = dict(cache[li])
+            for nm, pages in planes:
+                pk = pages[li][:, sh]  # [nkv, hits, ps, last]
+                lc[nm] = lc[nm].at[:, :, :prefix_len].set(
+                    pk.reshape(pk.shape[0], prefix_len, pk.shape[-1])[None])
+            out.append(lc)
+        return out
+
+    return fn
+
+
+def _build_scatter(L: int, quant: bool, ps: int, n_new: int, prefix_len: int):
+    """Jitted scatter of prefilled suffix KV into its pages (pools donated)."""
+
+    def to_pages(arr):
+        # suffix slots [prefix_len, s_pad) of [1, nkv, s_pad, last]
+        # -> [n_new, nkv, ps, last]: the scalar li + phys array are
+        # advanced indices separated by the head slice, so the page
+        # dim lands first in the indexed result
+        a = arr[0, :, prefix_len:]
+        return a.reshape(a.shape[0], n_new, ps, a.shape[-1]).transpose(1, 0, 2, 3)
+
+    def fn(k_pages, v_pages, k_scales, v_scales, cache, phys):
+        for li in range(L):
+            k_pages = k_pages.at[li, :, phys].set(
+                to_pages(cache[li]["k"]).astype(k_pages.dtype))
+            v_pages = v_pages.at[li, :, phys].set(
+                to_pages(cache[li]["v"]).astype(v_pages.dtype))
+            if quant:
+                k_scales = k_scales.at[li, :, phys].set(
+                    to_pages(cache[li]["k_scale"]))
+                v_scales = v_scales.at[li, :, phys].set(
+                    to_pages(cache[li]["v_scale"]))
+        return k_pages, v_pages, k_scales, v_scales
+
+    return jax.jit(fn, donate_argnums=(0, 1, 2, 3) if quant else (0, 1))
+
+
 class _Admission:
     """In-progress (possibly chunked) admission: the request, its temp
     prefill cache, and how far the prompt has been prefilled."""
@@ -933,66 +981,28 @@ class ServingEngine:
             self._prefill_fns[key] = fn
         return self._prefill_fns[key]
 
-    def _get_gather(self, hits: int, s_pad: int):
+    def _get_gather(self, hits: int, s_pad: int, L: Optional[int] = None,
+                    tag: str = "t"):
         """One-dispatch gather of `hits` cached prefix pages into the temp
         prefill cache (the per-layer eager loop would cost ~2L tunnel
-        dispatches on axon)."""
-        key = ("gather", hits, s_pad)
+        dispatches on axon). L/tag let a subclass build the same op for a
+        second pool (the speculative draft)."""
+        key = ("gather", tag, hits, s_pad)
         if key not in self._prefill_fns:
-            L = self.config.num_hidden_layers
-            quant = self.pool.quantized
-            prefix_len = hits * self.pool.page_size
-
-            @jax.jit
-            def fn(cache, k_pages, v_pages, k_scales, v_scales, sh):
-                planes = [("k", k_pages), ("v", v_pages)]
-                if quant:
-                    planes += [("k_scale", k_scales), ("v_scale", v_scales)]
-                out = []
-                for li in range(L):
-                    lc = dict(cache[li])
-                    for nm, pages in planes:
-                        pk = pages[li][:, sh]  # [nkv, hits, ps, last]
-                        lc[nm] = lc[nm].at[:, :, :prefix_len].set(
-                            pk.reshape(pk.shape[0], prefix_len, pk.shape[-1])[None])
-                    out.append(lc)
-                return out
-
-            self._prefill_fns[key] = fn
+            self._prefill_fns[key] = _build_gather(
+                L or self.config.num_hidden_layers, self.pool.quantized,
+                hits * self.pool.page_size)
         return self._prefill_fns[key]
 
-    def _get_scatter(self, n_new: int, s_pad: int, prefix_len: int):
+    def _get_scatter(self, n_new: int, s_pad: int, prefix_len: int,
+                     L: Optional[int] = None, tag: str = "t"):
         """One-dispatch scatter of the prefilled suffix KV into its pages
         (donates the pool arrays — no copy, no per-layer dispatch storm)."""
-        key = ("scatter", n_new, s_pad, prefix_len)
+        key = ("scatter", tag, n_new, s_pad, prefix_len)
         if key not in self._prefill_fns:
-            L = self.config.num_hidden_layers
-            quant = self.pool.quantized
-            ps = self.pool.page_size
-
-            def to_pages(arr):
-                # suffix slots [prefix_len, s_pad) of [1, nkv, s_pad, last]
-                # -> [n_new, nkv, ps, last]: the scalar li + phys array are
-                # advanced indices separated by the head slice, so the page
-                # dim lands first in the indexed result
-                a = arr[0, :, prefix_len:]
-                return a.reshape(a.shape[0], n_new, ps, a.shape[-1]).transpose(1, 0, 2, 3)
-
-            def fn(k_pages, v_pages, k_scales, v_scales, cache, phys):
-                for li in range(L):
-                    k_pages = k_pages.at[li, :, phys].set(
-                        to_pages(cache[li]["k"]).astype(k_pages.dtype))
-                    v_pages = v_pages.at[li, :, phys].set(
-                        to_pages(cache[li]["v"]).astype(v_pages.dtype))
-                    if quant:
-                        k_scales = k_scales.at[li, :, phys].set(
-                            to_pages(cache[li]["k_scale"]))
-                        v_scales = v_scales.at[li, :, phys].set(
-                            to_pages(cache[li]["v_scale"]))
-                return k_pages, v_pages, k_scales, v_scales
-
-            donate = (0, 1, 2, 3) if quant else (0, 1)
-            self._prefill_fns[key] = jax.jit(fn, donate_argnums=donate)
+            self._prefill_fns[key] = _build_scatter(
+                L or self.config.num_hidden_layers, self.pool.quantized,
+                self.pool.page_size, n_new, prefix_len)
         return self._prefill_fns[key]
 
     def _page_keys(self, prompt: np.ndarray, n: int) -> List[bytes]:

@@ -411,12 +411,6 @@ class SpeculativeServingEngine(ServingEngine):
                  gamma: int = 4, **kw):
         if config.vocab_size != draft_config.vocab_size:
             raise ValueError("draft and target must share a vocabulary")
-        if kw.get("prefix_cache"):
-            # a physical page backs BOTH pools here; sharing a target page
-            # would also share its draft-pool twin, whose prefill this
-            # engine's _admit always rewrites in full — unsupported for now
-            raise ValueError("prefix_cache is not supported with speculation; "
-                             "use ServingEngine")
         if kw.get("prefill_chunk"):
             # this engine's _admit writes the draft prefill immediately after
             # super()._admit returns — it requires whole-prompt admission
@@ -493,55 +487,74 @@ class SpeculativeServingEngine(ServingEngine):
 
     # -- admission: also prefill the draft into the same pages ------------
     def _admit(self, req, row):
+        """Admit into BOTH pools. The target side reuses ServingEngine's
+        (prefix-cache-aware) admission; the draft side mirrors it: a physical
+        page backs both pools, and draft KV at position p depends only on
+        tokens [0, p] too, so a page shared via the target's content hash
+        carries the registering request's IDENTICAL draft KV — the draft
+        prefill also skips the prefix and runs only the suffix."""
         need_extra = -(-(len(req.prompt) + req.max_new + self.gamma + 1)
                        // self.pool.page_size)
-        super()._admit(req, row)
+        adm = self._admit_start(req, row)
+        finished = self._admit_chunk(adm)  # prefill_chunk is gated off here
+        assert finished, "speculative admission requires whole-prompt prefill"
         # top up the page count for chunk overshoot (super allocated without
         # the slack; tables hold max_pages_per_seq entries either way)
         if len(req.pages) < need_extra:
             req.pages += self.pool.alloc(need_extra - len(req.pages))
 
-        from grasp_tpu.models.llama import init_kv_cache, prefill
+        from grasp_tpu.models.llama import _forward_with_cache, init_kv_cache
+        from grasp_tpu.serving.paged import _build_gather, _build_scatter
 
         ps = self.pool.page_size
         s = len(req.prompt)
         s_pad = -(-max(s, 1) // ps) * ps
-        key = (s_pad, s_pad)
+        prefix_len = adm.prefix_len
+        hits = prefix_len // ps
+        suf_pad = s_pad - prefix_len
+        key = (suf_pad, s_pad)
         if key not in self._dprefill_fns:
             dconfig, dplan = self.dconfig, self.dplan
 
             @jax.jit
-            def fn(params, ids, cache):
-                return prefill(params, ids, cache, config=dconfig, plan=dplan)
+            def fn(params, ids, cache, at):
+                return _forward_with_cache(params, ids, cache, at,
+                                           config=dconfig, plan=dplan)
 
             self._dprefill_fns[key] = fn
-        padded = np.zeros((1, s_pad), np.int32)
-        padded[0, :s] = req.prompt
+        padded = np.zeros((1, suf_pad), np.int32)
+        padded[0, : s - prefix_len] = req.prompt[prefix_len:]
         # quantized pool: int8 temp cache so the draft prefill attention reads
         # the same quantized K/V its paged decode will (plain-engine parity)
         dcache = init_kv_cache(self.dconfig, batch=1, max_len=s_pad,
                                quantized=self.dpool.quantized)
+        if hits:  # gather the shared prefix's DRAFT KV into the temp cache
+            gkey = ("dgather", hits, s_pad)
+            if gkey not in self._dprefill_fns:
+                self._dprefill_fns[gkey] = _build_gather(
+                    self.dconfig.num_hidden_layers, self.dpool.quantized,
+                    prefix_len)
+            dcache = self._primed_call(
+                gkey, self._dprefill_fns[gkey], dcache, self.dpool.k_pages,
+                self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
+                jnp.asarray(req.pages[:hits], jnp.int32))
         _, dcache = self._primed_call(
-            ("dprefill", s_pad, s_pad), self._dprefill_fns[key],
-            self.dparams, jnp.asarray(padded), dcache)
+            ("dprefill", suf_pad, s_pad), self._dprefill_fns[key],
+            self.dparams, jnp.asarray(padded), dcache,
+            jnp.asarray(prefix_len, jnp.int32))
 
         n_pages = s_pad // ps
-        phys = jnp.asarray(req.pages[:n_pages], jnp.int32)
-
-        def to_pages(arr):
-            return (arr[0].reshape(arr.shape[1], n_pages, ps, arr.shape[-1])
-                    .transpose(1, 0, 2, 3))
-
-        for li in range(self.dconfig.num_hidden_layers):
-            self.dpool.k_pages = self.dpool.k_pages.at[li, :, phys].set(
-                to_pages(dcache[li]["k"]).astype(self.dpool.k_pages.dtype))
-            self.dpool.v_pages = self.dpool.v_pages.at[li, :, phys].set(
-                to_pages(dcache[li]["v"]).astype(self.dpool.v_pages.dtype))
-            if self.dpool.quantized:
-                self.dpool.k_scales = self.dpool.k_scales.at[li, :, phys].set(
-                    to_pages(dcache[li]["k_scale"]))
-                self.dpool.v_scales = self.dpool.v_scales.at[li, :, phys].set(
-                    to_pages(dcache[li]["v_scale"]))
+        skey = ("dscatter", n_pages - hits, s_pad, prefix_len)
+        if skey not in self._dprefill_fns:
+            self._dprefill_fns[skey] = _build_scatter(
+                self.dconfig.num_hidden_layers, self.dpool.quantized, ps,
+                n_pages - hits, prefix_len)
+        (self.dpool.k_pages, self.dpool.v_pages,
+         self.dpool.k_scales, self.dpool.v_scales) = self._primed_call(
+            skey, self._dprefill_fns[skey],
+            self.dpool.k_pages, self.dpool.v_pages,
+            self.dpool.k_scales, self.dpool.v_scales, dcache,
+            jnp.asarray(req.pages[hits:n_pages], jnp.int32))
 
     def _retire(self, req) -> None:
         super()._retire(req)  # single allocator: pages return once, serve both pools

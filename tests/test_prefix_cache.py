@@ -166,13 +166,32 @@ def test_sampled_output_unchanged_by_cache(compressed, rng):
     assert srv.prefix_tokens_saved == 2 * PS
 
 
-def test_speculative_rejects_prefix_cache(compressed):
+def test_speculative_prefix_cache(compressed, rng):
+    """The speculative engine shares pages too: the draft pool's prefix KV
+    gathers from the shared pages, both models skip the prefix prefill, and
+    the greedy stream stays bit-identical to the plain ServingEngine."""
     config, params, plan = compressed
     from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
 
-    with pytest.raises(ValueError, match="prefix_cache"):
-        SpeculativeServingEngine(params, config, params, config, plan=plan,
-                                 draft_plan=plan, prefix_cache=True)
+    head = _prompt(config, rng, 2 * PS)
+    p1 = np.concatenate([head, _prompt(config, rng, 3)])
+    p2 = np.concatenate([head, _prompt(config, rng, 6)])
+    gen = Generator(params, config, plan)
+    want = [gen.greedy(p, 6) for p in (p1, p2)]
+
+    spec = SpeculativeServingEngine(params, config, params, config, plan=plan,
+                                    draft_plan=plan, num_pages=32, page_size=PS,
+                                    max_batch=2, max_pages_per_seq=8,
+                                    prefix_cache=True)
+    rids = [spec.submit(p, 6) for p in (p1, p2)]
+    got = spec.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w
+    assert spec.prefix_tokens_saved == 2 * PS  # p2 hit p1's head pages
+    # repeat after retirement: the cache survives its creator
+    r3 = spec.submit(p1, 6)
+    assert spec.run()[r3] == want[0]
+    assert spec.prefix_tokens_saved == 4 * PS
 
 
 def test_short_prompt_never_shares(compressed, rng):
