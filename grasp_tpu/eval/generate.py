@@ -331,15 +331,19 @@ def topk_topp_filter(
     return out
 
 
-def filter_logits(logits: jax.Array, top_k: int, top_p: jax.Array) -> jax.Array:
-    """Top-k / nucleus (top-p) filtering with HF semantics, static top_k
-    (0 = off). Beyond-reference: the reference decodes greedily everywhere
-    (do_sample=False); this is the serving-side sampler."""
+def filter_logits(logits: jax.Array, top_k: int, top_p: jax.Array,
+                  min_p: jax.Array = 0.0) -> jax.Array:
+    """Top-k / nucleus (top-p) / min-p filtering with HF semantics, static
+    top_k (0 = off; min_p 0 = off, an fp-exact no-op). Beyond-reference: the
+    reference decodes greedily everywhere (do_sample=False); this is the
+    serving-side sampler."""
     b, v = logits.shape
     active = 0 < top_k < v
     ks = jnp.full((b,), top_k if active else 0, jnp.int32)
     tps = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
-    return topk_topp_filter(logits, ks, tps, max_k=top_k if active else 1)
+    mps = jnp.broadcast_to(jnp.asarray(min_p, jnp.float32), (b,))
+    return topk_topp_filter(logits, ks, tps, max_k=top_k if active else 1,
+                            min_ps=mps)
 
 
 class SamplingGenerator(Generator):
@@ -357,13 +361,14 @@ class SamplingGenerator(Generator):
 
             @jax.jit
             def fn(params, rng, first_logits, start_idx, cache, stop_ids,
-                   temperature, top_p):
+                   temperature, top_p, min_p):
                 out0 = jnp.full((max_new,), -1, jnp.int32)
 
                 def pick(logits, step_rng):
                     if greedy:
                         return jnp.argmax(logits).astype(jnp.int32)
-                    filt = filter_logits(logits[None, :] / temperature, top_k, top_p)
+                    filt = filter_logits(logits[None, :] / temperature, top_k,
+                                         top_p, min_p)
                     return jax.random.categorical(step_rng, filt[0]).astype(jnp.int32)
 
                 def cond(state):
@@ -400,8 +405,11 @@ class SamplingGenerator(Generator):
         top_p: float = 1.0,
         seed: int = 0,
         eos_token_id: Optional[int] = None,
+        min_p: float = 0.0,
     ) -> List[int]:
-        """Sample a continuation; temperature=0 (or top_k=1) is exact greedy."""
+        """Sample a continuation; temperature=0 (or top_k=1) is exact greedy.
+        min_p drops tokens below min_p x the top token's probability (HF
+        MinPLogitsWarper semantics, applied after top-k/top-p; 0 = off)."""
         ids = np.asarray(prompt_ids).reshape(1, -1).astype(np.int32)
         s = ids.shape[1]
         s_pad = _round_up(max(s, 1), _PREFILL_BUCKET)
@@ -420,6 +428,7 @@ class SamplingGenerator(Generator):
             cache, jnp.asarray(stop[:4], jnp.int32),
             jnp.asarray(max(temperature, 1e-6), jnp.float32),
             jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(min_p, jnp.float32),
         )
         return np.asarray(out)[: int(n)].tolist()
 

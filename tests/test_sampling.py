@@ -100,3 +100,18 @@ def test_eos_stops_sampling(model, rng):
         eos = base[2]
         got = sg.sample(prompt, 8, temperature=0.9, seed=2, eos_token_id=eos)
         assert got == base[:2], (got, base)
+
+
+def test_min_p_one_is_greedy_and_zero_is_noop(model, rng):
+    """min_p=1 keeps only the top token (sampling == greedy); min_p=0 is an
+    fp-exact no-op on the sampled stream."""
+    config, params = model
+    from grasp_tpu.eval.generate import SamplingGenerator
+
+    prompt = rng.integers(1, config.vocab_size, size=(7,)).astype(np.int32)
+    sg = SamplingGenerator(params, config)
+    greedy = sg.sample(prompt, 6, temperature=0.0)
+    assert sg.sample(prompt, 6, temperature=1.4, seed=9, min_p=1.0) == greedy
+    base = sg.sample(prompt, 6, temperature=0.9, top_k=8, seed=4)
+    assert sg.sample(prompt, 6, temperature=0.9, top_k=8, seed=4,
+                     min_p=0.0) == base
