@@ -394,8 +394,9 @@ def serve_main(argv=None) -> int:
                    help="int8 KV pages (half the decode KV traffic)")
     p.add_argument("--prefix_cache", action="store_true",
                    help="share KV pages across requests with matching prompt "
-                        "prefixes (skips the shared prefix's prefill; "
-                        "bit-identical outputs; not with --speculative)")
+                        "prefixes (skips the shared prefix's prefill in both "
+                        "the target and any speculative draft; bit-identical "
+                        "outputs)")
     p.add_argument("--prefill_chunk", type=int, default=None,
                    help="admit prompts this many tokens per engine step "
                         "(multiple of --page_size) so long prompts don't "

@@ -430,13 +430,31 @@ def _make_penalized_sampler(max_k: int):
     """
     neg = jnp.finfo(jnp.float32).min
 
-    def pick(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-             min_ps, pres, freq, reps, greedy, mask=None):
+    def pick(logits, counts, rows, upd, bias, biased, keys, temps, ks, top_ps,
+             min_ps, pres, freq, reps, greedy, *guided):
         from grasp_tpu.eval.generate import topk_topp_filter
 
-        adj = apply_penalties(logits, counts[rows], bias[rows], pres, freq, reps)
-        if mask is not None:
-            adj = jnp.where(mask, adj, neg)
+        # `biased` gates the bias read per row: unlike counts/pres/freq/reps
+        # (identity-by-value for plain rows), a STALE bias row from the
+        # row's previous tenant is not identity — it must be masked out
+        adj = apply_penalties(logits, counts[rows],
+                              bias[rows] * biased[:, None], pres, freq, reps)
+        if len(guided) == 1:
+            # host-built [B, V] allow-mask (fallback: several grammars in
+            # one batch)
+            adj = jnp.where(guided[0], adj, neg)
+        elif len(guided) == 5:
+            # device-resident grammar (the common single-grammar batch): the
+            # mask derives ON DEVICE from the row states — no [B, V] upload
+            # per step through the slow host link. eos is allowed exactly in
+            # accepting states; a starved row (no token allowed) force-stops
+            # on eos; non-guided rows (gflag 0) are unmasked.
+            table, accept, states, gflag, eosmask = guided
+            rowmask = table[states]
+            rowmask = rowmask | (eosmask[None, :] & accept[states][:, None])
+            starved = ~rowmask.any(axis=-1)
+            rowmask = rowmask | (eosmask[None, :] & starved[:, None])
+            adj = jnp.where(gflag[:, None] & ~rowmask, neg, adj)
         filt = topk_topp_filter(adj / temps[:, None], ks, top_ps, max_k,
                                 min_ps=min_ps)
         sampled = jax.vmap(jax.random.categorical)(keys, filt).astype(jnp.int32)
@@ -445,17 +463,18 @@ def _make_penalized_sampler(max_k: int):
         counts = counts.at[rows, toks].add(upd)
         return toks, counts
 
-    def sample(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-               min_ps, pres, freq, reps, greedy, *mask):
-        return pick(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-                    min_ps, pres, freq, reps, greedy, *mask)
+    def sample(logits, counts, rows, upd, bias, biased, keys, temps, ks,
+               top_ps, min_ps, pres, freq, reps, greedy, *mask):
+        return pick(logits, counts, rows, upd, bias, biased, keys, temps, ks,
+                    top_ps, min_ps, pres, freq, reps, greedy, *mask)
 
-    def sample_lp(logits, counts, rows, upd, bias, keys, temps, ks, top_ps,
-                  min_ps, pres, freq, reps, greedy, *mask):
+    def sample_lp(logits, counts, rows, upd, bias, biased, keys, temps, ks,
+                  top_ps, min_ps, pres, freq, reps, greedy, *mask):
         """Penalized pick + the MODEL's raw logprobs (penalties and filters
         affect the pick, never the report — plain-sampler semantics)."""
-        toks, counts = pick(logits, counts, rows, upd, bias, keys, temps, ks,
-                            top_ps, min_ps, pres, freq, reps, greedy, *mask)
+        toks, counts = pick(logits, counts, rows, upd, bias, biased, keys,
+                            temps, ks, top_ps, min_ps, pres, freq, reps,
+                            greedy, *mask)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         chosen = jnp.take_along_axis(lp, toks[:, None].astype(jnp.int32), -1)[:, 0]
         top_lps, top_ids = jax.lax.top_k(lp, _MAX_LOGPROBS)
@@ -752,7 +771,13 @@ class ServingEngine:
                 if not -100.0 <= float(v) <= 100.0:
                     raise ValueError(f"logit_bias value {v} not in [-100, 100]")
         grammar = self._compile_guided(guided_regex) if guided_regex else None
-        p_len = len(np.asarray(prompt_ids).reshape(-1))
+        flat = np.asarray(prompt_ids).reshape(-1)
+        if flat.size and (flat.min() < 0 or flat.max() >= self.config.vocab_size):
+            # out-of-range ids would silently clamp in the embedding gather
+            # and CRASH the penalized path's prompt histogram — reject early
+            raise ValueError("prompt token ids must be in [0, "
+                             f"{self.config.vocab_size})")
+        p_len = len(flat)
         need = -(-(p_len + max_new_tokens) // self.pool.page_size)
         if need > self.max_pages_per_seq:
             raise ValueError(
@@ -778,6 +803,24 @@ class ServingEngine:
         self._pending.append(req)
         return self._rid
 
+    def _guided_dev(self, grammar) -> tuple:
+        """Device copies of a grammar's (allowed [S, V], accepting [S])
+        tables, uploaded once per grammar and cached on the object."""
+        dev = getattr(grammar, "_dev_tables", None)
+        if dev is None:
+            dev = (jnp.asarray(grammar.allowed), jnp.asarray(grammar.accepting))
+            grammar._dev_tables = dev
+        return dev
+
+    def _eos_mask_dev(self) -> jax.Array:
+        """Cached [V] bool device mask of the engine's stop token ids."""
+        if getattr(self, "_eos_mask", None) is None:
+            m = np.zeros(self.config.vocab_size, bool)
+            for e in self._eos:
+                m[e] = True
+            self._eos_mask = jnp.asarray(m)
+        return self._eos_mask
+
     def _compile_guided(self, pattern: str):
         """Compile (and cache) a guided-decoding grammar for this engine's
         tokenizer. Raises ValueError on unusable configs/patterns."""
@@ -793,7 +836,14 @@ class ServingEngine:
             if self._token_bytes is None:
                 self._token_bytes = token_bytes_of(self.tokenizer,
                                                    self.config.vocab_size)
-            self._grammars[pattern] = CompiledGrammar(pattern, self._token_bytes)
+            try:
+                self._grammars[pattern] = CompiledGrammar(pattern,
+                                                          self._token_bytes)
+            except ValueError:
+                raise
+            except Exception as e:  # parser index/overflow slips -> 400s
+                raise ValueError(f"bad guided_regex {pattern!r}: "
+                                 f"{type(e).__name__}: {e}") from e
         return self._grammars[pattern]
 
     def cancel(self, rid: int) -> bool:
@@ -849,6 +899,7 @@ class ServingEngine:
         pres = np.zeros(b, np.float32)
         freq = np.zeros(b, np.float32)
         reps = np.ones(b, np.float32)
+        biased = np.zeros(b, np.float32)
         penalized = False
         for i, r in enumerate(reqs):
             if r is None:
@@ -862,6 +913,7 @@ class ServingEngine:
                 pres[i] = r.presence_penalty
                 freq[i] = r.frequency_penalty
                 reps[i] = r.repetition_penalty
+                biased[i] = 1.0 if r.logit_bias else 0.0
             if not r.greedy:
                 temps[i] = max(r.temperature, 1e-6)
                 ks[i] = r.top_k
@@ -875,26 +927,42 @@ class ServingEngine:
                   for r in reqs]
         if penalized:
             args = (logits, self._counts, jnp.asarray(rows), jnp.asarray(upd),
-                    self._bias, jnp.asarray(keys), jnp.asarray(temps),
-                    jnp.asarray(ks), jnp.asarray(tps), jnp.asarray(min_ps),
-                    jnp.asarray(pres), jnp.asarray(freq), jnp.asarray(reps),
-                    jnp.asarray(greedy))
-            if any(g is not None for g in guided):
-                mask = np.ones((b, logits.shape[-1]), bool)
-                for i, r in enumerate(guided):
-                    if r is None:
-                        continue
-                    m = r.guided.allowed[r.gstate].copy()
-                    acc = bool(r.guided.accepting[r.gstate])
-                    for e in self._eos:
-                        m[e] = acc
-                    if not m.any():
-                        # starved state (holey vocab: bytes exist but no
-                        # single token fits) — force-stop on eos
+                    self._bias, jnp.asarray(biased), jnp.asarray(keys),
+                    jnp.asarray(temps), jnp.asarray(ks), jnp.asarray(tps),
+                    jnp.asarray(min_ps), jnp.asarray(pres), jnp.asarray(freq),
+                    jnp.asarray(reps), jnp.asarray(greedy))
+            live_guided = [r for r in guided if r is not None]
+            if live_guided:
+                grammars = {id(r.guided) for r in live_guided}
+                if len(grammars) == 1:
+                    # fast path: one grammar in the batch — its allow/accept
+                    # tables live on device; only the tiny per-row state ids
+                    # upload each step (see the sampler's 5-arg guided form)
+                    table, accept = self._guided_dev(live_guided[0].guided)
+                    states = np.zeros(b, np.int32)
+                    gflag = np.zeros(b, bool)
+                    for i, r in enumerate(guided):
+                        if r is not None:
+                            states[i] = r.gstate
+                            gflag[i] = True
+                    args = args + (table, accept, jnp.asarray(states),
+                                   jnp.asarray(gflag), self._eos_mask_dev())
+                else:  # several grammars at once: host-built mask fallback
+                    mask = np.ones((b, logits.shape[-1]), bool)
+                    for i, r in enumerate(guided):
+                        if r is None:
+                            continue
+                        m = r.guided.allowed[r.gstate].copy()
+                        acc = bool(r.guided.accepting[r.gstate])
                         for e in self._eos:
-                            m[e] = True
-                    mask[i] = m
-                args = args + (jnp.asarray(mask),)
+                            m[e] = acc
+                        if not m.any():
+                            # starved state (holey vocab: bytes exist but no
+                            # single token fits) — force-stop on eos
+                            for e in self._eos:
+                                m[e] = True
+                        mask[i] = m
+                    args = args + (jnp.asarray(mask),)
             if want_lp:
                 toks, self._counts, chosen, top_ids, top_lps = _sample_pen_lp(*args)
             else:

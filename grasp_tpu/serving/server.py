@@ -121,6 +121,12 @@ class GraspServer:
         through to the engine, which validates them."""
         if stop and self.tokenizer is None:
             raise ValueError("stop strings need a tokenizer")
+        if sampling.get("guided_regex"):
+            # first-use grammar compilation (token-bytes table + DFA lift)
+            # can take seconds on a 32k vocab — do it OUTSIDE the scheduler
+            # lock so live decoding never stalls; the per-pattern cache makes
+            # this idempotent and the locked submit then hits the cache
+            self.engine._compile_guided(sampling["guided_regex"])
         with self._wake:
             rid = self.engine.submit(prompt_ids, max_new_tokens,
                                      temperature=temperature, top_k=top_k,
@@ -505,6 +511,8 @@ class _Handler(BaseHTTPRequestHandler):
                 try:
                     out = g.wait(d, timeout=timeout)
                 except (TimeoutError, RuntimeError) as e:
+                    for _, r2, _d2 in subs:  # nobody will read the rest —
+                        g.cancel(r2)         # free their rows/pages now
                     return self._json(500, {"error": {"message": str(e)}})
                 finish, text = _finish_and_text(g, d, out)
                 lp = _lp_block(g, d, out)

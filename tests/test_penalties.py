@@ -235,3 +235,26 @@ def test_penalties_with_logprobs_report_raw(compressed, rng):
         # present in the top list
         if tok in top_ids:
             assert abs(top_lps[top_ids.index(tok)] - chosen_lp) < 1e-5
+
+
+def test_stale_bias_does_not_leak_to_next_row_tenant(compressed, rng):
+    """A biased request retires; a PLAIN request reuses its row while a
+    penalized request keeps the whole batch on the penalized sampler — the
+    plain row must not inherit the previous tenant's bias buffer."""
+    config, params, plan = compressed
+    p_bias = _prompt(config, rng, 5)
+    p_pen = _prompt(config, rng, 6)
+    p_plain = _prompt(config, rng, 7)
+
+    solo = _engine(compressed)
+    _r = solo.submit(p_plain, 6)
+    want = solo.run()[_r]
+
+    srv = _engine(compressed)  # max_batch=2
+    forced = 7
+    r_bias = srv.submit(p_bias, 2, logit_bias={forced: 100.0})   # row 0
+    r_pen = srv.submit(p_pen, 14, presence_penalty=0.5)          # row 1
+    r_plain = srv.submit(p_plain, 6)                             # reuses row 0
+    got = srv.run()
+    assert got[r_bias] == [forced, forced]
+    assert got[r_plain] == want, "stale logit_bias leaked into the reused row"
