@@ -45,6 +45,7 @@ _PRESETS = {
     "llama3.1-8b": "llama3_1_8b",
     "mistral-7b": "mistral_7b",
     "qwen2-7b": "qwen2_7b",
+    "phi3-mini-4k": "phi3_mini_4k",
     "mixtral-8x7b": "mixtral_8x7b",
     "gemma-2b": "gemma_2b",
     "gemma-7b": "gemma_7b",

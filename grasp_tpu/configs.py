@@ -71,7 +71,9 @@ class ModelConfig:
             items = rs.items() if isinstance(rs, dict) else rs
             object.__setattr__(
                 self, "rope_scaling",
-                tuple(sorted((str(k), v) for k, v in items)))
+                tuple(sorted(
+                    (str(k), tuple(v) if isinstance(v, (list, tuple)) else v)
+                    for k, v in items)))  # longrope factor LISTS stay hashable
         if self.layer_types is not None and not isinstance(self.layer_types, tuple):
             object.__setattr__(self, "layer_types", tuple(self.layer_types))
 
@@ -133,6 +135,22 @@ class ModelConfig:
     @staticmethod
     def llama2_7b() -> "ModelConfig":
         return ModelConfig()
+
+    @staticmethod
+    def phi3_mini_4k() -> "ModelConfig":
+        """Phi-3-mini-4k (3.8B): MHA at head_dim 96, fused qkv/gate_up in HF
+        checkpoints (split exactly on ingest, models/hf_io.py)."""
+        return ModelConfig(
+            vocab_size=32064,
+            hidden_size=3072,
+            intermediate_size=8192,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=32,
+            max_position_embeddings=4096,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-5,
+        )
 
     @staticmethod
     def qwen2_7b() -> "ModelConfig":

@@ -45,6 +45,19 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         layer_types = tuple(
             "sliding_attention" if i % 2 == 0 else "full_attention"
             for i in range(get("num_hidden_layers")))
+    rope_scaling = get("rope_scaling", None)
+    if rope_scaling and dict(rope_scaling).get(
+            "rope_type", dict(rope_scaling).get("type")) == "longrope":
+        # Phi-3 longrope needs the context bounds that live at the config
+        # root: the long/short switch point and the attention factor derive
+        # from max/original max positions (models.llama.rope_cos_sin)
+        rope_scaling = dict(rope_scaling)
+        rope_scaling.setdefault(
+            "original_max_position_embeddings",
+            get("original_max_position_embeddings",
+                get("max_position_embeddings", 4096)))
+        rope_scaling.setdefault("max_position_embeddings",
+                                get("max_position_embeddings", 4096))
     return ModelConfig(
         vocab_size=get("vocab_size"),
         hidden_size=get("hidden_size"),
@@ -68,7 +81,7 @@ def config_from_hf(hf_config: Any) -> ModelConfig:
         # a window in its config but gates it off via use_sliding_window
         sliding_window=(get("sliding_window", None)
                         if get("use_sliding_window", True) else None),
-        rope_scaling=get("rope_scaling", None),  # llama3/linear (configs.py)
+        rope_scaling=rope_scaling,  # llama3/linear/longrope (models.llama)
         # Gemma-2
         layer_types=tuple(layer_types) if layer_types else None,
         attn_logit_softcapping=get("attn_logit_softcapping", None),
@@ -113,6 +126,26 @@ def params_from_state_dict(state_dict: Dict[str, Any], config: ModelConfig, dtyp
     plan with models.llama.plan_from_params.
     """
     sd = {k: _to_np(v) for k, v in state_dict.items()}
+
+    # Phi-3 fuses q/k/v into qkv_proj and gate/up into gate_up_proj (HF
+    # modeling_phi3.py). Row slices of a fused matmul are EXACT (x @ W^T
+    # splits by output rows), so splitting here is numerically identical and
+    # restores the per-projection structure GRASP compresses.
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim_)
+    for li in range(config.num_hidden_layers):
+        base = f"model.layers.{li}"
+        qkv = sd.pop(f"{base}.self_attn.qkv_proj.weight", None)
+        if qkv is not None:
+            q, k, v = np.split(qkv, [nh * hd, nh * hd + nkv * hd])
+            sd[f"{base}.self_attn.q_proj.weight"] = q
+            sd[f"{base}.self_attn.k_proj.weight"] = k
+            sd[f"{base}.self_attn.v_proj.weight"] = v
+        gu = sd.pop(f"{base}.mlp.gate_up_proj.weight", None)
+        if gu is not None:
+            g, u = np.split(gu, 2)  # HF Phi3MLP chunks gate first, then up
+            sd[f"{base}.mlp.gate_proj.weight"] = g
+            sd[f"{base}.mlp.up_proj.weight"] = u
 
     def kernel(name):
         if f"{name}.InLinear.weight" in sd:  # reference SVDLinear (compiled low-rank)

@@ -222,12 +222,31 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
     _compute_llama3_parameters exactly: low-frequency components (wavelength
     > original_ctx / low_freq_factor) divide by `factor`, high-frequency
     ones stay, the band between interpolates smoothly. "linear" divides all
-    frequencies by `factor` (position interpolation)."""
+    frequencies by `factor` (position interpolation). "longrope" (Phi-3
+    long-context) replicates _compute_longrope_parameters: per-dimension
+    short/long rescale factors — the long set applies exactly when the
+    call's max position exceeds original_max_position_embeddings (HF
+    switches by the same seq-len test; here it is a traced select, so one
+    compile serves both regimes) — plus the attention magnitude factor
+    sqrt(1 + ln(factor)/ln(original_ctx)) on cos/sin."""
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    attn_scale = 1.0
     if scaling:
         d = dict(scaling)
         rtype = d.get("rope_type", d.get("type", "default"))
-        if rtype == "llama3":
+        if rtype == "longrope":
+            orig = float(d["original_max_position_embeddings"])
+            maxp = float(d.get("max_position_embeddings", orig))
+            factor = maxp / orig
+            attn_scale = d.get("attention_factor")
+            if attn_scale is None:
+                attn_scale = (1.0 if factor <= 1.0 else
+                              float(np.sqrt(1.0 + np.log(factor) / np.log(orig))))
+            short = jnp.asarray(d["short_factor"], jnp.float32)
+            long = jnp.asarray(d["long_factor"], jnp.float32)
+            use_long = positions.max() + 1 > orig
+            inv_freq = inv_freq / jnp.where(use_long, long, short)
+        elif rtype == "llama3":
             factor = float(d["factor"])
             lo, hi = float(d["low_freq_factor"]), float(d["high_freq_factor"])
             old_ctx = float(d["original_max_position_embeddings"])
@@ -243,7 +262,7 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
             raise ValueError(f"unsupported rope_scaling type: {rtype!r}")
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., S, hd/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    return jnp.cos(emb) * attn_scale, jnp.sin(emb) * attn_scale
 
 
 def _rotate_half(x: jax.Array) -> jax.Array:
