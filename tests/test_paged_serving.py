@@ -442,3 +442,44 @@ def test_multiple_stop_tokens_and_finish_cause(compressed):
     done = {r.rid: r for r in srv.collect_requests()}
     assert done[r1].finish == "length"
     assert done[r2].finish == "cancel"
+
+
+@pytest.mark.skipif(
+    not any(d.platform == "tpu" for d in jax.devices()), reason="needs a real TPU"
+)
+def test_paged_attention_hd96_kernel_on_tpu(rng):
+    """Phi-3's head_dim 96 also routes through the sub-lane paged kernel
+    (ops/pallas_paged64.py gates on hd < 128) — probed 2026-08-19 on v5e:
+    Mosaic accepts the 96-wide blocks and the stream matches the gather
+    path and the dense Generator token for token."""
+    import os
+
+    config = ModelConfig.tiny(
+        hidden_size=384, num_attention_heads=4, num_key_value_heads=4,
+        num_hidden_layers=2, intermediate_size=512,  # head_dim = 96
+    )
+    assert config.head_dim_ == 96
+    params = init_params(jax.random.PRNGKey(6), config)
+    prompts = _prompts(config, rng, [6, 13])
+    max_new = 4
+
+    gen = Generator(params, config)
+    want = [gen.greedy(p, max_new) for p in prompts]
+
+    srv = ServingEngine(params, config, num_pages=24, page_size=16,
+                        max_batch=2, max_pages_per_seq=4)
+    rids = [srv.submit(p, max_new) for p in prompts]
+    got = srv.run()
+    for rid, w in zip(rids, want):
+        assert got[rid] == w, f"hd96 kernel request {rid}: {got[rid]} != {w}"
+
+    os.environ["GRASP_PAGED64_KERNEL"] = "0"
+    try:
+        srv2 = ServingEngine(params, config, num_pages=24, page_size=16,
+                             max_batch=2, max_pages_per_seq=4)
+        rids2 = [srv2.submit(p, max_new) for p in prompts]
+        got2 = srv2.run()
+        for rid, w in zip(rids2, want):
+            assert got2[rid] == w
+    finally:
+        del os.environ["GRASP_PAGED64_KERNEL"]
