@@ -33,6 +33,7 @@ vocabularies a starved row force-stops on eos (documented degradation).
 
 from __future__ import annotations
 
+import json
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -371,6 +372,134 @@ def token_bytes_of(tokenizer, vocab_size: int) -> List[Optional[bytes]]:
         if s:
             out[i] = s.encode("utf-8", errors="replace")
     return out
+
+
+_RE_SPECIALS = set('.[](){}*+?|\\"^$-')
+
+
+def _lit(text: str) -> str:
+    """Escape a literal string for the regex subset (ascii assumed)."""
+    return "".join("\\" + c if c in _RE_SPECIALS else c for c in text)
+
+
+_WS = r"[ \n\t\r]*"
+_STRING = r'"([^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*"'
+_INTEGER = r"-?(0|[1-9][0-9]{0,15})"
+_NUMBER = _INTEGER + r"(\.[0-9]{1,15})?([eE][+-]?[0-9]{1,3})?"
+
+
+def schema_regex(schema: dict) -> str:
+    """Compile a JSON Schema (practical subset) to a regex the guided
+    decoder enforces — the Outlines approach, self-contained.
+
+    Supported: ``type`` object (properties emitted in DECLARATION order —
+    a DFA cannot track the k! orderings; optional properties stay optional
+    in that order), string (+ ``enum``/``const``/``pattern``), integer,
+    number, boolean, null, array (``items`` + ``minItems``/``maxItems``),
+    and ``enum``/``anyOf``/``oneOf`` alternation at any level. Unsupported
+    keywords raise ValueError (never silently ignored: the output would
+    falsely claim schema conformance). ``$ref``/unbounded recursion is
+    unsupported — a DFA cannot count nesting."""
+
+    def value(s) -> str:
+        if not isinstance(s, dict):
+            raise ValueError(f"schema node must be an object, got {s!r}")
+        if "enum" in s:
+            return "(" + "|".join(_scalar(v) for v in s["enum"]) + ")"
+        if "const" in s:
+            return _scalar(s["const"])
+        alts = s.get("anyOf") or s.get("oneOf")
+        if alts:
+            return "(" + "|".join(value(a) for a in alts) + ")"
+        t = s.get("type")
+        if isinstance(t, list):
+            return "(" + "|".join(value({**s, "type": x}) for x in t) + ")"
+        if t == "object":
+            return _object(s)
+        if t == "array":
+            return _array(s)
+        if t == "string":
+            if "pattern" in s:  # anchored, like JSON Schema semantics
+                return f'"({s["pattern"]})"'
+            return _STRING
+        if t == "integer":
+            return _INTEGER
+        if t == "number":
+            return _NUMBER
+        if t == "boolean":
+            return "(true|false)"
+        if t == "null":
+            return "null"
+        raise ValueError(f"unsupported schema: {s!r}")
+
+    def _scalar(v) -> str:
+        if isinstance(v, str):
+            return '"' + _lit(v) + '"'
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if v is None:
+            return "null"
+        if isinstance(v, (int, float)):
+            return _lit(json.dumps(v))
+        raise ValueError(f"unsupported enum/const value: {v!r}")
+
+    def _object(s) -> str:
+        props = s.get("properties", {})
+        required = set(s.get("required", props.keys()))
+        unknown = required - set(props)
+        if unknown:
+            raise ValueError(f"required names missing from properties: {unknown}")
+        if not props:
+            return r"\{" + _WS + r"\}"
+        parts = []
+        for name, sub in props.items():  # dict order == declaration order
+            pair = f'{_WS}"{_lit(name)}"{_WS}:{_WS}{value(sub)}'
+            parts.append((pair, name in required))
+        # fixed declaration order; commas exactly between EMITTED pairs:
+        # alternate over which property is emitted FIRST (any optional
+        # prefix may be skipped, never past a required property), then the
+        # rest follow with `(,pair)?` for optional and `,pair` for required
+        alts = []
+        for i, (pair, req) in enumerate(parts):
+            # pair i is the FIRST emitted: properties before i were skipped
+            # (all optional), the tail continues from i+1
+            t = ""
+            for p2, r2 in reversed(parts[i + 1:]):
+                seg = f"{_WS},{p2}"
+                t = seg + t if r2 else f"({seg})?{t}"
+            alts.append(pair + t)
+            if req:
+                break  # a required pair cannot be skipped
+        body = "(" + "|".join(alts) + ")"
+        if not any(req for _, req in parts):
+            body = f"({body})?"  # entirely optional object may be {}
+        return r"\{" + body + _WS + r"\}"
+
+    def _array(s) -> str:
+        item = value(s.get("items", {"type": "string"}))
+        lo = int(s.get("minItems", 0))
+        hi = s.get("maxItems")
+        one = f"{_WS}{item}"
+        sep = f"{_WS},{_WS}{item}"
+        if hi is not None:
+            hi = int(hi)
+            if hi < lo:
+                raise ValueError("maxItems < minItems")
+            if hi == 0:
+                return r"\[" + _WS + r"\]"
+            more = (f"({sep}){{{max(lo - 1, 0)},{hi - 1}}}" if lo > 1
+                    else f"({sep}){{0,{hi - 1}}}")
+            body = f"{one}{more}"
+        else:
+            more = f"({sep})*" if lo <= 1 else f"({sep}){{{lo - 1},}}"
+            body = f"{one}{more}"
+        if lo == 0:
+            body = f"({body})?"
+        return r"\[" + body + _WS + r"\]"
+
+    return value(schema)
 
 
 def json_regex(max_depth: int = 2) -> str:

@@ -460,14 +460,23 @@ class _Handler(BaseHTTPRequestHandler):
             rf = req.get("response_format")
             if rf is not None:
                 if not (isinstance(rf, dict) and rf.get("type") in
-                        ("json_object", "text")):
+                        ("json_object", "json_schema", "text")):
                     raise ValueError
+                if rf.get("type") != "text" and guided is not None:
+                    raise ValueError  # pick one constraint
                 if rf.get("type") == "json_object":
-                    if guided is not None:
-                        raise ValueError  # pick one constraint
                     from grasp_tpu.serving.guided import json_regex
 
                     guided = json_regex()
+                elif rf.get("type") == "json_schema":
+                    from grasp_tpu.serving.guided import schema_regex
+
+                    js = rf.get("json_schema")
+                    schema = (js.get("schema", js)
+                              if isinstance(js, dict) else None)
+                    if not isinstance(schema, dict):
+                        raise ValueError
+                    guided = schema_regex(schema)  # ValueError on bad schema
             if guided is not None:
                 if not isinstance(guided, str) or not guided:
                     raise ValueError

@@ -233,3 +233,96 @@ def test_guided_validation(compressed):
                                     max_batch=2, max_pages_per_seq=4)
     with pytest.raises(ValueError, match="guided_regex"):
         spec.submit([1, 2], 4, guided_regex=r"a+")
+
+
+# ---------------------------------------------------------------------------
+# JSON-Schema-constrained decoding (schema -> regex -> the same DFA stack)
+# ---------------------------------------------------------------------------
+
+def test_schema_regex_semantics():
+    """schema_regex compiles a schema subset to a pattern whose acceptance
+    (checked via BOTH Python re and our DFA) enforces required properties,
+    declaration order, item enums, integer-vs-number, and min/maxItems."""
+    import re
+
+    from grasp_tpu.serving.guided import schema_regex
+
+    def accepts(pat, s):
+        trans, acc, start = _dfa_of(pat)
+        st = start
+        for b in s.encode():
+            st = trans[st, b]
+            if st < 0:
+                return False
+        return bool(acc[st])
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+            "tags": {"type": "array", "items": {"enum": ["a", "b", "c"]},
+                     "maxItems": 3},
+            "active": {"type": "boolean"},
+        },
+        "required": ["name", "age"],
+    }
+    pat = schema_regex(schema)
+    cre = re.compile(pat)
+    good = ['{"name": "bob", "age": 3}',
+            '{"name": "x", "age": 0, "tags": ["a", "c"], "active": true}',
+            '{"name": "x", "age": 12, "tags": []}']
+    bad = ['{"age": 3}', '{}', '{"age": 3, "name": "bob"}',
+           '{"name": "bob", "age": 3.5}',
+           '{"name": "bob", "age": 3, "tags": ["z"]}',
+           '{"name": "bob", "age": 3, "extra": 1}']
+    for s in good:
+        json.loads(s)
+        assert cre.fullmatch(s) and accepts(pat, s), s
+    for s in bad:
+        assert not cre.fullmatch(s) and not accepts(pat, s), s
+
+    # nested objects, minItems, anyOf/const/pattern, unsupported -> error
+    p2 = schema_regex({"type": "object", "properties": {
+        "m": {"type": "object", "properties": {"k": {"type": "number"}}},
+        "v": {"type": "array", "items": {"type": "number"}, "minItems": 2}},
+        "required": []})
+    for s in ['{}', '{"m": {"k": -1.5e2}}', '{"m": {"k": 1}, "v": [0, 1]}']:
+        assert accepts(p2, s), s
+    assert not accepts(p2, '{"v": [1]}')
+    p3 = schema_regex({"anyOf": [{"type": "null"}, {"const": "hi"},
+                                 {"type": "string", "pattern": "[a-c]{2}"}]})
+    for s, ok in [("null", True), ('"hi"', True), ('"ab"', True),
+                  ('"abc"', False), ("true", False)]:
+        assert accepts(p3, s) == ok, s
+    with pytest.raises(ValueError):
+        schema_regex({"type": "object", "properties": {"a": {"type": "string"}},
+                      "required": ["b"]})
+    with pytest.raises(ValueError):
+        schema_regex({"type": "frobnicate"})
+
+
+def test_schema_guided_generation(compressed, rng):
+    """End-to-end: a schema-constrained request emits JSON that parses AND
+    conforms (required keys present, types right) whenever eos fired."""
+    from grasp_tpu.serving.guided import schema_regex
+
+    config, params, plan = compressed
+    tok = ByteTokenizer(config.vocab_size)
+    schema = {"type": "object",
+              "properties": {"n": {"type": "integer"},
+                             "ok": {"type": "boolean"}},
+              "required": ["n", "ok"]}
+    srv = _engine(compressed)
+    rid = srv.submit(_prompt(config, rng, 4), 48, temperature=0.8, seed=6,
+                     guided_regex=schema_regex(schema))
+    while srv.has_work():
+        srv.step()
+    done = {r.rid: r for r in srv.collect_requests()}
+    req = done[rid]
+    if req.finish == "eos":  # bounded-integer grammar: extremely likely
+        obj = json.loads(tok.decode(req.out))
+        assert set(obj) == {"n", "ok"}
+        assert isinstance(obj["n"], int) and isinstance(obj["ok"], bool)
+    else:  # length-capped: still a valid prefix of the grammar
+        assert req.gstate >= 0

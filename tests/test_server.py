@@ -441,3 +441,42 @@ def test_guided_decoding_over_http(compressed, rng):
     finally:
         httpd.shutdown()
         gserver.close()
+
+
+def test_json_schema_over_http(compressed, rng):
+    """response_format json_schema constrains output to the schema."""
+    config, params, plan = compressed
+    tok = ByteTokenizer(config.vocab_size)
+    eng = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=8,
+                        tokenizer=tok, eos_token_id=tok.eos_token_id)
+    gserver, httpd, _ = serve(eng, port=0, tokenizer=tok,
+                              model_id="tiny-schema", block=False)
+    port = httpd.server_address[1]
+    prompt = rng.integers(1, 256, size=(5,)).astype(int).tolist()
+    schema = {"type": "object",
+              "properties": {"n": {"type": "integer"},
+                             "tag": {"enum": ["x", "y"]}},
+              "required": ["n", "tag"]}
+    try:
+        status, out = _post(port, {
+            "prompt": prompt, "max_tokens": 48, "temperature": 0.8, "seed": 2,
+            "response_format": {"type": "json_schema",
+                                "json_schema": {"schema": schema}}})
+        assert status == 200
+        c = out["choices"][0]
+        if c["finish_reason"] == "stop":
+            obj = json.loads(c["text"])
+            assert set(obj) == {"n", "tag"} and obj["tag"] in ("x", "y")
+            assert isinstance(obj["n"], int)
+
+        # bad schemas are 400s
+        for bad in ({"type": "json_schema"},
+                    {"type": "json_schema", "json_schema": {"schema": {
+                        "type": "frobnicate"}}}):
+            status, _ = _post(port, {"prompt": prompt, "max_tokens": 2,
+                                     "response_format": bad})
+            assert status == 400, bad
+    finally:
+        httpd.shutdown()
+        gserver.close()
