@@ -405,6 +405,11 @@ def serve_main(argv=None) -> int:
     p.add_argument("--stop_token_ids", type=str, default=None,
                    help="comma-separated extra stop token ids beyond the "
                         "tokenizer's eos (e.g. LLaMA-3's <|eot_id|>)")
+    p.add_argument("--warmup", type=str, nargs="?", const="128,512,1024",
+                   default=None,
+                   help="pre-compile serving jits at startup for these "
+                        "comma-separated prompt-length buckets (bare flag = "
+                        "128,512,1024) — first requests skip the compile")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--num_pages", type=int, default=256)
     p.add_argument("--page_size", type=int, default=128)
@@ -475,6 +480,12 @@ def serve_main(argv=None) -> int:
                                prefix_cache=args.prefix_cache,
                                prefill_chunk=args.prefill_chunk,
                                tokenizer=tokenizer, **kw)
+
+    if args.warmup:
+        buckets = [int(t) for t in args.warmup.split(",") if t.strip()]
+        logger = logging.getLogger("grasp_tpu")
+        logger.info("warming up serving jits for prompt buckets %s ...", buckets)
+        logger.info("warmup done in %.1f s", engine.warmup(buckets))
 
     from grasp_tpu.serving.server import serve
 

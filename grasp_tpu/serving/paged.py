@@ -1025,13 +1025,68 @@ class ServingEngine:
         ``fn.lower(...).compile()`` populates the dispatch cache first, so the
         actual call is a copy-free cache hit. Priming is best-effort: failures
         fall back to plain dispatch."""
+        self._prime(key, fn, *args)
+        return fn(*args)
+
+    def _prime(self, key, fn, *args) -> None:
+        """AOT compile ``fn`` for ``args``' shapes without executing it."""
         if key not in self._primed:
             self._primed.add(key)
             try:
                 fn.lower(*args).compile()
             except Exception:  # pragma: no cover - backend-dependent
                 pass
-        return fn(*args)
+
+    def warmup(self, prompt_lens=(128, 512, 1024)) -> float:
+        """Pre-compile the serving jits before traffic arrives.
+
+        Compiles the batched decode, the samplers, and the prefill +
+        page-scatter jits for each prompt-length bucket (rounded up to whole
+        pages, capped by the table capacity; with chunked prefill, the chunk
+        shape per bucket). First-request latency then drops from the compile
+        time (tens of seconds per new shape on a cold cache, minutes through
+        a remote-compile tunnel) to the normal admission cost. Returns the
+        seconds spent. ``grasp-serve --warmup`` wires this at startup."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        ps = self.pool.page_size
+        pool = (self.pool.k_pages, self.pool.v_pages,
+                self.pool.k_scales, self.pool.v_scales)
+        tables = jnp.zeros((self.max_batch, self.max_pages_per_seq), jnp.int32)
+        zrow = jnp.zeros((self.max_batch,), jnp.int32)
+        self._prime("decode", self._decode, self.params,
+                    zrow, *pool, tables, zrow, zrow)
+
+        dtype = jnp.dtype(self.config.dtype)
+        for b in {1, self.max_batch}:  # admission pick is b=1; steps b=max
+            logits = jnp.zeros((b, self.config.vocab_size), dtype)
+            keys = jnp.zeros((b, 2), jnp.uint32)
+            f32 = jnp.zeros((b,), jnp.float32)
+            i32 = jnp.zeros((b,), jnp.int32)
+            flags = jnp.zeros((b,), bool)
+            self._prime(("sampler", b), _sample_tokens,
+                        logits, keys, f32, i32, f32, flags)
+
+        seen = set()
+        for n in prompt_lens:
+            s_pad = min(-(-max(int(n), 1) // ps) * ps,
+                        self.max_pages_per_seq * ps)
+            if s_pad in seen:
+                continue
+            seen.add(s_pad)
+            cache = init_kv_cache(self.config, batch=1, max_len=s_pad,
+                                  quantized=self.pool.quantized)
+            chunk = min(self.prefill_chunk or s_pad, s_pad)
+            ids = jnp.zeros((1, chunk), jnp.int32)
+            self._prime(("prefill", chunk, s_pad),
+                        self._get_prefill(chunk, s_pad),
+                        self.params, ids, cache, jnp.asarray(0, jnp.int32))
+            n_pages = s_pad // ps
+            self._prime(("scatter", n_pages, s_pad, 0),
+                        self._get_scatter(n_pages, s_pad, 0),
+                        *pool, cache, jnp.zeros((n_pages,), jnp.int32))
+        return _time.perf_counter() - t0
 
     def _get_prefill(self, s_pad: int, cache_len: int):
         """Prefill jit writing `s_pad` tokens at a TRACED cache offset — one

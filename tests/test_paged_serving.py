@@ -483,3 +483,25 @@ def test_paged_attention_hd96_kernel_on_tpu(rng):
             assert got2[rid] == w
     finally:
         del os.environ["GRASP_PAGED64_KERNEL"]
+
+
+def test_warmup_precompiles_and_serves(compressed, rng):
+    """warmup() AOT-compiles decode/sampler/prefill/scatter for the buckets;
+    requests afterwards hit the primed cache and outputs are unchanged."""
+    config, params, plan = compressed
+    srv = ServingEngine(params, config, plan, num_pages=32, page_size=8,
+                        max_batch=2, max_pages_per_seq=4)
+    dt = srv.warmup(prompt_lens=(8, 13))  # 13 rounds up to 16
+    assert dt > 0
+    assert "decode" in srv._primed
+    assert ("prefill", 8, 8) in srv._primed
+    assert ("prefill", 16, 16) in srv._primed
+    assert ("scatter", 2, 16, 0) in srv._primed
+    assert ("sampler", 1) in srv._primed and ("sampler", 2) in srv._primed
+
+    prompt = _prompts(config, rng, [13])[0]
+    want = Generator(params, config, plan).greedy(prompt, 4)
+    rid = srv.submit(prompt, 4)
+    assert srv.run()[rid] == want
+    # oversized buckets clamp to table capacity instead of failing
+    assert srv.warmup(prompt_lens=(10_000,)) >= 0
