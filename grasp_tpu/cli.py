@@ -415,7 +415,8 @@ def serve_main(argv=None) -> int:
     p.add_argument("--page_size", type=int, default=128)
     p.add_argument("--max_pages_per_seq", type=int, default=16)
     p.add_argument("--chat_template", type=str, default=None,
-                   choices=[None, "llama2", "generic"],
+                   choices=[None, "llama2", "chatml", "phi3", "gemma",
+                            "generic"],
                    help="chat rendering for /v1/chat/completions (default: the "
                         "tokenizer's own template, else generic)")
     p.add_argument("--speculative", type=str, default="none", choices=["none", "int8"],

@@ -277,6 +277,32 @@ def render_chat(messages: List[Dict[str, str]], tokenizer=None,
             text += f"[INST] {pending} [/INST]"
         else:
             text = text.rstrip()
+    elif template == "chatml":
+        # ChatML (Qwen2 and friends): <|im_start|>role\n...<|im_end|>\n
+        text = "".join(
+            f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n"
+            for m in messages) + "<|im_start|>assistant\n"
+    elif template == "phi3":
+        # Phi-3 instruct: <|role|>\n...<|end|>\n, assistant cue to generate
+        text = "".join(
+            f"<|{m['role']}|>\n{m['content']}<|end|>\n"
+            for m in messages) + "<|assistant|>\n"
+    elif template == "gemma":
+        # Gemma has no system role: a system prompt folds into the first
+        # user turn (HF chat-template behavior); assistant renders as model
+        sys_txt = "\n".join(m["content"] for m in messages
+                            if m["role"] == "system")
+        text, sys_pending = "", sys_txt
+        for m in messages:
+            if m["role"] == "system":
+                continue
+            role = "model" if m["role"] == "assistant" else "user"
+            content = m["content"]
+            if role == "user" and sys_pending:
+                content = f"{sys_pending}\n\n{content}"
+                sys_pending = ""
+            text += f"<start_of_turn>{role}\n{content}<end_of_turn>\n"
+        text += "<start_of_turn>model\n"
     else:  # generic plain transcript (vicuna-style roles)
         lines = []
         for m in messages:

@@ -480,3 +480,33 @@ def test_json_schema_over_http(compressed, rng):
     finally:
         httpd.shutdown()
         gserver.close()
+
+
+def test_chat_template_families():
+    """chatml / phi3 / gemma render the canonical strings (system folding
+    for gemma, generation cue appended)."""
+    from grasp_tpu.serving.server import render_chat
+
+    tok = ByteTokenizer(512)
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+            {"role": "user", "content": "bye"}]
+
+    def text(template):
+        return tok.decode(render_chat(msgs, tokenizer=tok, template=template))
+
+    assert text("chatml") == (
+        "<|im_start|>system\nbe brief<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+        "<|im_start|>user\nbye<|im_end|>\n"
+        "<|im_start|>assistant\n")
+    assert text("phi3") == (
+        "<|system|>\nbe brief<|end|>\n<|user|>\nhi<|end|>\n"
+        "<|assistant|>\nhello<|end|>\n<|user|>\nbye<|end|>\n<|assistant|>\n")
+    assert text("gemma") == (
+        "<start_of_turn>user\nbe brief\n\nhi<end_of_turn>\n"
+        "<start_of_turn>model\nhello<end_of_turn>\n"
+        "<start_of_turn>user\nbye<end_of_turn>\n"
+        "<start_of_turn>model\n")
