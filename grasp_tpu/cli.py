@@ -121,6 +121,12 @@ def _compress_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh axis: calibration/recovery batches shard over it")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh axis: Megatron-style sharding of dense projections")
+    p.add_argument("--export_hf_dir", type=str, default=None,
+                   help="also export the compressed model as an HF checkpoint "
+                        "directory (config.json + model.safetensors) with "
+                        "low-rank projections re-materialized dense — "
+                        "loadable by transformers.AutoModelForCausalLM "
+                        "(models.hf_io.save_hf_checkpoint)")
     p.add_argument("--compress_resume_dir", type=str, default=None,
                    help="crash-resume directory for the compression run: the engine "
                         "checkpoints after BI and every (layer, block) round; rerunning "
@@ -214,6 +220,12 @@ def compress_main(argv=None) -> int:
         extra={"grasp_config": {k: v for k, v in vars(args).items() if not callable(v)}},
     )
     logger.info("checkpoint saved to %s", save_path)
+
+    if args.export_hf_dir:
+        from grasp_tpu.models.hf_io import save_hf_checkpoint
+
+        save_hf_checkpoint(engine.params, config, args.export_hf_dir, merge=True)
+        logger.info("HF export written to %s", args.export_hf_dir)
 
     if args.recovery:
         from grasp_tpu.data.prompter import Prompter, collate_padded, tokenize_alpaca_example

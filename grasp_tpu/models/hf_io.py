@@ -217,6 +217,228 @@ def params_from_state_dict(state_dict: Dict[str, Any], config: ModelConfig, dtyp
     return params
 
 
+def _export_proj(sd: Dict[str, np.ndarray], name: str, p: Dict[str, Any],
+                 merge: bool, dtype) -> None:
+    """Emit one projection subtree under HF naming (inverse of kernel())."""
+    def put(key, arr):
+        sd[key] = np.ascontiguousarray(np.asarray(arr, dtype=dtype))
+
+    if "kernel_q" in p or "kernel_q4" in p or "in_kernel_q" in p or "in_kernel_q4" in p:
+        raise ValueError(
+            f"{name}: quantized projections cannot be exported to an HF "
+            "state dict — export the floating-point params (quantize_params "
+            "keeps the original tree untouched)"
+        )
+    if "in_kernel" in p and "kernel" in p:  # hybrid (pipeline padding form)
+        if not merge:
+            raise ValueError(
+                f"{name}: hybrid projections only export with merge=True "
+                "(or dehybridize_layers first)"
+            )
+        w = np.asarray(p["kernel"]) + np.asarray(p["in_kernel"]) @ np.asarray(p["out_kernel"])
+        put(f"{name}.weight", w.T)
+    elif "in_kernel" in p:  # compiled low-rank
+        if merge:
+            w = np.asarray(p["in_kernel"]) @ np.asarray(p["out_kernel"])
+            put(f"{name}.weight", w.T)
+        else:
+            # reference SVDLinear naming (modeling_grasp.py:40-59): InLinear
+            # then OutLinear, bias rides on OutLinear
+            put(f"{name}.InLinear.weight", np.asarray(p["in_kernel"]).T)
+            put(f"{name}.OutLinear.weight", np.asarray(p["out_kernel"]).T)
+            if "bias" in p:
+                put(f"{name}.OutLinear.bias", p["bias"])
+            return
+    elif "u" in p:  # full-SVD (grad-collection) form
+        if merge:
+            w = (np.asarray(p["u"]) * np.asarray(p["s"])) @ np.asarray(p["vh"])
+            put(f"{name}.weight", w)  # u/s/vh already live in torch [out, in] space
+        else:
+            # reference GRASPLayer naming (modeling_grasp.py:65-67)
+            put(f"{name}.U", p["u"])
+            put(f"{name}.S", p["s"])
+            put(f"{name}.Vh", p["vh"])
+            return
+    else:
+        put(f"{name}.weight", np.asarray(p["kernel"]).T)
+    if "bias" in p:
+        put(f"{name}.bias", p["bias"])
+
+
+def state_dict_from_params(params: Dict[str, Any], config: ModelConfig,
+                           merge: bool = False, dtype=np.float32,
+                           fuse_phi3: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse of params_from_state_dict: param pytree -> HF-style state dict.
+
+    Dense kernels export as ``<name>.weight`` [out, in] (transposed back from
+    the JAX [in, out] layout). Compressed projections export either
+
+      - ``merge=False``: under the reference's own compiled-model naming —
+        SVDLinear ``InLinear.weight``/``OutLinear.weight`` (+ ``OutLinear.bias``,
+        modeling_grasp.py:40-59) for low-rank pairs and GRASPLayer ``U/S/Vh``
+        (:65-67) for full-SVD subtrees — i.e. exactly the state_dict a
+        reference-compressed torch model produces, so reference-side tooling
+        (and our own params_from_state_dict) round-trips it; or
+      - ``merge=True``: re-materialized dense (W = in_kernel·out_kernel /
+        U·diag(S)·Vh), producing a stock HF checkpoint loadable with
+        ``transformers`` (the reference's merge mode, modeling_grasp.py:447-460).
+
+    fuse_phi3 re-fuses q/k/v -> qkv_proj and gate/up -> gate_up_proj (row
+    concatenation, exact) so merged exports load into Phi3ForCausalLM.
+    Quantized subtrees are rejected — export the fp tree instead.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(key, arr):
+        sd[key] = np.ascontiguousarray(np.asarray(arr, dtype=dtype))
+
+    put("model.embed_tokens.weight", params["embed_tokens"]["weight"])
+    put("model.norm.weight", params["norm"]["weight"])
+    if "lm_head" in params:
+        head = params["lm_head"]
+        if "kernel" not in head:
+            raise ValueError("quantized lm_head cannot be exported — use the fp tree")
+        put("lm_head.weight", np.asarray(head["kernel"]).T)
+
+    for li, layer in enumerate(params["layers"]):
+        base = f"model.layers.{li}"
+        for norm in ("input_layernorm", "post_attention_layernorm",
+                     "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            if norm in layer and layer[norm] is not None:
+                put(f"{base}.{norm}.weight", layer[norm]["weight"])
+        for proj in ATTN_PROJS:
+            _export_proj(sd, f"{base}.self_attn.{proj}", layer["self_attn"][proj],
+                         merge, dtype)
+        if "moe" in layer:
+            moe = layer["moe"]
+            put(f"{base}.block_sparse_moe.gate.weight",
+                np.asarray(moe["gate"]["kernel"]).T)
+            ex = moe["experts"]
+            for w in MOE_PARTS_EXPORT:
+                if w + "_a" in ex:  # stacked low-rank experts (engine MoE path)
+                    if not merge:
+                        raise ValueError(
+                            f"{base}: compressed MoE experts have no reference "
+                            "torch module naming — export with merge=True"
+                        )
+                    dense = np.einsum("eik,eko->eio", np.asarray(ex[w + "_a"]),
+                                      np.asarray(ex[w + "_b"]))
+                elif w in ex:
+                    dense = np.asarray(ex[w])
+                else:
+                    raise ValueError(f"{base}: expert part {w} is quantized — "
+                                     "export the fp tree")
+                for j in range(dense.shape[0]):
+                    put(f"{base}.block_sparse_moe.experts.{j}.{w}.weight", dense[j].T)
+        else:
+            for proj in MLP_PROJS:
+                _export_proj(sd, f"{base}.mlp.{proj}", layer["mlp"][proj],
+                             merge, dtype)
+
+    if fuse_phi3:
+        nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                       config.head_dim_)
+        for li in range(config.num_hidden_layers):
+            base = f"model.layers.{li}"
+            try:
+                q = sd.pop(f"{base}.self_attn.q_proj.weight")
+                k = sd.pop(f"{base}.self_attn.k_proj.weight")
+                v = sd.pop(f"{base}.self_attn.v_proj.weight")
+            except KeyError:
+                raise ValueError(
+                    f"{base}: fuse_phi3 requires dense q/k/v — export "
+                    "compressed attention with merge=True"
+                ) from None
+            assert q.shape[0] == nh * hd and k.shape[0] == nkv * hd, "GQA split mismatch"
+            sd[f"{base}.self_attn.qkv_proj.weight"] = np.concatenate([q, k, v])
+            g = sd.pop(f"{base}.mlp.gate_proj.weight")
+            u = sd.pop(f"{base}.mlp.up_proj.weight")
+            sd[f"{base}.mlp.gate_up_proj.weight"] = np.concatenate([g, u])
+    return sd
+
+
+MOE_PARTS_EXPORT = ("w1", "w2", "w3")
+
+
+def hf_config_dict(config: ModelConfig, model_type: str = "llama") -> Dict[str, Any]:
+    """ModelConfig -> an HF config.json dict (inverse of config_from_hf).
+
+    model_type picks the transformers architecture ("llama", "mistral",
+    "qwen2", "gemma", "gemma2", "mixtral", "phi3"); family-implied fields
+    (Gemma norm/embedding behavior, Gemma-2 sandwich norms) are carried by
+    the model_type itself on the HF side.
+    """
+    arch = {
+        "llama": "LlamaForCausalLM", "mistral": "MistralForCausalLM",
+        "qwen2": "Qwen2ForCausalLM", "gemma": "GemmaForCausalLM",
+        "gemma2": "Gemma2ForCausalLM", "mixtral": "MixtralForCausalLM",
+        "phi3": "Phi3ForCausalLM",
+    }.get(model_type, "LlamaForCausalLM")
+    d: Dict[str, Any] = {
+        "architectures": [arch],
+        "model_type": model_type,
+        "vocab_size": config.vocab_size,
+        "hidden_size": config.hidden_size,
+        "intermediate_size": config.intermediate_size,
+        "num_hidden_layers": config.num_hidden_layers,
+        "num_attention_heads": config.num_attention_heads,
+        "num_key_value_heads": config.num_key_value_heads,
+        "max_position_embeddings": config.max_position_embeddings,
+        "rope_theta": config.rope_theta,
+        "rms_norm_eps": config.rms_norm_eps,
+        "tie_word_embeddings": config.tie_word_embeddings,
+        "attention_bias": config.attention_bias,
+        "mlp_bias": config.mlp_bias,
+        "hidden_act": config.hidden_act,
+        "torch_dtype": "float32",
+    }
+    if config.head_dim is not None:  # decoupled head_dim (Gemma / explicit)
+        d["head_dim"] = config.head_dim
+    if model_type.startswith("gemma"):
+        d["hidden_activation"] = config.hidden_act
+    if config.sliding_window is not None:
+        d["sliding_window"] = config.sliding_window
+        d["use_sliding_window"] = True
+    if config.rope_scaling is not None:
+        d["rope_scaling"] = {k: (list(v) if isinstance(v, tuple) else v)
+                             for k, v in config.rope_scaling}
+    if config.layer_types is not None:
+        d["layer_types"] = list(config.layer_types)
+    if config.attn_logit_softcapping is not None:
+        d["attn_logit_softcapping"] = config.attn_logit_softcapping
+    if config.final_logit_softcapping is not None:
+        d["final_logit_softcapping"] = config.final_logit_softcapping
+    if config.query_pre_attn_scalar is not None:
+        d["query_pre_attn_scalar"] = config.query_pre_attn_scalar
+    if config.num_local_experts:
+        d["num_local_experts"] = config.num_local_experts
+        d["num_experts_per_tok"] = config.num_experts_per_tok
+    return d
+
+
+def save_hf_checkpoint(params: Dict[str, Any], config: ModelConfig, path: str,
+                       merge: bool = True, model_type: str = "llama",
+                       dtype=np.float32) -> None:
+    """Write an HF-format checkpoint directory (model.safetensors + config.json).
+
+    merge=True (default) re-materializes compressed projections so the result
+    loads directly with ``AutoModelForCausalLM.from_pretrained`` — the exit
+    ramp back to the torch ecosystem the reference lives in. merge=False
+    keeps low-rank factors under the reference's SVDLinear naming (round-trips
+    through params_from_state_dict; standard transformers classes cannot load
+    it, matching the reference's own compiled checkpoints which also need its
+    module code).
+    """
+    from safetensors.numpy import save_file  # available via transformers dep
+
+    os.makedirs(path, exist_ok=True)
+    sd = state_dict_from_params(params, config, merge=merge, dtype=dtype,
+                                fuse_phi3=(model_type == "phi3"))
+    save_file(sd, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_config_dict(config, model_type), f, indent=2, sort_keys=True)
+
+
 def load_hf_checkpoint(path: str, dtype=np.float32):
     """Load (config, params) from a local HF checkpoint directory."""
     config = config_from_dir(path)

@@ -58,11 +58,15 @@ def test_cli_compress_and_evaluate(tmp_path, monkeypatch):
         "--seq_len", "32",
         "--batch_size", "2",
         "--save_path", save,
+        "--export_hf_dir", str(tmp_path / "hf_export"),
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(save, "grasp_meta.json"))
     meta = json.load(open(os.path.join(save, "grasp_meta.json")))
     assert meta["rank_dict"]
+    # --export_hf_dir writes a merged transformers-loadable checkpoint
+    assert os.path.exists(tmp_path / "hf_export" / "model.safetensors")
+    assert json.load(open(tmp_path / "hf_export" / "config.json"))["architectures"]
 
     rc = evaluate_main(["--model_path", save, "--eval_ppl", "synthetic"])
     assert rc == 0
