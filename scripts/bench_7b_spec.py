@@ -1,0 +1,158 @@
+"""7B-class speculative serving benchmark on one v5e chip (16 GiB HBM).
+
+Completes the 7B serving story (BENCH_7B_SERVING.json covers plain paged
+continuous batching): the GRASP-compressed 5.46B model (paper plan, 7 layers
+low-rank at ratio 0.9 — reference scripts/params_script.sh:10-27) served
+through SpeculativeServingEngine with quantized self-speculation:
+
+  - target: compressed 5.46B, int8 weights (~5.2 GiB)
+  - draft:  the SAME compressed weights, int4   (~2.9 GiB)
+  - both KV pools int8-paged (shared page tables/allocator)
+
+Quantized self-speculation is the only draft/target pairing with realistic
+acceptance in this no-weights container (random init): the draft is the same
+function at lower weight precision, so argmax agreement is high, and a draft
+decode step reads ~56% of the target's HBM bytes.
+
+Numbers are wall-clock aggregate tok/s of ServingEngine.run() (batch 8),
+plain vs speculative, plus the measured acceptance rate. On this container
+every dispatch pays the ~35-40 ms axon tunnel tax; the speculative macro-step
+is 2 dispatches (fused gamma-step draft + chunked verify) for ~(accepted+1)
+tokens/row vs 1 dispatch/token plain, so the tax amortizes ~(E+1)/2 deeper —
+recorded per-config so the chip-rate and the tax can be separated.
+
+Output identity note: at hd=128 the plain engine decodes through jax's fused
+paged-attention kernel while speculative verify uses the gather path (the
+kernel has no multi-query form), so greedy outputs can diverge at fp ties;
+the bench records the per-row agreement instead of asserting identity (the
+bit-identity contract is pinned at test scale in tests/test_spec_paged.py).
+
+Writes BENCH_7B_SPEC.json at the repo root. Run on an otherwise idle machine:
+    python scripts/bench_7b_spec.py
+"""
+
+import dataclasses
+import json
+import logging
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="%(asctime)s %(message)s")
+log = logging.getLogger("bench7b_spec")
+
+sys.path.append(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _bytes(tree):
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+
+def _gib(tree):
+    return round(_bytes(tree) / 2**30, 2)
+
+
+def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
+    tiny = os.environ.get("GRASP_BENCH_SPEC_TINY") == "1"  # CPU smoke mode
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    from bench_7b_serving import synthetic_compressed_7b
+
+    from grasp_tpu.configs import ModelConfig
+    from grasp_tpu.ops.quant import quantize_model_weights
+    from grasp_tpu.perf import device_memory
+    from grasp_tpu.serving.paged import ServingEngine
+    from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
+
+    if tiny:
+        config = dataclasses.replace(
+            ModelConfig.tiny(), dtype="float32")
+        batch, prompt_len, max_new = 2, 16, 8
+    else:
+        config = dataclasses.replace(ModelConfig.llama2_7b(), dtype="bfloat16")
+
+    log.info("build compressed model (paper plan)...")
+    cp, cplan, target_layers = synthetic_compressed_7b(
+        config, jax.random.PRNGKey(1),
+        num_prune_layers=1 if tiny else 7)
+    log.info("quantize draft int4 (keep bf16 source)...")
+    q4 = quantize_model_weights(cp, bits=4)
+    log.info("quantize target int8 (consume bf16)...")
+    q8 = quantize_model_weights(cp, bits=8, consume=True)
+    del cp
+    jax.block_until_ready((q4, q8))
+
+    rng = np.random.default_rng(seed)
+    prompts = [rng.integers(1, config.vocab_size, size=prompt_len).tolist()
+               for _ in range(batch)]
+    kw = dict(num_pages=40, page_size=128, max_batch=batch,
+              max_pages_per_seq=2, quantized_kv=True)
+
+    out = {
+        "model": "llama2-7b -> GRASP 5.46B (paper plan, random init)",
+        "backend": jax.default_backend(),
+        "batch": batch, "prompt_len": prompt_len, "max_new": max_new,
+        "gamma": gamma,
+        "target": f"compressed int8 weights ({_gib(q8)} GiB)",
+        "draft": f"same compressed weights int4 ({_gib(q4)} GiB)",
+        "kv": "int8 paged pools (shared allocator)",
+        "note": ("wall-clock aggregate incl. the ~35-40 ms/dispatch axon "
+                 "tunnel tax; the speculative macro-step is 2 dispatches for "
+                 "~(accepted+1) tokens/row, the plain engine 1 per token."),
+    }
+
+    def timed(make):
+        eng = make()
+        rids = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
+        t0 = time.time()
+        outs = eng.run()
+        dt = time.time() - t0
+        n_tok = sum(len(outs[r]) for r in rids)
+        return eng, [outs[r] for r in rids], n_tok, dt
+
+    results = {}
+    for label, make in (
+        ("plain", lambda: ServingEngine(q8, config, plan=cplan, **kw)),
+        ("spec", lambda: SpeculativeServingEngine(
+            q8, config, q4, config, plan=cplan, draft_plan=cplan,
+            gamma=gamma, **kw)),
+    ):
+        log.info("%s: compile pass...", label)
+        timed(make)
+        log.info("%s: timed pass...", label)
+        eng, outs, n_tok, dt = timed(make)
+        results[label] = outs
+        out[f"{label}_tok_s_aggregate_wall"] = round(n_tok / dt, 1)
+        out[f"{label}_wall_s"] = round(dt, 2)
+        if label == "spec":
+            out["acceptance_rate"] = round(eng.acceptance_rate, 3)
+            out["draft_bytes_over_target"] = round(_bytes(q4) / _bytes(q8), 2)
+        out[f"hbm_gib_after_{label}"] = round(
+            device_memory()["bytes_in_use"] / 2**30, 2)
+        del eng
+
+    agree = [sum(a == b for a, b in zip(p, s)) / max(len(p), 1)
+             for p, s in zip(results["plain"], results["spec"])]
+    out["greedy_agreement_mean"] = round(float(np.mean(agree)), 4)
+    out["outputs_identical"] = results["plain"] == results["spec"]
+    out["speedup_wall"] = round(out["spec_tok_s_aggregate_wall"]
+                                / out["plain_tok_s_aggregate_wall"], 2)
+    out["date"] = time.strftime("%Y-%m-%d")
+
+    if not tiny:  # the smoke mode must never overwrite the chip artifact
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "BENCH_7B_SPEC.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        log.info("wrote %s", path)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
