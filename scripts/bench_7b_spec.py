@@ -76,16 +76,25 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
     else:
         config = dataclasses.replace(ModelConfig.llama2_7b(), dtype="bfloat16")
 
+    # synthetic_compressed_7b is deterministic for a fixed key, so the bf16
+    # source can be rebuilt between quantizations. Quantizing with consume=True
+    # both times caps peak HBM at bf16 + ONE quantized tree (~13.1 GiB bf16+int4
+    # co-residency left no headroom for jit temporaries on the 16 GiB chip).
+    nprune = 1 if tiny else 7
     log.info("build compressed model (paper plan)...")
     cp, cplan, target_layers = synthetic_compressed_7b(
-        config, jax.random.PRNGKey(1),
-        num_prune_layers=1 if tiny else 7)
-    log.info("quantize draft int4 (keep bf16 source)...")
-    q4 = quantize_model_weights(cp, bits=4)
+        config, jax.random.PRNGKey(1), num_prune_layers=nprune)
+    log.info("quantize draft int4 (consume bf16)...")
+    q4 = quantize_model_weights(cp, bits=4, consume=True)
+    del cp
+    jax.block_until_ready(q4)
+    log.info("rebuild bf16 source (same key)...")
+    cp, _, _ = synthetic_compressed_7b(
+        config, jax.random.PRNGKey(1), num_prune_layers=nprune)
     log.info("quantize target int8 (consume bf16)...")
     q8 = quantize_model_weights(cp, bits=8, consume=True)
     del cp
-    jax.block_until_ready((q4, q8))
+    jax.block_until_ready(q8)
 
     rng = np.random.default_rng(seed)
     prompts = [rng.integers(1, config.vocab_size, size=prompt_len).tolist()
@@ -106,14 +115,14 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
                  "~(accepted+1) tokens/row, the plain engine 1 per token."),
     }
 
-    def timed(make):
-        eng = make()
+    def wave(eng):
+        """Submit one batch wave and drive it to completion on ``eng``."""
         rids = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
         t0 = time.time()
         outs = eng.run()
         dt = time.time() - t0
         n_tok = sum(len(outs[r]) for r in rids)
-        return eng, [outs[r] for r in rids], n_tok, dt
+        return [outs[r] for r in rids], n_tok, dt
 
     results = {}
     for label, make in (
@@ -122,10 +131,19 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
             q8, config, q4, config, plan=cplan, draft_plan=cplan,
             gamma=gamma, **kw)),
     ):
-        log.info("%s: compile pass...", label)
-        timed(make)
-        log.info("%s: timed pass...", label)
-        eng, outs, n_tok, dt = timed(make)
+        # ONE engine per config: the jits live per instance, so the warmup
+        # wave must run on the same engine that is timed — a fresh engine in
+        # the timed region would recompile every prefill/decode/draft/verify
+        # graph inside the measurement (minutes/shape through the axon
+        # remote-compile tunnel) and the artifact would measure compilation.
+        eng = make()
+        log.info("%s: warmup wave (compiles all graphs)...", label)
+        wave(eng)
+        if label == "spec":
+            # acceptance_rate must cover only the measured wave
+            eng.last_stats = {"chunks": 0, "drafted": 0, "accepted": 0}
+        log.info("%s: timed wave (same engine, warm jits)...", label)
+        outs, n_tok, dt = wave(eng)
         results[label] = outs
         out[f"{label}_tok_s_aggregate_wall"] = round(n_tok / dt, 1)
         out[f"{label}_wall_s"] = round(dt, 2)
