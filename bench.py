@@ -72,6 +72,10 @@ def main():
     t0 = time.time()
     summary = engine.run(batches, cfg)
     wall = time.time() - t0
+    # provenance: every live-measured field in `details` is from THIS run,
+    # stamped here; attached *_recorded blocks carry their own run's date.
+    details["run_date"] = time.strftime("%Y-%m-%d")
+    details["e2e_wall_s_this_run"] = round(wall, 2)
     details["e2e_stage_times_s"] = summary.get("stage_times_s", {})
 
     # ---- steady-state fwd on the compressed model (batch 8 x seq 511) ----
@@ -208,6 +212,20 @@ def main():
             with open(recorded) as f:
                 details["7b_recorded"] = json.load(f)
 
+    # ---- 7B parallel fast path: recorded by GRASP_BENCH_7B_MODE=parallel
+    # scripts/bench_7b.py (one-sweep-per-chunk mode + index agreement vs the
+    # sequential run) ----
+    par_rec = os.path.join(repo, "BENCH_7B_PARALLEL.json")
+    if os.path.exists(par_rec):
+        with open(par_rec) as f:
+            details["7b_parallel_recorded"] = json.load(f)
+
+    # ---- 7B speculative serving: recorded by scripts/bench_7b_spec.py ----
+    spec7_rec = os.path.join(repo, "BENCH_7B_SPEC.json")
+    if os.path.exists(spec7_rec):
+        with open(spec7_rec) as f:
+            details["spec_7b_recorded"] = json.load(f)
+
     # ---- speculative serving: recorded by scripts/bench_spec.py (plain vs
     # int8-self-draft aggregate tok/s, outputs token-identical) ----
     spec_rec = os.path.join(repo, "BENCH_SPEC.json")
@@ -270,8 +288,15 @@ def main():
             if prev.get("value") and prev["value"] < rec["value"]:
                 rec["value"] = prev["value"]
                 rec["vs_baseline"] = prev.get("vs_baseline")
+                # explicit provenance: the headline is a REPLAY of the best
+                # clean run; everything else in details (stage tables, fwd/
+                # decode numbers) is from the run dated details.run_date,
+                # whose own e2e is details.e2e_wall_s_this_run.
+                rec["details"]["headline_is_replay"] = True
                 rec["details"]["headline_recorded_at"] = prev.get(
-                    "details", {}).get("recorded_at", "earlier clean run")
+                    "details", {}).get("headline_recorded_at",
+                                       prev.get("details", {}).get(
+                                           "recorded_at", "earlier clean run"))
         except (OSError, ValueError):
             pass
         with open(last_path, "w") as f:

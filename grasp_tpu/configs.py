@@ -355,6 +355,19 @@ class GraspConfig:
     # ONE calibration sweep (TPU-friendly fast path).
     sweep: str = "sequential"
 
+    # parallel-mode HBM guard: one dense-grad sweep over ALL redundant layers
+    # keeps a kernel-sized grad accumulator per target module resident (at the
+    # 7B paper config: 49 modules, ~2.8 GiB bf16 — which next to 12.55 GiB of
+    # params and the sweep graph's ~1.3 GiB working set exceeds the 16 GB
+    # chip). sweep_chunk_layers bounds residency by sweeping the redundant
+    # layers (descending) in groups of N layers, selecting+compiling each
+    # group before the next sweeps — each extra chunk costs one more
+    # calibration sweep. None = auto (engine._auto_sweep_chunk: one chunk
+    # whenever the accumulators fit next to live params, else the largest N
+    # that fits); 0 = force a single sweep. Chunks only tighten semantics
+    # toward sequential mode (later chunks see earlier compressions).
+    sweep_chunk_layers: Optional[int] = None
+
     # gradient collection: "dense" differentiates w.r.t. the dense kernels and
     # projects onto singular directions (dL/ds_i = u_i^T dL/dW v_i) — the host
     # SVD overlaps the TPU sweep and the model is untouched during gradient

@@ -1227,61 +1227,124 @@ class GraspEngine:
             svd_out = svd_future.result()
         elif svd_after:
             grads = self.get_dense_gradients(names, calibration_batches)
-            t_stage = time.time()
-            indices_dict: Dict[str, np.ndarray] = {}
-            if self.svd_method == "gram_device":
-                # U-free gram selection: the large singular factor is never
-                # materialized (see _select_compile_one_ufree), so the whole
-                # per-matrix working set is ~4 gram-sized fp32 buffers — the
-                # summed grads can stay on device (no host offload round-trip,
-                # which cost 176 s through this container's tunnel at 7B).
-                sel_groups = _gram_select_groups(
-                    names,
-                    lambda n: self._get_proj(n)["kernel"].shape,
-                    lambda n: self.module_ratios.get(n, cfg.compression_ratio),
-                )
-                for g_names, _, _, stacked in sel_groups:
-                    t_m = time.time()
-                    if stacked:
-                        self._select_compile_group_ufree(
-                            g_names, grads, cfg, indices_dict
-                        )
-                    else:
-                        for n in g_names:
-                            self._select_compile_one_ufree(
-                                n, grads.pop(n), cfg, indices_dict
-                            )
-                    self._stage("svd_select_one", time.time() - t_m)
-            else:
-                # park the summed grads on the host during the SVD — the
-                # on-device eigh needs every spare HBM byte next to 12.55 GiB
-                # of 7B params
-                t_off = time.time()
-                grads = {k: np.asarray(jax.device_get(v)) for k, v in grads.items()}
-                self._stage("grad_offload", time.time() - t_off)
-                # fully per-matrix pipeline: factor -> project -> truncate ->
-                # compile -> FREE before touching the next matrix. Keeping even
-                # one finished matrix's fp32 factors (~0.43 GiB) resident
-                # during the next eigh (1.6 GiB workspace) OOMed the 7B run.
-                for n in names:
-                    t_m = time.time()
-                    out_one = self._svd_of_dense([n])
-                    u, s, vh = out_one.pop(n)
-                    self._select_compile_one(n, u, s, vh, jnp.swapaxes(grads.pop(n), -1, -2), cfg, indices_dict)
-                    del u, s, vh
-                    self._stage("svd_select_one", time.time() - t_m)
-            self.indices_dict = indices_dict
-            self.indices_log.update(indices_dict)
-            self._stage("select_compile", time.time() - t_stage)
-            if cfg.verbose:
-                for n, idx in indices_dict.items():
-                    logger.info("%s: %s", n, idx[:128].tolist())
+            self._select_compile_after_sweep(names, grads, cfg)
             return False
         else:
             svd_out, grads = self._svd_overlapping_grads(names, calibration_batches)
 
         self._select_compile_many(names, svd_out, grads, cfg)
         return False
+
+    def _sweep_chunks(
+        self, layer_names: List[Tuple[int, List[str]]], cfg: GraspConfig
+    ) -> List[List[Tuple[int, List[str]]]]:
+        """Split the parallel fast path's layer list into per-sweep chunks.
+
+        See GraspConfig.sweep_chunk_layers: int N = N layers per chunk,
+        0 = single sweep, None = auto (largest N whose resident grad
+        accumulators fit next to live params and the sweep/selection
+        working sets)."""
+        n = cfg.sweep_chunk_layers
+        if n is None:
+            n = self._auto_sweep_chunk(layer_names)
+        if not n or n <= 0 or n >= len(layer_names):
+            return [layer_names]
+        return [layer_names[i:i + n] for i in range(0, len(layer_names), n)]
+
+    def _auto_sweep_chunk(self, layer_names: List[Tuple[int, List[str]]]) -> int:
+        """Largest layers-per-sweep that keeps grad accumulators resident.
+
+        The one-sweep fast path holds a kernel-sized (kernel-dtype) grad
+        accumulator per target module for the whole sweep, and the post-sweep
+        gram selection holds the unconsumed accumulators next to the eigh
+        arena. Budget: HBM limit − live params − reserve (sweep-graph working
+        set ~1.0 GiB measured via executable_memory at 7B, eigh arena
+        ≤ _EIGH_ARENA_BUDGET, ~0.5 GiB slack for axon dispatch copies).
+        0 = everything fits in one sweep (always, off-TPU: virtual CPU
+        devices have host RAM)."""
+        if jax.default_backend() != "tpu":
+            return 0
+        limit = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                limit = stats.get("bytes_limit")
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+        if not limit:
+            limit = float(os.environ.get("GRASP_HBM_GIB", 15.75)) * 2**30
+        params_bytes = sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params))
+        reserve = 1.0 * 2**30 + _EIGH_ARENA_BUDGET + 0.5 * 2**30
+        budget = limit - params_bytes - reserve
+        per_layer = max(
+            sum(int(np.prod(self._get_proj(n)["kernel"].shape))
+                * self._get_proj(n)["kernel"].dtype.itemsize
+                for n in nn)
+            for _, nn in layer_names
+        )
+        if budget >= per_layer * len(layer_names):
+            return 0
+        return max(1, int(budget // per_layer))
+
+    def _select_compile_after_sweep(
+        self, names: List[str], grads: Dict[str, jax.Array], cfg: GraspConfig
+    ) -> None:
+        """Select+truncate+compile `names` from already-collected dense grads.
+
+        Used when the SVD must run AFTER the sweep (gram_device at 7B: fp32
+        factors resident during the sweep push HBM past the limit) and by the
+        parallel fast path's per-chunk selection.
+        """
+        t_stage = time.time()
+        indices_dict: Dict[str, np.ndarray] = {}
+        if self.svd_method == "gram_device":
+            # U-free gram selection: the large singular factor is never
+            # materialized (see _select_compile_one_ufree), so the whole
+            # per-matrix working set is ~4 gram-sized fp32 buffers — the
+            # summed grads can stay on device (no host offload round-trip,
+            # which cost 176 s through this container's tunnel at 7B).
+            sel_groups = _gram_select_groups(
+                names,
+                lambda n: self._get_proj(n)["kernel"].shape,
+                lambda n: self.module_ratios.get(n, cfg.compression_ratio),
+            )
+            for g_names, _, _, stacked in sel_groups:
+                t_m = time.time()
+                if stacked:
+                    self._select_compile_group_ufree(
+                        g_names, grads, cfg, indices_dict
+                    )
+                else:
+                    for n in g_names:
+                        self._select_compile_one_ufree(
+                            n, grads.pop(n), cfg, indices_dict
+                        )
+                self._stage("svd_select_one", time.time() - t_m)
+        else:
+            # park the summed grads on the host during the SVD — the
+            # on-device eigh needs every spare HBM byte next to 12.55 GiB
+            # of 7B params
+            t_off = time.time()
+            grads = {k: np.asarray(jax.device_get(v)) for k, v in grads.items()}
+            self._stage("grad_offload", time.time() - t_off)
+            # fully per-matrix pipeline: factor -> project -> truncate ->
+            # compile -> FREE before touching the next matrix. Keeping even
+            # one finished matrix's fp32 factors (~0.43 GiB) resident
+            # during the next eigh (1.6 GiB workspace) OOMed the 7B run.
+            for n in names:
+                t_m = time.time()
+                out_one = self._svd_of_dense([n])
+                u, s, vh = out_one.pop(n)
+                self._select_compile_one(n, u, s, vh, jnp.swapaxes(grads.pop(n), -1, -2), cfg, indices_dict)
+                del u, s, vh
+                self._stage("svd_select_one", time.time() - t_m)
+        self.indices_dict = indices_dict
+        self.indices_log.update(indices_dict)
+        self._stage("select_compile", time.time() - t_stage)
+        if cfg.verbose:
+            for n, idx in indices_dict.items():
+                logger.info("%s: %s", n, idx[:128].tolist())
 
     def _svd_overlapping_grads(
         self, names: List[str], calibration_batches: Sequence[Batch]
@@ -1805,8 +1868,9 @@ class GraspEngine:
         if cfg.sweep == "parallel":
             if ("all", "all") in self._done_rounds:
                 return
-            names: List[str] = []
+            layer_names: List[Tuple[int, List[str]]] = []
             for layer_id in layers_id:
+                nn: List[str] = []
                 for block_type, targets in blocks:
                     if targets is None:
                         continue
@@ -1814,12 +1878,51 @@ class GraspEngine:
                     tg = _resolve_targets(defaults, targets)
                     if not all(t in defaults for t in tg):
                         raise ValueError(f"invalid targets {tg} for {block_type}")
-                    names += [module_name(layer_id, p) for p in tg]
-            if not names:
+                    nn += [module_name(layer_id, p) for p in tg]
+                if nn:
+                    layer_names.append((layer_id, nn))
+            if not layer_names:
                 return
 
-            svd_out, grads = self._svd_overlapping_grads(names, calibration_batches)
-            self._select_compile_many(names, svd_out, grads, cfg)
+            # prefix split applies to the fast path too: no chunk ever
+            # modifies a layer below min(redundant), so every sweep graph can
+            # start at that boundary (see GraspConfig.prefix)
+            p_min = min(lid for lid, _ in layer_names)
+            mode = cfg.prefix
+            was_auto = cfg.prefix == "auto"
+            if mode == "auto":
+                if p_min < 4:
+                    mode = "off"
+                else:
+                    mode = self._choose_prefix_cache(calibration_batches, p_min)
+                    logger.info("prefix auto -> %s", mode)
+            self._set_prefix(p_min, mode, auto=was_auto)
+            try:
+                chunks = self._sweep_chunks(layer_names, cfg)
+                if len(chunks) > 1:
+                    logger.info(
+                        "parallel sweep in %d chunks (HBM-bounded grad "
+                        "accumulators): %s", len(chunks),
+                        [[lid for lid, _ in c] for c in chunks],
+                    )
+                for chunk in chunks:
+                    ckey = ("chunk", ".".join(str(lid) for lid, _ in chunk))
+                    if ckey in self._done_rounds:
+                        continue
+                    names = [n for _, nn in chunk for n in nn]
+                    if self.svd_method == "gram_device":
+                        # all-on-device selection must run AFTER the sweep
+                        # (fp32 eigh workspace next to the sweep's HBM peak
+                        # OOMs at 7B; see compress_round svd_after)
+                        grads = self.get_dense_gradients(names, calibration_batches)
+                        self._select_compile_after_sweep(names, grads, cfg)
+                    else:
+                        svd_out, grads = self._svd_overlapping_grads(
+                            names, calibration_batches)
+                        self._select_compile_many(names, svd_out, grads, cfg)
+                    self._mark_round_done(*ckey)
+            finally:
+                self._set_prefix(0, "off")
             self._mark_round_done("all", "all")
         else:
             # sequential with cross-round SVD prefetch: every SVD factors the

@@ -103,17 +103,21 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     result["grad_fn_xla_peak_gib"] = round(exe_mem["peak_bytes"] / 2**30, 2)
     del compiled, gf, k_dict
 
+    chunk_env = os.environ.get("GRASP_BENCH_7B_CHUNK")
     cfg = GraspConfig(
         num_prune_layers=7,
         compression_ratio=0.9,
         metric="taylor",
         sweep=mode,
+        sweep_chunk_layers=int(chunk_env) if chunk_env is not None else None,
         grad_mode="dense",
         num_samples=samples,
         seq_len=seq_len,
         batch_size=batch,
         prefix=prefix,
     )
+    result["config"]["sweep_chunk_layers"] = (
+        cfg.sweep_chunk_layers if cfg.sweep_chunk_layers is not None else "auto")
 
     t0 = time.time()
     try:
@@ -142,6 +146,32 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     result["n_compressed_modules"] = len(summary["rank_dict"])
     mem = device_memory()
     result["peak_hbm_gib"] = round(mem["peak_bytes_in_use"] / 2**30, 2)
+
+    # persist the full selected-index sets so sequential vs parallel runs can
+    # be compared module-by-module (the two modes' divergence is semantic —
+    # parallel sweeps see uncompressed earlier layers — so the agreement is a
+    # measured property, not a golden invariant)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idx_path = os.path.join(repo, f"BENCH_7B_INDICES_{mode}.npz")
+    np.savez_compressed(idx_path, **{k: np.asarray(v) for k, v in engine.indices_log.items()})
+    other = {"sequential": "parallel", "parallel": "sequential"}[mode]
+    other_path = os.path.join(repo, f"BENCH_7B_INDICES_{other}.npz")
+    if os.path.exists(other_path):
+        ref = dict(np.load(other_path))
+        overlaps, rank_eq = [], 0
+        for k, idx in engine.indices_log.items():
+            if k not in ref:
+                continue
+            a, b = set(np.asarray(idx).ravel().tolist()), set(ref[k].ravel().tolist())
+            overlaps.append(len(a & b) / max(len(a), len(b), 1))
+            rank_eq += int(len(a) == len(b))
+        if overlaps:
+            result["index_agreement_vs_" + other] = {
+                "modules_compared": len(overlaps),
+                "mean_overlap": round(float(np.mean(overlaps)), 4),
+                "min_overlap": round(float(np.min(overlaps)), 4),
+                "rank_equal_modules": rank_eq,
+            }
 
     # parameter reduction (the 7B -> 5.5B claim)
     from grasp_tpu.perf import count_params
@@ -178,8 +208,9 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
         "per-dispatch tunnel tax left in (conservative)"
     )
 
+    fname = "BENCH_7B.json" if mode == "sequential" else "BENCH_7B_PARALLEL.json"
     out_path = out_path or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_7B.json")
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

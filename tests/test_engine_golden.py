@@ -115,7 +115,8 @@ def run_reference(hf_model, batches, num_prune=2, ratio=0.2, metric="taylor", me
 
 
 def run_ours(config, params, batches, num_prune=2, ratio=0.2, metric="taylor", merge=False,
-             threshold_ratio=None, sweep="sequential", grad_mode="svd"):
+             threshold_ratio=None, sweep="sequential", grad_mode="svd",
+             sweep_chunk_layers=None):
     import copy
 
     engine = GraspEngine(jax.tree.map(jnp.asarray, copy.deepcopy(jax.tree.map(np.asarray, params))), config)
@@ -123,7 +124,7 @@ def run_ours(config, params, batches, num_prune=2, ratio=0.2, metric="taylor", m
     cfg = GraspConfig(
         layers_id=None, num_prune_layers=num_prune, metric=metric,
         compression_ratio=ratio, threshold_ratio=threshold_ratio, merge=merge, sweep=sweep,
-        grad_mode=grad_mode,
+        grad_mode=grad_mode, sweep_chunk_layers=sweep_chunk_layers,
     )
     summary = engine.run(jbatches, cfg)
     return engine, summary
@@ -158,6 +159,31 @@ def test_dense_parallel_sweep_selects_sane_ranks(setup):
     assert set(eng_seq.indices_log) == set(eng_par.indices_log)
     ids = np.arange(10)[None, :] % config.vocab_size
     out = forward(eng_par.params, jnp.asarray(ids), config=config, plan=eng_par.plan)
+    assert bool(jnp.isfinite(out["logits"]).all())
+
+
+def test_dense_parallel_chunked_sweep(setup):
+    """sweep_chunk_layers bounds the fast path's grad-accumulator residency
+    (engine._sweep_chunks). chunk >= n_layers must take the identical one-
+    sweep code path (bit-exact indices); chunk=1 sweeps per layer — later
+    chunks see earlier compressions, so semantics tighten toward sequential:
+    ranks/structure identical, selected indices may differ, model sound."""
+    hf_model, config, params, batches = setup
+    eng_one, _ = run_ours(config, params, batches, grad_mode="dense",
+                          sweep="parallel", sweep_chunk_layers=0)
+    eng_big, _ = run_ours(config, params, batches, grad_mode="dense",
+                          sweep="parallel", sweep_chunk_layers=99)
+    assert set(eng_one.indices_log) == set(eng_big.indices_log)
+    for name in eng_one.indices_log:
+        np.testing.assert_array_equal(
+            eng_big.indices_log[name], eng_one.indices_log[name], err_msg=name)
+
+    eng_c1, _ = run_ours(config, params, batches, grad_mode="dense",
+                         sweep="parallel", sweep_chunk_layers=1)
+    assert eng_c1.rank_dict == eng_one.rank_dict
+    assert set(eng_c1.indices_log) == set(eng_one.indices_log)
+    ids = np.arange(10)[None, :] % config.vocab_size
+    out = forward(eng_c1.params, jnp.asarray(ids), config=config, plan=eng_c1.plan)
     assert bool(jnp.isfinite(out["logits"]).all())
 
 
