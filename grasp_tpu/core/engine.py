@@ -968,8 +968,8 @@ class GraspEngine:
         self._stage("grad_sweep", time.time() - t_stage)
         return totals
 
-    def _start_compile_prefetch(self, rounds, calibration_batches, cfg: GraspConfig):
-        """Compile every round's graphs AHEAD of their first dispatch.
+    def _start_compile_prefetch(self, units, calibration_batches, cfg: GraspConfig):
+        """Compile every sweep unit's graphs AHEAD of their first dispatch.
 
         The gram_device 7B run is compile-bound: each of the 14 rounds pays a
         ~30 s remote compile for its suffix grad graph (the plan changes every
@@ -984,6 +984,11 @@ class GraspEngine:
         the host/compile service while the TPU runs earlier rounds' sweeps.
         The sweep's own _prime then hits a warm cache.
 
+        units: list of (split_layers, names) in execution order — one entry
+        per sequential (layer, block) round OR per parallel-mode sweep chunk
+        (the fast path's chunks are multi-layer sweep units; same plan
+        evolution, same primes).
+
         Returns a stop() callable (sets a flag the worker checks between
         tasks). No-ops (returns None) for adaptive selection (ranks unknown
         upfront), mesh runs (lowering would need shardings), or empty rounds.
@@ -991,7 +996,7 @@ class GraspEngine:
         import os
         import threading
 
-        if self.mesh is not None or cfg.compression_ratio is None or not rounds:
+        if self.mesh is not None or cfg.compression_ratio is None or not units:
             return None
         # On CPU the compiles are local and the worker would fight the main
         # loop for the same cores (this container has ONE) — prefetch only
@@ -1016,7 +1021,7 @@ class GraspEngine:
         plan = self.plan
         sl = self._prefix_layer
         h0_sds = None
-        if sl and all(lid >= sl for lid, _, _ in rounds):
+        if sl and all(min(split) >= sl for split, _ in units):
             try:
                 h0_sds = jax.eval_shape(self._get_prefix_fn(),
                                         self._prefix_params(sim), ids_sds,
@@ -1027,11 +1032,8 @@ class GraspEngine:
 
         tasks: List[Tuple[str, Any]] = []
         seen_primes = set()
-        for layer_id, block_type, tg in rounds:
-            targets = _resolve_targets(self._block_targets(layer_id, block_type), tg)
-            names = [module_name(layer_id, p) for p in targets]
-            split = (layer_id,)
-            this_sl = sl if layer_id >= sl else 0
+        for split, names in units:
+            this_sl = sl if min(split) >= sl else 0
             key = ("dgrad", plan, split, this_sl)
             if key not in self._grad_fns:
                 self._grad_fns[key] = self._make_dense_grad_fn(plan, split, this_sl)
@@ -1044,7 +1046,7 @@ class GraspEngine:
                 else:
                     k_sds[n] = sim["layers"][li][group][proj]["kernel"]
             args = (k_sds, sim, h0_sds if this_sl else None, ids_sds, mask_sds, labels_sds)
-            tasks.append((f"dgrad L{layer_id} {block_type}",
+            tasks.append((f"dgrad L{'.'.join(map(str, split))}",
                           partial(_prime_strict, gf, *args)))
 
             # selection/truncation primes (mirroring compress_round's
@@ -1275,7 +1277,11 @@ class GraspEngine:
             limit = float(os.environ.get("GRASP_HBM_GIB", 15.75)) * 2**30
         params_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params))
-        reserve = 1.0 * 2**30 + _EIGH_ARENA_BUDGET + 0.5 * 2**30
+        # accumulators coexist with the sweep graph's working set (~1.0 GiB
+        # measured at 7B via executable_memory) DURING the sweep and with the
+        # eigh arena DURING selection — never both; + slack for axon
+        # dispatch-copy quirks
+        reserve = max(1.0 * 2**30, _EIGH_ARENA_BUDGET) + 0.5 * 2**30
         budget = limit - params_bytes - reserve
         per_layer = max(
             sum(int(np.prod(self._get_proj(n)["kernel"].shape))
@@ -1897,6 +1903,7 @@ class GraspEngine:
                     mode = self._choose_prefix_cache(calibration_batches, p_min)
                     logger.info("prefix auto -> %s", mode)
             self._set_prefix(p_min, mode, auto=was_auto)
+            stop_prefetch = None
             try:
                 chunks = self._sweep_chunks(layer_names, cfg)
                 if len(chunks) > 1:
@@ -1905,6 +1912,14 @@ class GraspEngine:
                         "accumulators): %s", len(chunks),
                         [[lid for lid, _ in c] for c in chunks],
                     )
+                # compile every chunk's graphs ahead of dispatch (same plan-
+                # evolution argument as the sequential daemon — each chunk is
+                # one multi-layer sweep unit)
+                stop_prefetch = self._start_compile_prefetch(
+                    [(tuple(sorted(lid for lid, _ in c)),
+                      [n for _, nn in c for n in nn]) for c in chunks],
+                    calibration_batches, cfg,
+                )
                 for chunk in chunks:
                     ckey = ("chunk", ".".join(str(lid) for lid, _ in chunk))
                     if ckey in self._done_rounds:
@@ -1922,6 +1937,8 @@ class GraspEngine:
                         self._select_compile_many(names, svd_out, grads, cfg)
                     self._mark_round_done(*ckey)
             finally:
+                if stop_prefetch is not None:
+                    stop_prefetch()
                 self._set_prefix(0, "off")
             self._mark_round_done("all", "all")
         else:
@@ -1969,7 +1986,9 @@ class GraspEngine:
                     # deterministic under a fixed ratio) so per-round compiles
                     # overlap the sweeps instead of serializing with them.
                     stop_prefetch = self._start_compile_prefetch(
-                        rounds, calibration_batches, cfg
+                        [((lid,), [module_name(lid, p) for p in tg])
+                         for lid, bt, tg in rounds],
+                        calibration_batches, cfg,
                     )
                     try:
                         for layer_id, block_type, tg in rounds:
