@@ -167,6 +167,39 @@ def main():
         except Exception as e:
             details["flash_4k_error"] = f"{type(e).__name__}: {e}"[:200]
 
+        # hd=128 4k datapoint: the low fwd_4k_mfu above is attributed to
+        # TinyLlama's head_dim 64 (both flash matmuls contract/emit 64 wide
+        # on a 128-lane MXU — a model property). Prove it with a matched
+        # TinyLlama-CLASS model whose only change is the head geometry
+        # (16 heads x 128 instead of 32 x 64; same hidden/ffn/layers/flops),
+        # which is the geometry of the LLaMA-2/Mistral/Qwen2 families.
+        try:
+            cfg128 = dataclasses.replace(
+                ModelConfig.tinyllama_1_1b(), num_attention_heads=16,
+                num_key_value_heads=4, dtype="bfloat16",
+                use_flash_attention=True)
+            from grasp_tpu.models.llama import default_plan
+
+            p128 = init_params(jax.random.PRNGKey(2), cfg128)
+            jax.block_until_ready(p128)
+            plan128 = default_plan(cfg128)
+
+            @jax.jit
+            def fwd4k128(p, i):
+                logits = forward(p, i, config=cfg128, plan=plan128)["logits"]
+                return logits.astype(jnp.float32).mean()
+
+            float(fwd4k128(p128, ids4k))
+            f4k128_s, _ = _median_timed(lambda: float(fwd4k128(p128, ids4k)), n=3)
+            fl128 = estimate_forward_flops(p128, cfg128, plan128, seq_len=4096)
+            tf128 = fl128["flops"] * 8 / f4k128_s / 1e12
+            details["fwd_4k_flash_b8_ms_hd128"] = round(f4k128_s * 1e3, 2)
+            details["fwd_4k_flash_tflops_hd128"] = round(tf128, 1)
+            details["fwd_4k_mfu_hd128"] = round(tf128 / V5E_BF16_PEAK_TFLOPS, 3)
+            del p128
+        except Exception as e:
+            details["flash_4k_hd128_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # ---- run the TPU-gated Pallas kernel tests on the real chip and record
     # the result as a driver-visible artifact (they're CPU-skipped in CI) ----
     repo = os.path.dirname(os.path.abspath(__file__))

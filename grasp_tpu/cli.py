@@ -159,6 +159,9 @@ def _compress_parser() -> argparse.ArgumentParser:
                         "surface (evaluate_grasp.py:222-229)")
     p.add_argument("--num_fewshot", type=int, default=0)
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--results_json", type=str, default=None,
+                   help="write the evaluation results dict to this JSON file "
+                        "(scripts/run_quality.sh table assembly)")
     return p
 
 
@@ -332,6 +335,11 @@ def _run_evaluation(params, config, plan, tokenizer, args) -> dict:
                            data_root=getattr(args, "data_root", "."))
         )
     logger.info("results: %s", json.dumps(results))
+    if getattr(args, "results_json", None):
+        os.makedirs(os.path.dirname(os.path.abspath(args.results_json)),
+                    exist_ok=True)
+        with open(args.results_json, "w") as f:
+            json.dump(results, f, indent=1)
     return results
 
 
@@ -349,6 +357,8 @@ def evaluate_main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=-1)
     p.add_argument("--data_root", type=str, default=".")
     p.add_argument("--log_file", type=str, default=None)
+    p.add_argument("--results_json", type=str, default=None,
+                   help="write the evaluation results dict to this JSON file")
     args = p.parse_args(argv)
     setup_logger(args.log_file)
     from grasp_tpu import enable_compilation_cache

@@ -747,7 +747,19 @@ class GraspEngine:
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 
-        return jax.jit(jax.value_and_grad(loss_from_kernels))
+        # fused accumulation: grads sum into a DONATED running total inside
+        # the graph, so the sweep's steady state is ONE accumulator copy —
+        # the eager `totals[n] + g` pattern held totals + the fresh grads +
+        # the sum simultaneously (3x the chunk's grad bytes transiently),
+        # which OOMed the parallel fast path's multi-layer chunks at 7B
+        # (2x chunk grads live + the dispatch working set > 15.75 GiB).
+        # Same per-batch add order as the eager loop -> bit-identical sums.
+        def step(k_dict, params, hidden_in, input_ids, attention_mask, labels, totals):
+            loss, grads = jax.value_and_grad(loss_from_kernels)(
+                k_dict, params, hidden_in, input_ids, attention_mask, labels)
+            return loss, jax.tree.map(jnp.add, totals, grads)
+
+        return jax.jit(step, donate_argnums=(6,))
 
     # -- prefix split (cfg.prefix): sequential rounds never modify layers
     # below min(redundant) — run them once per batch (or once per run with
@@ -940,7 +952,12 @@ class GraspEngine:
         grad_fn = self._grad_fns[key]
 
         k_dict = {n: self._get_proj(n)["kernel"] for n in names}
-        totals: Dict[str, jax.Array] = {}
+        # accumulators ride the graph as a donated arg (see
+        # _make_dense_grad_fn): XLA aliases them in place, so the sweep keeps
+        # exactly ONE grad-sized copy per module. 0 + g == g in bf16/fp32, so
+        # the zero init is fp-exact vs the old first-batch assignment.
+        totals: Dict[str, jax.Array] = {
+            n: jnp.zeros(k.shape, k.dtype) for n, k in k_dict.items()}
         t_stage = time.time()
         first_batch = True
         for i, batch in enumerate(calibration_batches):
@@ -948,12 +965,11 @@ class GraspEngine:
             h0 = self._prefix_hidden(i, batch, not first_batch) if sl else None
             if first_batch:
                 _prime(grad_fn, k_dict, self.params, h0, batch["input_ids"],
-                       batch.get("attention_mask"), batch["labels"])
-            _, grads = grad_fn(
-                k_dict, self.params, h0, batch["input_ids"], batch.get("attention_mask"), batch["labels"]
+                       batch.get("attention_mask"), batch["labels"], totals)
+            _, totals = grad_fn(
+                k_dict, self.params, h0, batch["input_ids"],
+                batch.get("attention_mask"), batch["labels"], totals
             )
-            for n, g in grads.items():
-                totals[n] = g if n not in totals else totals[n] + g
             if first_batch:
                 # first dispatch per plan includes the jit compile — record it
                 # separately so per-stage tables can split compile vs sweep
@@ -1045,7 +1061,8 @@ class GraspEngine:
                     k_sds[n] = sim["layers"][li]["moe"]["experts"][proj]
                 else:
                     k_sds[n] = sim["layers"][li][group][proj]["kernel"]
-            args = (k_sds, sim, h0_sds if this_sl else None, ids_sds, mask_sds, labels_sds)
+            args = (k_sds, sim, h0_sds if this_sl else None, ids_sds, mask_sds,
+                    labels_sds, k_sds)  # totals: same shapes/dtypes as k_dict
             tasks.append((f"dgrad L{'.'.join(map(str, split))}",
                           partial(_prime_strict, gf, *args)))
 

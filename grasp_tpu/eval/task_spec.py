@@ -28,7 +28,9 @@ keys reach into nested dicts):
             | {"field": "answerKey",
                "label_index": "choices.label"}          # labels.index(key)
             | {"field": "correct",
-               "lookup": ["a", "b", "c", "d", "e"]},    # values.index(key)
+               "lookup": ["a", "b", "c", "d", "e"]}     # values.index(key)
+            | {"static": 1},                            # fixed index
+                                                        # (0.4 int doc_to_target)
     }
 
 ``type: "partial"`` is lm-eval 0.3.0's winogrande partial-evaluation scheme:
@@ -134,6 +136,9 @@ def _format(template: str, doc: dict, field_preprocess: Dict[str, List[str]]) ->
 
 def _gold_fn(spec: dict) -> Callable[[dict], int]:
     g = spec["gold"]
+    if "static" in g:  # fixed answer index (lm-eval 0.4 int doc_to_target)
+        k = int(g["static"])
+        return lambda doc: k
     field = g["field"]
 
     def gold(doc: dict) -> int:

@@ -349,6 +349,96 @@ def _draft_multi_sampled_fn(config: ModelConfig, plan: ModelPlan,
     return jax.jit(fn, donate_argnums=donate)
 
 
+def _draft_multi_penalized_fn(config: ModelConfig, plan: ModelPlan,
+                              max_pages_per_seq: int, gamma: int, max_k: int,
+                              quantized: bool = False):
+    """Penalized/guided variant of the fused draft phase.
+
+    Extends ``_draft_multi_sampled_fn`` with the plain engine's full logit
+    processing (paged.apply_penalties: logit_bias -> repetition ->
+    presence/frequency; then temperature -> top_k -> top_p -> min_p; optional
+    grammar mask before everything) applied PER DRAFT STEP with the running
+    context: a row's token counts and DFA state advance inside the loop as
+    its own draft tokens land, so q_i is the exact processed draft
+    conditional given the draft path so far — which is what the Leviathan
+    acceptance needs for the emitted stream to be distributed exactly as
+    penalized target-only sampling (the verify side recomputes the SAME
+    per-position adjustments from the same path; see _accept_penalized_fn).
+    Greedy rows argmax the adjusted logits (penalties steer greedy decoding
+    too, OpenAI behavior — plain-engine parity). Identity settings reduce
+    fp-exactly to the unpenalized sampler's math, so mixed batches never
+    perturb plain rows.
+
+    guided args (always passed; a 1-state never-masking table serves
+    unguided batches): trans [S, V] int32 token transitions (-1 = reject),
+    accept [S] bool, states [B] int32, gflag [B] bool, eosmask [V] bool.
+    eos is allowed exactly in accepting states; a starved row force-stops on
+    eos; eos picks leave the state unchanged (the host never advances
+    through eos either).
+
+    Returns (drafts [B, gamma], q_probs [B, gamma, V] fp32, pools...).
+    """
+    from grasp_tpu.eval.generate import topk_topp_filter
+    from grasp_tpu.serving.paged import apply_penalties
+
+    body = _paged_decode_fn(config, plan, max_pages_per_seq,
+                            quantized=quantized, raw=True)
+    vocab = config.vocab_size
+    neg = jnp.finfo(jnp.float32).min
+
+    def fn(params, tok0, k_pages, v_pages, k_scales, v_scales, tables, pos0,
+           live, keys, temps, ks, tps, greedy, counts, bias, biased,
+           min_ps, pres, freq, reps, trans, accept, states0, gflag, eosmask):
+        b = tok0.shape[0]
+        drafts0 = jnp.zeros((b, gamma), jnp.int32)
+        q0 = jnp.zeros((b, gamma, vocab), jnp.float32)
+
+        def step(i, carry):
+            tok, kp, vp, ksc, vsc, drafts, qs, cnt, st = carry
+            logits, kp, vp, ksc, vsc = body(
+                params, tok, kp, vp, ksc, vsc, tables, pos0 + i, live)
+            adj = apply_penalties(logits, cnt, bias * biased[:, None],
+                                  pres, freq, reps)
+            rowmask = trans[st] >= 0
+            rowmask = rowmask | (eosmask[None, :] & accept[st][:, None])
+            starved = ~rowmask.any(axis=-1)
+            rowmask = rowmask | (eosmask[None, :] & starved[:, None])
+            adj = jnp.where(gflag[:, None] & ~rowmask, neg, adj)
+            filt = topk_topp_filter(adj / temps[:, None], ks, tps, max_k,
+                                    min_ps=min_ps)
+            skeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 1000 + i))(keys)
+            sampled = jax.vmap(jax.random.categorical)(skeys, filt).astype(jnp.int32)
+            ntok = jnp.where(greedy, jnp.argmax(adj, axis=-1).astype(jnp.int32),
+                             sampled)
+            # running context: counts/DFA advance by this pick (the verify
+            # side replays the identical rollout from the draft block)
+            is_eos = eosmask[ntok]
+            ns = trans[st, ntok]
+            st_next = jnp.where(gflag & ~is_eos & (ns >= 0), ns, st)
+            cnt_next = cnt.at[jnp.arange(b), ntok].add(1)
+            # i == gamma is the KV-only landing pass: all writes drop
+            j = jnp.minimum(i, gamma - 1)
+            drafts = jax.lax.dynamic_update_slice(drafts, ntok[:, None], (0, j))
+            qs = jax.lax.dynamic_update_slice(
+                qs, jax.nn.softmax(filt, axis=-1)[:, None, :], (0, j, 0))
+            keep = i < gamma
+            drafts = jnp.where(keep, drafts, carry[5])
+            qs = jnp.where(keep, qs, carry[6])
+            cnt_next = jnp.where(keep, cnt_next, cnt)
+            st_next = jnp.where(keep, st_next, st)
+            return (ntok, kp, vp, ksc, vsc, drafts, qs, cnt_next, st_next)
+
+        out = jax.lax.fori_loop(
+            0, gamma + 1, step,
+            (tok0, k_pages, v_pages, k_scales, v_scales, drafts0, q0,
+             counts, states0))
+        _, k_pages, v_pages, k_scales, v_scales, drafts, qs, _, _ = out
+        return drafts, qs, k_pages, v_pages, k_scales, v_scales
+
+    donate = (2, 3, 4, 5) if quantized else (2, 3)
+    return jax.jit(fn, donate_argnums=donate)
+
+
 def _accept_fn(gamma: int, max_k: int):
     """Batched per-row acceptance: greedy rows take the argmax-prefix rule
     (bit-identical to the greedy engine), sampled rows the Leviathan
@@ -385,6 +475,100 @@ def _accept_fn(gamma: int, max_k: int):
         a = jnp.where(greedy, a_g, a_s)
         corr = jnp.where(greedy, corr_g, corr_s)
         return a, corr, targets
+
+    return fn
+
+
+def _accept_penalized_fn(gamma: int, max_k: int):
+    """Penalized/guided batched acceptance.
+
+    Same contract as ``_accept_fn`` but the target logits at every chunk
+    position are processed EXACTLY like the draft side processed its
+    proposal distribution at that position: position i's counts are the
+    engine counts plus one-hots of d_1..d_i's predecessors along the draft
+    path, its DFA state the rollout of the row state through d_1..d_i —
+    so p_i and q_i are the same functional of the same context and the
+    Leviathan math emits exactly penalized target-only sampling. Greedy
+    rows take the argmax-prefix rule over the ADJUSTED logits (bit-identical
+    to the penalized plain engine's greedy stream).
+
+    Also returns the per-row updated counts contribution and final DFA
+    states are NOT returned — the host recomputes both from the emitted
+    chunk (retirement can cut the chunk short).
+    """
+    from grasp_tpu.eval.generate import topk_topp_filter
+    from grasp_tpu.serving.paged import apply_penalties
+    from grasp_tpu.serving.speculative import speculative_accept
+
+    neg = jnp.finfo(jnp.float32).min
+
+    @jax.jit
+    def fn(tlogits, drafts, q_probs, keys, temps, ks, tps, greedy,
+           counts, bias, biased, min_ps, pres, freq, reps,
+           trans, accept, states0, gflag, eosmask):
+        b, g1, v = tlogits.shape
+        # counts along the draft path: position i sees d_1..d_i's prefix
+        oh = jax.nn.one_hot(drafts, v, dtype=jnp.int32)            # [B, g, V]
+        cum = jnp.concatenate(
+            [jnp.zeros((b, 1, v), jnp.int32), jnp.cumsum(oh, axis=1)], axis=1)
+        counts_pos = counts[:, None, :] + cum                       # [B, g+1, V]
+        lb = (bias * biased[:, None])[:, None, :]                   # [B, 1, V]
+        l = tlogits.astype(jnp.float32) + lb
+        seen = counts_pos > 0
+        r3 = reps[:, None, None]
+        pen = jnp.where(l < 0, l * r3, l / r3)
+        l = jnp.where(seen, pen, l)
+        adj = (l - counts_pos.astype(jnp.float32) * freq[:, None, None]
+               - seen * pres[:, None, None])                        # [B, g+1, V]
+
+        # DFA rollout along the draft path (gamma is small and static)
+        states = [states0]
+        for i in range(gamma):
+            d = drafts[:, i]
+            ns = trans[states[-1], d]
+            ok = gflag & ~eosmask[d] & (ns >= 0)
+            states.append(jnp.where(ok, ns, states[-1]))
+        st = jnp.stack(states, axis=1)                              # [B, g+1]
+        rowmask = trans[st] >= 0                                    # [B, g+1, V]
+        rowmask = rowmask | (eosmask[None, None, :] & accept[st][:, :, None])
+        starved = ~rowmask.any(axis=-1)
+        rowmask = rowmask | (eosmask[None, None, :] & starved[:, :, None])
+        adj = jnp.where(gflag[:, None, None] & ~rowmask, neg, adj)
+
+        targets = jnp.argmax(adj, axis=-1).astype(jnp.int32)        # [B, g+1]
+        matches = jnp.cumprod(
+            (targets[:, :gamma] == drafts).astype(jnp.int32), axis=1)
+        a_g = jnp.sum(matches, axis=1)
+        corr_g = jnp.take_along_axis(targets, a_g[:, None], axis=1)[:, 0]
+
+        scaled = adj / temps[:, None, None]
+        filt = topk_topp_filter(
+            scaled.reshape(b * g1, v),
+            jnp.repeat(ks, g1), jnp.repeat(tps, g1), max_k,
+            min_ps=jnp.repeat(min_ps, g1),
+        ).reshape(b, g1, v)
+        p_probs = jax.nn.softmax(filt, axis=-1)
+        akeys = jax.vmap(lambda kk: jax.random.fold_in(kk, 7))(keys)
+        a_s, corr_s = jax.vmap(speculative_accept)(akeys, drafts, q_probs, p_probs)
+
+        a = jnp.where(greedy, a_g, a_s)
+        corr = jnp.where(greedy, corr_g, corr_s)
+        return a, corr, targets
+
+    return fn
+
+
+def _commit_counts_fn():
+    """One small jit per macro-step: fold the emitted chunk's token counts
+    into the engine's [max_batch, V] buffer. toks [B, g+1] padded, nvalid [B]
+    = number of real tokens per row (0 for non-live/unpenalized rows)."""
+
+    @jax.jit
+    def fn(counts, toks, nvalid):
+        b, g1 = toks.shape
+        valid = (jnp.arange(g1)[None, :] < nvalid[:, None]).astype(jnp.int32)
+        oh = jax.nn.one_hot(toks, counts.shape[-1], dtype=jnp.int32)
+        return counts + jnp.einsum("bgv,bg->bv", oh, valid)
 
     return fn
 
@@ -445,6 +629,10 @@ class SpeculativeServingEngine(ServingEngine):
                                        quantized=q)
         self._dmulti_sampled = None  # built on first sampled macro-step
         self._accept = None
+        self._dmulti_pen = None      # built on first penalized macro-step
+        self._accept_pen = None
+        self._commit_counts = None
+        self._gtables_cache = None   # (key, trans_dev, accept_dev, offsets)
         self._verify = _paged_verify_fn(config, self.plan, self.max_pages_per_seq,
                                         chunk=self.gamma + 1, quantized=q)
         self._dprefill_fns: Dict[Tuple[int, int], any] = {}
@@ -452,29 +640,30 @@ class SpeculativeServingEngine(ServingEngine):
 
     def submit(self, prompt_ids, max_new_tokens: int, temperature: float = 0.0,
                top_k: int = 0, top_p: float = 1.0, seed: Optional[int] = None,
-               logprobs: int = 0, **penalties) -> int:
+               logprobs: int = 0, presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0, repetition_penalty: float = 1.0,
+               min_p: float = 0.0,
+               logit_bias: Optional[Dict[int, float]] = None,
+               guided_regex: Optional[str] = None) -> int:
         """Enqueue a request; sampled rows (temperature > 0) speculate through
         the per-row Leviathan rejection path (exact target distribution, see
         module docstring); greedy rows stay bit-identical to ServingEngine.
         seed=None defaults to the request id (plain-engine semantics).
+
+        Penalties / min_p / logit_bias / guided_regex carry the plain
+        engine's semantics: both the draft proposals and the target verify
+        distributions are processed per chunk position with the running
+        context along the draft path (_draft_multi_penalized_fn /
+        _accept_penalized_fn), so penalized sampled rows are distributed
+        exactly as penalized target-only sampling and penalized greedy rows
+        are bit-identical to the penalized plain engine.
+
         logprobs is not supported here: the macro-step emits accepted tokens
         in bulk without per-token model distributions — use the plain
         ServingEngine for logprob-reporting requests."""
         if logprobs:
             raise ValueError("logprobs are not supported with speculation; "
                              "use ServingEngine")
-        defaults = {"presence_penalty": 0.0, "frequency_penalty": 0.0,
-                    "repetition_penalty": 1.0, "min_p": 0.0, "logit_bias": None,
-                    "guided_regex": None}
-        for k, v in penalties.items():
-            if k not in defaults:
-                raise TypeError(f"submit() got an unexpected keyword {k!r}")
-            if v != defaults[k] and v is not None:
-                # the Leviathan draft/verify math assumes the plain filtered
-                # distribution; context-dependent logit edits would need the
-                # penalties threaded through BOTH models' samplers
-                raise ValueError(f"{k} is not supported with speculation; "
-                                 "use ServingEngine")
         # reserve chunk-overshoot slack: a macro-step may write up to gamma+1
         # positions past the accepted stream before trimming
         prompt = np.asarray(prompt_ids).reshape(-1)
@@ -483,7 +672,12 @@ class SpeculativeServingEngine(ServingEngine):
             raise ValueError(
                 f"request needs {need} pages > max_pages_per_seq={self.max_pages_per_seq}")
         return super().submit(prompt_ids, max_new_tokens, temperature, top_k,
-                              top_p, seed)
+                              top_p, seed,
+                              presence_penalty=presence_penalty,
+                              frequency_penalty=frequency_penalty,
+                              repetition_penalty=repetition_penalty,
+                              min_p=min_p, logit_bias=logit_bias,
+                              guided_regex=guided_regex)
 
     # -- admission: also prefill the draft into the same pages ------------
     def _admit(self, req, row):
@@ -559,6 +753,57 @@ class SpeculativeServingEngine(ServingEngine):
     def _retire(self, req) -> None:
         super()._retire(req)  # single allocator: pages return once, serve both pools
 
+    # -- guided decoding over speculation ----------------------------------
+    def _guided_tables(self, reqs):
+        """Device DFA tables + per-row states for the live guided rows.
+
+        The speculative draft loop advances grammar states ON DEVICE along
+        the draft path, so it needs the token-transition table (not just the
+        allow mask the plain sampler uses). Several grammars in one batch
+        compose as a block-diagonal union (states offset per grammar) — one
+        table serves every row; rows of the same pattern share the block.
+        Unguided (or unguided-penalized) batches get a constant 1-state
+        never-masking table so the penalized jits keep one shape.
+
+        Returns (trans [S, V] i32 dev, accept [S] bool dev, states [B] i32,
+        gflag [B] bool, offsets {id(grammar): state offset}).
+        """
+        gs: List = []
+        for r in reqs:
+            if r is not None and r.guided is not None and id(r.guided) not in {
+                    id(g) for g in gs}:
+                gs.append(r.guided)
+        key = tuple(id(g) for g in gs)
+        cached = self._gtables_cache
+        if cached is None or cached[0] != key:
+            V = self.config.vocab_size
+            if not gs:
+                trans = np.full((1, V), -1, np.int32)
+                accept = np.zeros(1, bool)
+                offsets: Dict[int, int] = {}
+            else:
+                n_total = sum(g.n_states for g in gs)
+                trans = np.full((n_total, V), -1, np.int32)
+                accept = np.zeros(n_total, bool)
+                offsets = {}
+                off = 0
+                for g in gs:
+                    t = g.token_trans
+                    trans[off:off + g.n_states] = np.where(t >= 0, t + off, -1)
+                    accept[off:off + g.n_states] = g.accepting
+                    offsets[id(g)] = off
+                    off += g.n_states
+            cached = (key, jnp.asarray(trans), jnp.asarray(accept), offsets)
+            self._gtables_cache = cached
+        _, trans_d, accept_d, offsets = cached
+        states = np.zeros(self.max_batch, np.int32)
+        gflag = np.zeros(self.max_batch, bool)
+        for r in reqs:
+            if r is not None and r.guided is not None:
+                states[r.row] = offsets[id(r.guided)] + r.gstate
+                gflag[r.row] = True
+        return trans_d, accept_d, states, gflag, offsets
+
     # -- the speculative macro-step ---------------------------------------
     def step(self) -> None:
         for row in range(self.max_batch):
@@ -600,8 +845,111 @@ class SpeculativeServingEngine(ServingEngine):
             live[r.row] = 1
         tables_j = jnp.asarray(tables)
 
+        any_pen = any(r.penalized for r in live_reqs)
         any_sampled = any(not r.greedy for r in live_reqs)
-        if any_sampled:
+        if any_pen:
+            # --- penalized/guided macro-step: the draft proposes from the
+            # fully-processed per-position distributions (counts/DFA advance
+            # along the draft path on device) and the accept step replays the
+            # identical processing on the target side ---
+            from grasp_tpu.serving.paged import _MAX_TOP_K
+
+            if self._dmulti_pen is None:
+                self._dmulti_pen = _draft_multi_penalized_fn(
+                    self.dconfig, self.dplan, self.max_pages_per_seq,
+                    self.gamma, _MAX_TOP_K, quantized=self.dpool.quantized)
+                self._accept_pen = _accept_penalized_fn(self.gamma, _MAX_TOP_K)
+                self._commit_counts = _commit_counts_fn()
+            if self._counts is None:  # no penalized request admitted yet
+                V = self.config.vocab_size
+                self._counts = jnp.zeros((self.max_batch, V), jnp.int32)
+                self._bias = jnp.zeros((self.max_batch, V), jnp.float32)
+
+            temps = np.ones(self.max_batch, np.float32)
+            ks = np.zeros(self.max_batch, np.int32)
+            tps = np.ones(self.max_batch, np.float32)
+            greedy = np.ones(self.max_batch, bool)
+            keys = np.zeros((self.max_batch, 2), np.uint32)
+            min_ps = np.zeros(self.max_batch, np.float32)
+            pres = np.zeros(self.max_batch, np.float32)
+            freq = np.zeros(self.max_batch, np.float32)
+            reps = np.ones(self.max_batch, np.float32)
+            biased = np.zeros(self.max_batch, np.float32)
+            for r in live_reqs:
+                row = r.row
+                if r.penalized:
+                    min_ps[row] = r.min_p
+                    pres[row] = r.presence_penalty
+                    freq[row] = r.frequency_penalty
+                    reps[row] = r.repetition_penalty
+                    biased[row] = 1.0 if r.logit_bias else 0.0
+                if not r.greedy:
+                    greedy[row] = False
+                    temps[row] = max(r.temperature, 1e-6)
+                    ks[row] = r.top_k
+                    tps[row] = r.top_p
+                    keys[row] = np.asarray(jax.random.fold_in(
+                        jax.random.PRNGKey(r.seed), r.emitted_steps))
+                    r.emitted_steps += 1
+            trans_d, accept_d, states, gflag, _ = self._guided_tables(live_reqs)
+            keys_j, temps_j = jnp.asarray(keys), jnp.asarray(temps)
+            ks_j, tps_j = jnp.asarray(ks), jnp.asarray(tps)
+            greedy_j = jnp.asarray(greedy)
+            pen_args = (jnp.asarray(min_ps), jnp.asarray(pres),
+                        jnp.asarray(freq), jnp.asarray(reps))
+            g_args = (trans_d, accept_d, jnp.asarray(states),
+                      jnp.asarray(gflag), self._eos_mask_dev())
+            biased_j = jnp.asarray(biased)
+
+            (drafts_j, q_j, self.dpool.k_pages, self.dpool.v_pages,
+             self.dpool.k_scales, self.dpool.v_scales) = self._primed_call(
+                ("dmulti_pen", trans_d.shape[0]), self._dmulti_pen,
+                self.dparams, jnp.asarray(self._next_tok), self.dpool.k_pages,
+                self.dpool.v_pages, self.dpool.k_scales, self.dpool.v_scales,
+                tables_j, jnp.asarray(pos0), jnp.asarray(live),
+                keys_j, temps_j, ks_j, tps_j, greedy_j,
+                self._counts, self._bias, biased_j, *pen_args, *g_args,
+            )
+            drafts = np.asarray(drafts_j, np.int32)
+
+            verify_in = np.concatenate([self._next_tok[:, None], drafts], axis=1)
+            (tlogits, self.pool.k_pages, self.pool.v_pages,
+             self.pool.k_scales, self.pool.v_scales) = self._primed_call(
+                "verify", self._verify,
+                self.params, jnp.asarray(verify_in), self.pool.k_pages,
+                self.pool.v_pages, self.pool.k_scales, self.pool.v_scales,
+                tables_j, jnp.asarray(pos0), jnp.asarray(live),
+            )
+            a_j, corr_j, _ = self._accept_pen(
+                tlogits, drafts_j, q_j, keys_j, temps_j, ks_j, tps_j, greedy_j,
+                self._counts, self._bias, biased_j, *pen_args, *g_args)
+            a_arr = np.asarray(a_j, np.int32)
+            corr = np.asarray(corr_j, np.int32)
+
+            # commit the emitted chunk's bookkeeping: counts fold in on
+            # device; grammar states advance host-side (pick-time semantics —
+            # the pending correction token counts/advances too)
+            toks_pad = np.zeros((self.max_batch, self.gamma + 1), np.int32)
+            nvalid = np.zeros(self.max_batch, np.int32)
+            for r in live_reqs:
+                row = r.row
+                a = int(a_arr[row])
+                toks_pad[row, :a] = drafts[row, :a]
+                toks_pad[row, a] = corr[row]
+                if r.penalized:
+                    nvalid[row] = a + 1
+                if r.guided is not None:
+                    for tok in toks_pad[row, :a + 1]:
+                        tok = int(tok)
+                        if tok in self._eos:
+                            break
+                        ns = int(r.guided.token_trans[r.gstate, tok])
+                        if ns >= 0:
+                            r.gstate = ns
+            if nvalid.any():
+                self._counts = self._commit_counts(
+                    self._counts, jnp.asarray(toks_pad), jnp.asarray(nvalid))
+        elif any_sampled:
             # --- sampled draft phase + Leviathan acceptance (both fused) ---
             from grasp_tpu.serving.paged import _MAX_TOP_K
 

@@ -97,7 +97,8 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     k_dict = {n: engine._get_proj(n)["kernel"] for n in names0}
     b0 = batches[0]
     t_c = time.time()
-    compiled = gf.lower(k_dict, engine.params, None, b0["input_ids"], None, b0["labels"]).compile()
+    compiled = gf.lower(k_dict, engine.params, None, b0["input_ids"], None,
+                        b0["labels"], k_dict).compile()  # totals: k_dict shapes
     result["grad_fn_compile_s"] = round(time.time() - t_c, 1)
     exe_mem = executable_memory(compiled)
     result["grad_fn_xla_peak_gib"] = round(exe_mem["peak_bytes"] / 2**30, 2)

@@ -212,8 +212,12 @@ def test_validation_and_spec_rejection(compressed):
     spec = SpeculativeServingEngine(params, config, params, config, plan=plan,
                                     draft_plan=plan, num_pages=32, page_size=PS,
                                     max_batch=2, max_pages_per_seq=6)
+    # the speculative engine VALIDATES like the plain one (penalties are
+    # supported there since r4 — tests/test_spec_penalties.py pins parity)
     with pytest.raises(ValueError, match="repetition_penalty"):
-        spec.submit([1, 2], 2, repetition_penalty=1.5)
+        spec.submit([1, 2], 2, repetition_penalty=0.0)
+    with pytest.raises(ValueError, match="logprobs"):
+        spec.submit([1, 2], 2, logprobs=2)
 
 
 def test_penalties_with_logprobs_report_raw(compressed, rng):
