@@ -1310,6 +1310,117 @@ class GraspEngine:
             return 0
         return max(1, int(budget // per_layer))
 
+    def _precompute_gram_bases(self, names: List[str]) -> Dict[str, tuple]:
+        """Stacked gram eighs for every target BEFORE any sweep; bases parked
+        in host RAM.
+
+        The gram basis depends only on the ORIGINAL dense kernel, which the
+        fast path never modifies before the module's own compile — so the
+        eigh stage (a 1.4-1.9 GiB QDWH arena per executable) runs while NO
+        grad accumulators are resident. Running it after a chunk's sweep
+        put arena + params + chunk grads past the chip's effective ceiling
+        (~14.6 GiB observed: the r3 G=4 OOM and this round's G=2-with-grads
+        OOM bracket it). (s, basis) go to host as each stack completes
+        (async D2H overlapped with the next stack's eigh; ~64 MB fp32 per
+        4096-dim module) and re-upload per module at selection time.
+        Returns {name: (s_np, basis_np)}.
+        """
+        from grasp_tpu.ops.svd import ufree_eigh_multi, ufree_gram
+
+        t0 = time.time()
+        groups = _gram_select_groups(
+            names,
+            lambda n: self._get_proj(n)["kernel"].shape,
+            # group by shape only: the eigh doesn't depend on the ratio, and
+            # a constant key lets disparate-ratio modules share stacks
+            lambda n: 0.0,
+        )
+        pending: List[Tuple[str, jax.Array, jax.Array]] = []
+        out: Dict[str, tuple] = {}
+
+        def _drain():
+            while pending:
+                n, s_d, b_d = pending.pop(0)
+                out[n] = (np.asarray(s_d), np.asarray(b_d))
+
+        for g_names, _, _, stacked in groups:
+            grams = [ufree_gram(self._get_proj(n)["kernel"]) for n in g_names]
+            if len(grams) > 1:
+                s_list, b_list = map(list, ufree_eigh_multi(*grams))
+            else:
+                from grasp_tpu.ops.svd import ufree_eigh
+
+                s1, b1 = ufree_eigh(grams[0])
+                s_list, b_list = [s1], [b1]
+            del grams
+            _force_done(s_list[-1])
+            _drain()  # previous stack's async copies have landed by now
+            for i, n in enumerate(g_names):
+                try:  # overlap D2H with the next stack's eigh
+                    s_list[i].copy_to_host_async()
+                    b_list[i].copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
+                pending.append((n, s_list[i], b_list[i]))
+                s_list[i] = b_list[i] = None
+        _drain()
+        self._stage("sel_eigh", time.time() - t0)
+        return out
+
+    def _select_compile_from_bases(
+        self,
+        names: List[str],
+        grads: Dict[str, jax.Array],
+        bases: Dict[str, tuple],
+        cfg: GraspConfig,
+    ) -> None:
+        """Selection+truncation+compile from host-parked gram bases (see
+        _precompute_gram_bases). Per module: upload basis (one 64 MB H2D,
+        prefetched one module ahead so it hides behind the previous module's
+        truncate/compile), importance from the resident grads, top-k select,
+        U-free truncate, compile, free."""
+        from grasp_tpu.ops.svd import ufree_importance, ufree_truncate_kernel
+
+        t_stage = time.time()
+        indices_dict: Dict[str, np.ndarray] = {}
+        dev = {}
+
+        def _upload(n):
+            s_np, b_np = bases.pop(n)
+            dev[n] = (jax.device_put(jnp.asarray(s_np)),
+                      jax.device_put(jnp.asarray(b_np)))
+
+        if names:
+            _upload(names[0])
+        for i, n in enumerate(names):
+            t_m = time.time()
+            if i + 1 < len(names):
+                _upload(names[i + 1])  # prefetch next module's basis
+            kernel = self._get_proj(n)["kernel"]
+            s, basis = dev.pop(n)
+            side = "u" if kernel.shape[-1] <= kernel.shape[-2] else "v"
+            t1 = time.time()
+            importance = ufree_importance(
+                kernel, grads.pop(n), s, basis, cfg.metric)
+            indices = self._select_indices(
+                n, importance, s, kernel.shape[-2], kernel.shape[-1], cfg,
+                indices_dict)
+            self._stage("sel_importance", time.time() - t1)
+            t1 = time.time()
+            ut, st, vht = ufree_truncate_kernel(
+                kernel, s, basis, side, jnp.asarray(indices))
+            del s, basis
+            self._compile_truncated(n, ut, st, vht, cfg)
+            self._stage("sel_truncate", time.time() - t1)
+            self._stage("svd_select_one", time.time() - t_m)
+
+        self.indices_dict = indices_dict
+        self.indices_log.update(indices_dict)
+        self._stage("select_compile", time.time() - t_stage)
+        if cfg.verbose:
+            for n, idx in indices_dict.items():
+                logger.info("%s: %s", n, idx[:128].tolist())
+
     def _select_compile_after_sweep(
         self, names: List[str], grads: Dict[str, jax.Array], cfg: GraspConfig
     ) -> None:
@@ -1937,17 +2048,22 @@ class GraspEngine:
                       [n for _, nn in c for n in nn]) for c in chunks],
                     calibration_batches, cfg,
                 )
-                for chunk in chunks:
+                todo = [c for c in chunks
+                        if ("chunk", ".".join(str(lid) for lid, _ in c))
+                        not in self._done_rounds]
+                bases = None
+                if self.svd_method == "gram_device" and todo:
+                    # all 49 eighs run BEFORE any sweep (bases depend only on
+                    # the original kernels; no grad accumulators resident
+                    # next to the QDWH arena) — see _precompute_gram_bases
+                    bases = self._precompute_gram_bases(
+                        [n for c in todo for _, nn in c for n in nn])
+                for chunk in todo:
                     ckey = ("chunk", ".".join(str(lid) for lid, _ in chunk))
-                    if ckey in self._done_rounds:
-                        continue
                     names = [n for _, nn in chunk for n in nn]
-                    if self.svd_method == "gram_device":
-                        # all-on-device selection must run AFTER the sweep
-                        # (fp32 eigh workspace next to the sweep's HBM peak
-                        # OOMs at 7B; see compress_round svd_after)
+                    if bases is not None:
                         grads = self.get_dense_gradients(names, calibration_batches)
-                        self._select_compile_after_sweep(names, grads, cfg)
+                        self._select_compile_from_bases(names, grads, bases, cfg)
                     else:
                         svd_out, grads = self._svd_overlapping_grads(
                             names, calibration_batches)

@@ -87,6 +87,38 @@ def test_prefix_ufree_gram_device_matches(tiny):
         assert overlap >= 0.9, f"{name}: index overlap {overlap:.2f}"
 
 
+def test_parallel_precomputed_bases_match_sequential_single_round(tiny):
+    """The fast path's precomputed-bases selection (gram eighs BEFORE the
+    sweep, bases parked on host — engine._precompute_gram_bases) is the same
+    math as the sequential after-sweep path: with a single (layer, block)
+    round the two modes' sweeps see identical params, so selected indices
+    and compiled factors must be BIT-identical (eigh is row-independent;
+    bases don't depend on grads)."""
+    config, params = tiny
+
+    def run(sweep):
+        engine = GraspEngine(jax.tree.map(jnp.array, params), config,
+                             svd_method="gram_device")
+        cfg = GraspConfig(layers_id=[5], compression_ratio=0.5, metric="taylor",
+                          grad_mode="dense", sweep=sweep,
+                          attn_target_layer_types=None)
+        engine.run(_batches(config), cfg)
+        return engine
+
+    seq, par = run("sequential"), run("parallel")
+    assert seq.rank_dict == par.rank_dict
+    assert set(seq.indices_log) == set(par.indices_log)
+    for name in seq.indices_log:
+        np.testing.assert_array_equal(
+            seq.indices_log[name], par.indices_log[name], err_msg=name)
+    for proj, mod in seq.params["layers"][5]["mlp"].items():
+        if "in_kernel" in mod:
+            other = par.params["layers"][5]["mlp"][proj]
+            np.testing.assert_array_equal(
+                np.asarray(mod["in_kernel"]), np.asarray(other["in_kernel"]),
+                err_msg=f"mlp.{proj}")
+
+
 def test_gram_stacked_selection_matches_per_matrix(tiny, monkeypatch):
     """Same-(shape, ratio) modules of a round run ONE [G]-batched gram eigh
     (engine._select_compile_group_ufree) instead of G serial ones. Batched
