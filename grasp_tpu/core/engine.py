@@ -177,7 +177,7 @@ _EIGH_ARENA_BUDGET = float(
 )
 
 
-def _gram_select_groups(names, shape_of, ratio_of):
+def _gram_select_groups(names, shape_of, ratio_of, hbm_free=None):
     """Group same-(kernel shape, ratio) modules of one round for ONE batched
     gram EIGH: TPU eigh is iteration-bound, so a [G]-stacked eigh costs
     ~one serial eigh (measured 9.7 s per serial 4096^2 eigh on the 7B select
@@ -185,7 +185,15 @@ def _gram_select_groups(names, shape_of, ratio_of):
     (_select_compile_group_ufree); the gram/saliency matmuls stay per-matrix
     so the stacked working set is G gram-sized fp32 buffers, not G full
     kernels+grads. Stacking needs a common rank (fixed ratio);
-    GRASP_GRAM_STACK=0 forces the per-matrix path (parity pinned by tests)."""
+    GRASP_GRAM_STACK=0 forces the per-matrix path (parity pinned by tests).
+
+    hbm_free (bytes, optional): measured headroom next to whatever else is
+    resident. When given, the stack size is additionally capped so that the
+    G gram inputs + G basis outputs that coexist with the QDWH arena fit:
+    per*(2G + BASE + SLOPE*G) <= hbm_free. The r4 7B precompute OOM
+    (params 12.55 GiB resident, G=2 arena + 0.5 GiB of gram/pending fp32
+    buffers ~= 14.7 GiB > the chip's ~14.6 GiB effective ceiling) is the
+    measurement behind this cap."""
     import os
 
     by: Dict[Tuple, List[str]] = {}
@@ -212,6 +220,10 @@ def _gram_select_groups(names, shape_of, ratio_of):
             1, int((_EIGH_ARENA_BUDGET / per - _EIGH_ARENA_BASE)
                    // _EIGH_ARENA_SLOPE)
         )
+        if hbm_free is not None:
+            cmax = max(1, min(cmax, int(
+                (hbm_free / per - _EIGH_ARENA_BASE)
+                // (_EIGH_ARENA_SLOPE + 2.0))))
         for i in range(0, len(group), cmax):
             chunk = group[i:i + cmax]
             out.append((chunk, shape, ratio, len(chunk) > 1))
@@ -773,6 +785,7 @@ class GraspEngine:
         self._prefix_costs: Dict[str, float] = {}
         in_cache = mode in ("cache", "cache_host")
         self._prefix_cache = {} if (in_cache and self._prefix_layer) else None
+        self._prefix_pending: List[Tuple[int, Any]] = []
         self._prefix_fns: Dict[Any, Any] = {}
 
     def _prefix_params(self, params=None):
@@ -825,13 +838,19 @@ class GraspEngine:
         bench), cache_host demotes itself to recompute at the next batch.
         The values are bit-identical either way (tests/test_engine_prefix.py)
         so the switch is purely a placement change."""
+        if self._prefix_cache is not None and i not in self._prefix_cache:
+            self._flush_prefix_pending()  # async-parked entries land lazily
         if self._prefix_cache is not None and i in self._prefix_cache:
             h = self._prefix_cache[i]
             if not isinstance(h, np.ndarray):
                 return h
             t0 = time.time()
             h_dev = jax.device_put(h)
-            if self._prefix_auto:  # timing sync only when auto may demote
+            # timing sync only while auto may still demote (needs >=8 timed
+            # uploads); once the decision is stable, stop blocking so the
+            # uploads pipeline behind the sweep's device compute — the block
+            # serialized 0.39 s/batch x 64 batches x rounds at 7B
+            if self._prefix_auto and self._prefix_costs.get("upload_n", 0) < 16:
                 jax.block_until_ready(h_dev)
                 self._note_prefix_cost("upload", time.time() - t0)
             return h_dev
@@ -846,10 +865,27 @@ class GraspEngine:
             self._note_prefix_cost("fwd", time.time() - t0)
         if self._prefix_cache is not None:
             if self._prefix_mode == "cache_host":
-                self._prefix_cache[i] = np.asarray(jax.device_get(h0))
+                # park asynchronously: kick the D2H now, np-convert on a later
+                # call once the copy has had a batch's compute time to land
+                # (a blocking device_get cost 0.4 s/batch on the fill sweep)
+                try:
+                    h0.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
+                self._flush_prefix_pending(keep_last=1)
+                self._prefix_pending.append((i, h0))
             else:
                 self._prefix_cache[i] = h0
         return h0
+
+    def _flush_prefix_pending(self, keep_last: int = 0) -> None:
+        """Materialize queued async host-parks into the prefix cache (see
+        _prefix_hidden). keep_last=1 leaves the newest entry in flight so its
+        D2H keeps overlapping the current batch's compute."""
+        q = self._prefix_pending
+        while len(q) > keep_last:
+            j, h = q.pop(0)
+            self._prefix_cache[j] = np.asarray(jax.device_get(h))
 
     def _note_prefix_cost(self, kind: str, dt: float) -> None:
         """EWMA of measured per-batch prefix costs; demote cache_host ->
@@ -868,6 +904,7 @@ class GraspEngine:
                 self._prefix_costs["upload"], self._prefix_costs["fwd"])
             self._prefix_mode = "recompute"
             self._prefix_cache = None
+            self._prefix_pending = []
 
     def _h2d_bandwidth(self) -> float:
         """Measured host->device bandwidth in bytes/s (one 32 MiB probe,
@@ -960,13 +997,14 @@ class GraspEngine:
             n: jnp.zeros(k.shape, k.dtype) for n, k in k_dict.items()}
         t_stage = time.time()
         first_batch = True
+        prev_sync = None
         for i, batch in enumerate(calibration_batches):
             batch = self._place_batch(batch)
             h0 = self._prefix_hidden(i, batch, not first_batch) if sl else None
             if first_batch:
                 _prime(grad_fn, k_dict, self.params, h0, batch["input_ids"],
                        batch.get("attention_mask"), batch["labels"], totals)
-            _, totals = grad_fn(
+            loss_out, totals = grad_fn(
                 k_dict, self.params, h0, batch["input_ids"],
                 batch.get("attention_mask"), batch["labels"], totals
             )
@@ -976,6 +1014,14 @@ class GraspEngine:
                 _force_done(totals)
                 self._stage("grad_first_batch", time.time() - t_stage)
                 first_batch = False
+            elif prev_sync is not None:
+                # one-deep pipeline: batch i's prefix upload (issued above,
+                # async) rides the tunnel while batch i-1 computes; syncing on
+                # the PREVIOUS loss bounds in-flight boundary buffers to two
+                # (an unthrottled loop would queue all 64 x 33 MB uploads into
+                # HBM next to the 7B params)
+                _force_done(prev_sync)
+            prev_sync = loss_out
         # block_until_ready can LIE through the axon tunnel (returns before
         # the queued work drains, CLAUDE.md) — fetch a real element so the
         # stage boundary is honest and the next stage isn't billed for the
@@ -1283,15 +1329,7 @@ class GraspEngine:
         devices have host RAM)."""
         if jax.default_backend() != "tpu":
             return 0
-        limit = None
-        try:
-            stats = jax.devices()[0].memory_stats()
-            if stats:
-                limit = stats.get("bytes_limit")
-        except Exception:  # pragma: no cover - backend-dependent
-            pass
-        if not limit:
-            limit = float(os.environ.get("GRASP_HBM_GIB", 15.75)) * 2**30
+        limit = self._hbm_limit_bytes()
         params_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params))
         # accumulators coexist with the sweep graph's working set (~1.0 GiB
@@ -1309,6 +1347,17 @@ class GraspEngine:
         if budget >= per_layer * len(layer_names):
             return 0
         return max(1, int(budget // per_layer))
+
+    def _hbm_limit_bytes(self) -> float:
+        """Per-chip HBM capacity: backend-reported when available, else the
+        GRASP_HBM_GIB override (default 15.75 — axon's memory_stats is None)."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats and stats.get("bytes_limit"):
+                return float(stats["bytes_limit"])
+        except Exception:  # pragma: no cover - backend-dependent
+            pass
+        return float(os.environ.get("GRASP_HBM_GIB", 15.75)) * 2**30
 
     def _precompute_gram_bases(self, names: List[str]) -> Dict[str, tuple]:
         """Stacked gram eighs for every target BEFORE any sweep; bases parked
@@ -1328,12 +1377,22 @@ class GraspEngine:
         from grasp_tpu.ops.svd import ufree_eigh_multi, ufree_gram
 
         t0 = time.time()
+        hbm_free = None
+        if jax.default_backend() == "tpu":
+            # everything resident right now (the full model at 7B: 12.55 GiB)
+            # stays resident under the arena; 1.3 GiB slack covers axon
+            # dispatch-copy quirks + allocator fragmentation (the r4 attempt-3
+            # OOM at ~14.6 GiB computed demand calibrates it)
+            live = sum(
+                x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params))
+            hbm_free = self._hbm_limit_bytes() - live - 1.3 * 2**30
         groups = _gram_select_groups(
             names,
             lambda n: self._get_proj(n)["kernel"].shape,
             # group by shape only: the eigh doesn't depend on the ratio, and
             # a constant key lets disparate-ratio modules share stacks
             lambda n: 0.0,
+            hbm_free=hbm_free,
         )
         pending: List[Tuple[str, jax.Array, jax.Array]] = []
         out: Dict[str, tuple] = {}
@@ -1345,6 +1404,11 @@ class GraspEngine:
 
         for g_names, _, _, stacked in groups:
             grams = [ufree_gram(self._get_proj(n)["kernel"]) for n in g_names]
+            # previous stack's async D2H gets the gram-build time to fly, then
+            # must be OFF-DEVICE before this stack's arena spins up — keeping
+            # the pending fp32 bases resident under the eigh is what tipped
+            # the r4 7B precompute over the HBM ceiling
+            _drain()
             if len(grams) > 1:
                 s_list, b_list = map(list, ufree_eigh_multi(*grams))
             else:
@@ -1354,7 +1418,6 @@ class GraspEngine:
                 s_list, b_list = [s1], [b1]
             del grams
             _force_done(s_list[-1])
-            _drain()  # previous stack's async copies have landed by now
             for i, n in enumerate(g_names):
                 try:  # overlap D2H with the next stack's eigh
                     s_list[i].copy_to_host_async()
