@@ -281,6 +281,14 @@ def main():
         with open(rec_rec) as f:
             details["recover_7b_recorded"] = json.load(f)
 
+    # ---- MoE family: recorded by scripts/bench_moe.py (mixtral-mini
+    # compression e2e through the stacked-expert gram selection + paged
+    # decode of the compressed model) ----
+    moe_rec = os.path.join(repo, "BENCH_MOE.json")
+    if os.path.exists(moe_rec):
+        with open(moe_rec) as f:
+            details["moe_recorded"] = json.load(f)
+
     # ---- serving admission features: recorded by scripts/bench_prefix.py
     # (prefix-cache hit vs cold admission; chunked-prefill head-of-line
     # latency bound) ----

@@ -479,38 +479,51 @@ class GraspEngine:
             assert calibration_batches is not None, (
                 "please provide hidden_states or calibration batches to compute block influence"
             )
-            key = ("bi", angular, num_prune_layers, self.plan)
-            if key not in self._bi_fns:
+            if self._fused_sweep_ok(calibration_batches):
+                # ONE dispatch for the whole BI sweep: scan over the stacked
+                # batches, per-batch scores out as stacked ys. The per-batch
+                # loop paid a dispatch tax + a synchronous device_get round-
+                # trip per batch (~1.5 s/batch of the 7B bench's 97.7 s
+                # bi_sweep against ~0.07 s of chip time). Scores come back
+                # per batch and accumulate on host row by row, fp64 — the
+                # identical order and dtype as the loop.
+                scores_nb = self._fused_bi_scores(
+                    calibration_batches, num_prune_layers, angular)
+                for row in scores_nb:
+                    importances[: len(row)] += row
+            else:
+                key = ("bi", angular, num_prune_layers, self.plan)
+                if key not in self._bi_fns:
 
-                @partial(jax.jit, static_argnames=("plan",))
-                def bi_step(params, input_ids, attention_mask, *, plan):
-                    out = forward(
-                        params,
-                        input_ids,
-                        config=self.config,
-                        plan=plan,
-                        attention_mask=attention_mask,
-                        output_hidden_states=True,
-                        remat=self.remat,
-                        scan_layers=self.scan_fwd,
+                    @partial(jax.jit, static_argnames=("plan",))
+                    def bi_step(params, input_ids, attention_mask, *, plan):
+                        out = forward(
+                            params,
+                            input_ids,
+                            config=self.config,
+                            plan=plan,
+                            attention_mask=attention_mask,
+                            output_hidden_states=True,
+                            remat=self.remat,
+                            scan_layers=self.scan_fwd,
+                        )
+                        return bi_from_hiddens(out["hidden_states"], num_prune_layers, angular)
+
+                    self._bi_fns[key] = bi_step
+                bi_step = self._bi_fns[key]
+                primed = False
+                for batch in calibration_batches:
+                    batch = self._place_batch(batch)
+                    if not primed:
+                        t_c = time.time()
+                        _prime(bi_step, self.params, batch["input_ids"],
+                               batch.get("attention_mask"), plan=self.plan)
+                        primed = True
+                        self._stage("bi_compile", time.time() - t_c)
+                    scores = np.asarray(
+                        bi_step(self.params, batch["input_ids"], batch.get("attention_mask"), plan=self.plan)
                     )
-                    return bi_from_hiddens(out["hidden_states"], num_prune_layers, angular)
-
-                self._bi_fns[key] = bi_step
-            bi_step = self._bi_fns[key]
-            primed = False
-            for batch in calibration_batches:
-                batch = self._place_batch(batch)
-                if not primed:
-                    t_c = time.time()
-                    _prime(bi_step, self.params, batch["input_ids"],
-                           batch.get("attention_mask"), plan=self.plan)
-                    primed = True
-                    self._stage("bi_compile", time.time() - t_c)
-                scores = np.asarray(
-                    bi_step(self.params, batch["input_ids"], batch.get("attention_mask"), plan=self.plan)
-                )
-                importances[: len(scores)] += scores
+                    importances[: len(scores)] += scores
 
         # scores exist for indices [0, L+1-n); the reference keeps a fixed-size
         # list with zeros beyond that (modeling_grasp.py:146)
@@ -519,6 +532,42 @@ class GraspEngine:
         self.redundant_layers = layers_to_remove
         self._stage("bi_sweep", time.time() - t_stage)
         return self.layer_importances, layers_to_remove
+
+    def _fused_bi_scores(self, batches, num_prune_layers: int, angular: bool) -> np.ndarray:
+        """[N, L'] per-batch BI scores from one scanned dispatch (see
+        compute_bi's fused branch)."""
+        config, remat, scan_fwd = self.config, self.remat, self.scan_fwd
+        key = ("bif", angular, num_prune_layers, self.plan,
+               batches[0].get("attention_mask") is not None)
+        if key not in self._bi_fns:
+
+            @partial(jax.jit, static_argnames=("plan", "with_mask"))
+            def bi_sweep_fn(params, ids, mask, *, plan, with_mask):
+                def body(_, xs):
+                    input_ids = xs[0]
+                    attention_mask = xs[1] if with_mask else None
+                    out = forward(
+                        params, input_ids, config=config, plan=plan,
+                        attention_mask=attention_mask,
+                        output_hidden_states=True, remat=remat,
+                        scan_layers=scan_fwd,
+                    )
+                    return 0, bi_from_hiddens(
+                        out["hidden_states"], num_prune_layers, angular)
+                xs = (ids, mask) if with_mask else (ids,)
+                _, scores = jax.lax.scan(body, 0, xs)
+                return scores
+
+            self._bi_fns[key] = bi_sweep_fn
+        fn = self._bi_fns[key]
+        ids, mask, _ = self._fused_batch_stacks(batches)
+        t_c = time.time()
+        _prime(fn, self.params, ids, mask, plan=self.plan,
+               with_mask=mask is not None)
+        self._stage("bi_compile", time.time() - t_c)
+        return np.asarray(jax.device_get(
+            fn(self.params, ids, mask, plan=self.plan,
+               with_mask=mask is not None)))
 
     def remove_layers(
         self,
@@ -719,12 +768,16 @@ class GraspEngine:
     # bit-for-bit on selected indices against the reference path in
     # tests/test_engine_golden.py.
 
-    def _make_dense_grad_fn(
+    def _kernel_swapped_loss(
         self,
         plan: ModelPlan,
         split_layers: Tuple[int, ...] = (),
         start_layer: int = 0,
     ):
+        """loss(k_dict, params, hidden_in, input_ids, attention_mask, labels)
+        with the named dense kernels swapped in from k_dict — the shared
+        differentiand of the per-batch grad fn and the fused one-dispatch
+        sweep."""
         config, remat = self.config, self.remat
         scan_g = _scan_in_grads() and self.scan_fwd
 
@@ -759,6 +812,17 @@ class GraspEngine:
             )["logits"]
             return hf_causal_lm_loss(logits, labels)
 
+        return loss_from_kernels
+
+    def _make_dense_grad_fn(
+        self,
+        plan: ModelPlan,
+        split_layers: Tuple[int, ...] = (),
+        start_layer: int = 0,
+    ):
+        loss_from_kernels = self._kernel_swapped_loss(
+            plan, split_layers, start_layer)
+
         # fused accumulation: grads sum into a DONATED running total inside
         # the graph, so the sweep's steady state is ONE accumulator copy —
         # the eager `totals[n] + g` pattern held totals + the fresh grads +
@@ -772,6 +836,115 @@ class GraspEngine:
             return loss, jax.tree.map(jnp.add, totals, grads)
 
         return jax.jit(step, donate_argnums=(6,))
+
+    # -- fused one-dispatch sweeps: a lax.scan over the stacked calibration
+    # batches replaces the per-batch dispatch loop. On the axon runtime every
+    # dispatched call pays ~35-40 ms of tunnel tax and every host sync a full
+    # round-trip — at the 7B paper config the per-batch loop spent ~0.49 s/
+    # batch against ~0.09 s of chip time (BENCH_7B.json r4: grad_sweep 443 s
+    # for ~80 s of compute). One dispatch per round makes the sweep cost pure
+    # chip time. Accumulation order (sequential adds, same dtypes) is
+    # identical to the loop, so sums are bit-exact
+    # (tests/test_fused_sweep.py). GRASP_FUSED_SWEEP=0 restores the loop.
+
+    def _fused_sweep_ok(self, batches) -> bool:
+        """The fused path needs an indexable, shape-uniform batch list and a
+        single-device engine (mesh runs keep the loop: stacking would need
+        per-axis shardings and the dp sweep already divides the work)."""
+        if os.environ.get("GRASP_FUSED_SWEEP") == "0":
+            return False
+        if self.mesh is not None:
+            return False
+        if not isinstance(batches, (list, tuple)) or len(batches) < 2:
+            return False
+        b0 = batches[0]
+        if not isinstance(b0, dict) or "input_ids" not in b0 or "labels" not in b0:
+            return False
+        ids0, lab0 = jnp.shape(b0["input_ids"]), jnp.shape(b0["labels"])
+        m0 = b0.get("attention_mask")
+        for b in batches[1:]:
+            if jnp.shape(b["input_ids"]) != ids0 or jnp.shape(b["labels"]) != lab0:
+                return False
+            m = b.get("attention_mask")
+            if (m is None) != (m0 is None):
+                return False
+            if m is not None and jnp.shape(m) != jnp.shape(m0):
+                return False
+        return True
+
+    def _fused_batch_stacks(self, batches):
+        """[N, ...] device stacks of the calibration batches, built once per
+        batch list (host np.stack -> ONE device_put per field: an eager
+        jnp.stack of device arrays leaks persistent dispatch copies on axon,
+        and N uploads would pay N tunnel latencies)."""
+        key = (id(batches), len(batches), jnp.shape(batches[0]["input_ids"]))
+        cached = getattr(self, "_fused_stack_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        def stack(field):
+            vals = [b.get(field) for b in batches]
+            if vals[0] is None:
+                return None
+            return jnp.asarray(
+                np.stack([np.asarray(jax.device_get(v)) for v in vals]))
+
+        stacks = (stack("input_ids"), stack("attention_mask"), stack("labels"))
+        self._fused_stack_cache = (key, stacks)
+        return stacks
+
+    def _make_fused_sweep_fn(self, plan: ModelPlan, split_layers, with_mask: bool):
+        """ONE-dispatch calibration sweep: scan over the stacked batches with
+        the grad accumulators as carry (donated -> aliased in place, same
+        single-copy steady state as the per-batch fn). The body is monolithic
+        (start_layer=0): the prefix layers must be recomputed inside the scan
+        body — parking 64 boundary activations (~2.1 GiB at 7B) next to the
+        params does not fit, and they are not differentiated either way (the
+        loss depends on k_dict only through the suffix, XLA DCEs the prefix
+        backward)."""
+        loss_from_kernels = self._kernel_swapped_loss(plan, split_layers, 0)
+        grad = jax.value_and_grad(loss_from_kernels)
+
+        if with_mask:
+            def sweep(k_dict, params, ids, mask, labels, totals):
+                def body(carry, xs):
+                    loss, g = grad(k_dict, params, None, xs[0], xs[1], xs[2])
+                    return jax.tree.map(jnp.add, carry, g), loss
+                totals, losses = jax.lax.scan(body, totals, (ids, mask, labels))
+                return losses, totals
+            return jax.jit(sweep, donate_argnums=(5,))
+
+        def sweep(k_dict, params, ids, labels, totals):
+            def body(carry, xs):
+                loss, g = grad(k_dict, params, None, xs[0], None, xs[1])
+                return jax.tree.map(jnp.add, carry, g), loss
+            totals, losses = jax.lax.scan(body, totals, (ids, labels))
+            return losses, totals
+        return jax.jit(sweep, donate_argnums=(4,))
+
+    def _fused_dense_sweep(self, split, k_dict, batches):
+        """get_dense_gradients via the fused one-dispatch sweep."""
+        ids, mask, labels = self._fused_batch_stacks(batches)
+        with_mask = mask is not None
+        key = ("fsweep", self.plan, split, with_mask)
+        if key not in self._grad_fns:
+            self._grad_fns[key] = self._make_fused_sweep_fn(
+                self.plan, split, with_mask)
+        fn = self._grad_fns[key]
+        totals = {n: jnp.zeros(k.shape, k.dtype) for n, k in k_dict.items()}
+        args = ((k_dict, self.params, ids, mask, labels, totals) if with_mask
+                else (k_dict, self.params, ids, labels, totals))
+        t0 = time.time()
+        _prime(fn, *args)
+        self._stage("grad_compile", time.time() - t0)
+        t0 = time.time()
+        losses, totals = fn(*args)
+        _force_done(totals)
+        self._stage("grad_sweep", time.time() - t0)
+        logger.info(
+            "fused gradient sweep: %d batches in one dispatch, mean loss %.4f",
+            len(batches), float(np.mean(np.asarray(jax.device_get(losses)))))
+        return totals
 
     # -- prefix split (cfg.prefix): sequential rounds never modify layers
     # below min(redundant) — run them once per batch (or once per run with
@@ -982,6 +1155,9 @@ class GraspEngine:
             if "kernel" not in self._get_proj(n):
                 raise ValueError(f"{n} is not a dense projection")
         split = tuple(sorted({parse_module_name(n)[0] for n in names}))
+        if self._fused_sweep_ok(calibration_batches):
+            k_dict = {n: self._get_proj(n)["kernel"] for n in names}
+            return self._fused_dense_sweep(split, k_dict, calibration_batches)
         sl = self._prefix_layer if all(li >= self._prefix_layer for li in split) else 0
         key = ("dgrad", self.plan, split, sl)
         if key not in self._grad_fns:
@@ -1082,8 +1258,16 @@ class GraspEngine:
         sim = jax.tree.map(as_sds, self.params)
         plan = self.plan
         sl = self._prefix_layer
+        fused = self._fused_sweep_ok(calibration_batches)
+        if fused:
+            # the sweep will take the fused one-dispatch path — prime THOSE
+            # graphs (scan over the [N, ...] stacks, monolithic body)
+            n_b = len(calibration_batches)
+            stk = lambda s: sds((n_b,) + tuple(s.shape), s.dtype)  # noqa: E731
+            ids_stk, labels_stk = stk(ids_sds), stk(labels_sds)
+            mask_stk = stk(mask_sds) if mask_sds is not None else None
         h0_sds = None
-        if sl and all(min(split) >= sl for split, _ in units):
+        if not fused and sl and all(min(split) >= sl for split, _ in units):
             try:
                 h0_sds = jax.eval_shape(self._get_prefix_fn(),
                                         self._prefix_params(sim), ids_sds,
@@ -1095,11 +1279,6 @@ class GraspEngine:
         tasks: List[Tuple[str, Any]] = []
         seen_primes = set()
         for split, names in units:
-            this_sl = sl if min(split) >= sl else 0
-            key = ("dgrad", plan, split, this_sl)
-            if key not in self._grad_fns:
-                self._grad_fns[key] = self._make_dense_grad_fn(plan, split, this_sl)
-            gf = self._grad_fns[key]
             k_sds = {}
             for n in names:
                 li, group, proj = parse_module_name(n)
@@ -1107,8 +1286,24 @@ class GraspEngine:
                     k_sds[n] = sim["layers"][li]["moe"]["experts"][proj]
                 else:
                     k_sds[n] = sim["layers"][li][group][proj]["kernel"]
-            args = (k_sds, sim, h0_sds if this_sl else None, ids_sds, mask_sds,
-                    labels_sds, k_sds)  # totals: same shapes/dtypes as k_dict
+            if fused:
+                with_mask = mask_stk is not None
+                key = ("fsweep", plan, split, with_mask)
+                if key not in self._grad_fns:
+                    self._grad_fns[key] = self._make_fused_sweep_fn(
+                        plan, split, with_mask)
+                gf = self._grad_fns[key]
+                args = ((k_sds, sim, ids_stk, mask_stk, labels_stk, k_sds)
+                        if with_mask
+                        else (k_sds, sim, ids_stk, labels_stk, k_sds))
+            else:
+                this_sl = sl if min(split) >= sl else 0
+                key = ("dgrad", plan, split, this_sl)
+                if key not in self._grad_fns:
+                    self._grad_fns[key] = self._make_dense_grad_fn(plan, split, this_sl)
+                gf = self._grad_fns[key]
+                args = (k_sds, sim, h0_sds if this_sl else None, ids_sds,
+                        mask_sds, labels_sds, k_sds)  # totals: k_dict shapes
             tasks.append((f"dgrad L{'.'.join(map(str, split))}",
                           partial(_prime_strict, gf, *args)))
 

@@ -43,6 +43,14 @@ logging.basicConfig(level=logging.INFO, stream=sys.stderr,
 
 def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
                  out_path=None, seq_len=512):
+    import grasp_tpu
+
+    # Persistent compile cache ($GRASP_COMPILE_CACHE opt-in): this run's 14+
+    # suffix-grad graphs each pay a fresh remote compile through the tunnel
+    # (erratic, occasionally minutes/shape) — caching them makes reruns and
+    # the parallel-vs-sequential pair comparable instead of compile-bound.
+    grasp_tpu.enable_compilation_cache()
+
     from grasp_tpu.configs import GraspConfig, ModelConfig
     from grasp_tpu.core.engine import GraspEngine, module_name
     from grasp_tpu.models.llama import init_params
@@ -192,21 +200,38 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     # real pod host does not pay; it is left inside the sweep numbers here,
     # making the projection conservative.
     st = summary["stage_times_s"]
-    compiles = st.get("grad_first_batch", 0.0)  # compile + 1 batch per round
+    # compile + 1 batch per round (loop path) / AOT prime per round (fused)
+    compiles = st.get("grad_first_batch", 0.0) + st.get("grad_compile", 0.0)
     sweep_total = st.get("grad_sweep", 0.0) + st.get("bi_sweep", 0.0)
     select = st.get("select_compile", 0.0)
     other = max(wall - sweep_total - select, 0.0)
     # Extrapolation: compiles stay serial (one compile service). Sweeps dp-
     # shard over 8 chips. The select/eigh phase fans its per-matrix work
     # (3-4 independent eighs per round) across chips — capped at the round's
-    # matrix count, so /3.5 not /8.
-    proj8 = compiles + (sweep_total - compiles) / 8.0 + select / 3.5 + other / 8.0
+    # matrix count. Divisors come from scripts/measure_v5e8_division.py
+    # (V5E8_DIVISION.json: GSPMD per-partition cost_analysis of the exact
+    # sweep executable + realized eigh-group fan-out over the paper plan)
+    # when that artifact exists; the original arithmetic (/8, /3.5) is the
+    # fallback and is labeled as such.
+    sweep_div, sel_div, div_src = 8.0, 3.5, "assumed (no V5E8_DIVISION.json)"
+    div_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "V5E8_DIVISION.json")
+    if os.path.exists(div_path):
+        with open(div_path) as f:
+            dv = json.load(f)
+        sweep_div = float(dv.get("sweep_flops_division", sweep_div))
+        sel_div = float(dv.get("selection_division_realized", sel_div))
+        div_src = f"measured (V5E8_DIVISION.json, {dv.get('date', '?')})"
+    proj8 = (compiles + (sweep_total - compiles) / sweep_div
+             + select / sel_div + other / sweep_div)
     result["v5e8_projection_s"] = round(proj8, 1)
     result["v5e8_projection_note"] = (
-        "compiles kept serial; sweeps+misc divided by 8 (dp sharding, parity "
-        "pinned by tests/test_parallel_engine.py); per-round select/eigh "
-        "divided by 3.5 (per-matrix fan-out capped by matrices per round); "
-        "per-dispatch tunnel tax left in (conservative)"
+        f"compiles kept serial; sweeps+misc divided by {sweep_div:g} "
+        f"(dp sharding, parity pinned by tests/test_parallel_engine.py); "
+        f"per-round select/eigh divided by {sel_div:g} (per-matrix fan-out "
+        f"capped by matrices per round); divisors {div_src}; per-dispatch "
+        f"tunnel tax left in (conservative)"
     )
 
     fname = "BENCH_7B.json" if mode == "sequential" else "BENCH_7B_PARALLEL.json"

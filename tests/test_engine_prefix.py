@@ -19,6 +19,14 @@ from grasp_tpu.core.engine import GraspEngine
 from grasp_tpu.models import init_params
 
 
+@pytest.fixture(autouse=True)
+def _loop_sweep(monkeypatch):
+    """This module pins the per-batch LOOP path's prefix machinery; the fused
+    one-dispatch sweep (tests/test_fused_sweep.py) recomputes the prefix
+    inside its scan body and would bypass everything under test here."""
+    monkeypatch.setenv("GRASP_FUSED_SWEEP", "0")
+
+
 @pytest.fixture(scope="module")
 def tiny():
     config = ModelConfig.tiny(num_hidden_layers=6, hidden_size=64, num_attention_heads=4,
