@@ -479,6 +479,7 @@ class GraspEngine:
             assert calibration_batches is not None, (
                 "please provide hidden_states or calibration batches to compute block influence"
             )
+            scores_nb = None
             if self._fused_sweep_ok(calibration_batches):
                 # ONE dispatch for the whole BI sweep: scan over the stacked
                 # batches, per-batch scores out as stacked ys. The per-batch
@@ -487,8 +488,13 @@ class GraspEngine:
                 # bi_sweep against ~0.07 s of chip time). Scores come back
                 # per batch and accumulate on host row by row, fp64 — the
                 # identical order and dtype as the loop.
-                scores_nb = self._fused_bi_scores(
-                    calibration_batches, num_prune_layers, angular)
+                try:
+                    scores_nb = self._fused_bi_scores(
+                        calibration_batches, num_prune_layers, angular)
+                except Exception as e:  # pragma: no cover - compiler-dependent
+                    logger.warning("fused BI failed (%s: %s) — falling back "
+                                   "to the per-batch loop", type(e).__name__, e)
+            if scores_nb is not None:
                 for row in scores_nb:
                     importances[: len(row)] += row
             else:
@@ -1157,7 +1163,14 @@ class GraspEngine:
         split = tuple(sorted({parse_module_name(n)[0] for n in names}))
         if self._fused_sweep_ok(calibration_batches):
             k_dict = {n: self._get_proj(n)["kernel"] for n in names}
-            return self._fused_dense_sweep(split, k_dict, calibration_batches)
+            try:
+                return self._fused_dense_sweep(split, k_dict, calibration_batches)
+            except Exception as e:  # pragma: no cover - compiler-dependent
+                # the axon remote compiler is known to 500 on some large scan
+                # graphs — the per-batch loop below computes the identical
+                # sums, just slower
+                logger.warning("fused sweep failed (%s: %s) — falling back "
+                               "to the per-batch loop", type(e).__name__, e)
         sl = self._prefix_layer if all(li >= self._prefix_layer for li in split) else 0
         key = ("dgrad", self.plan, split, sl)
         if key not in self._grad_fns:
