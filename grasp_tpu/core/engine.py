@@ -2333,6 +2333,29 @@ class GraspEngine:
                     ckey = ("chunk", ".".join(str(lid) for lid, _ in chunk))
                     names = [n for _, nn in chunk for n in nn]
                     if bases is not None:
+                        # kick a bounded window of this chunk's basis uploads
+                        # NOW (async device_put): ~67 MB fp32 per module rides
+                        # the tunnel while the chunk's sweep occupies the
+                        # chip, so selection starts with resident bases
+                        # instead of paying ~1.4 s/module of H2D on the
+                        # critical path (sel_importance was 108.9 s of the
+                        # 612.6 s r4 parallel run). BYTE-BOUNDED: a full
+                        # 2-layer chunk's bases (~0.94 GiB) next to the sweep
+                        # peak (13.41 GiB measured) would graze the ~14.6 GiB
+                        # effective ceiling — default window 0.4 GiB,
+                        # GRASP_BASES_PREFETCH_GB overrides, 0 disables.
+                        pf_budget = float(os.environ.get(
+                            "GRASP_BASES_PREFETCH_GB", 0.4)) * 2**30
+                        for n in names:
+                            if pf_budget <= 0:
+                                break
+                            if n in bases and not isinstance(
+                                    bases[n][0], jax.Array):
+                                s_np, b_np = bases[n]
+                                pf_budget -= s_np.nbytes + b_np.nbytes
+                                bases[n] = (
+                                    jax.device_put(jnp.asarray(s_np)),
+                                    jax.device_put(jnp.asarray(b_np)))
                         grads = self.get_dense_gradients(names, calibration_batches)
                         self._select_compile_from_bases(names, grads, bases, cfg)
                     else:
