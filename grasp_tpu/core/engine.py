@@ -928,7 +928,7 @@ class GraspEngine:
             return losses, totals
         return jax.jit(sweep, donate_argnums=(4,))
 
-    def _fused_dense_sweep(self, split, k_dict, batches):
+    def _fused_dense_sweep(self, split, k_dict, batches, after_dispatch=None):
         """get_dense_gradients via the fused one-dispatch sweep."""
         ids, mask, labels = self._fused_batch_stacks(batches)
         with_mask = mask is not None
@@ -945,6 +945,8 @@ class GraspEngine:
         self._stage("grad_compile", time.time() - t0)
         t0 = time.time()
         losses, totals = fn(*args)
+        if after_dispatch is not None:
+            after_dispatch()  # sweep in flight: overlap transfers with it
         _force_done(totals)
         self._stage("grad_sweep", time.time() - t0)
         logger.info(
@@ -1154,9 +1156,16 @@ class GraspEngine:
         return "recompute"
 
     def get_dense_gradients(
-        self, names: List[str], calibration_batches: Iterable[Batch]
+        self, names: List[str], calibration_batches: Iterable[Batch],
+        after_dispatch=None,
     ) -> Dict[str, jax.Array]:
-        """Sum over batches of dL/d(kernel) for the named dense projections."""
+        """Sum over batches of dL/d(kernel) for the named dense projections.
+
+        after_dispatch: optional callable invoked once the sweep is IN FLIGHT
+        on the device (fused path: right after the one dispatch; loop path:
+        after the first batch) — the hook for queueing transfers that should
+        ride the tunnel while the chip computes (issuing them *before* the
+        sweep would delay the sweep's own dispatch behind them)."""
         for n in names:
             if "kernel" not in self._get_proj(n):
                 raise ValueError(f"{n} is not a dense projection")
@@ -1164,7 +1173,8 @@ class GraspEngine:
         if self._fused_sweep_ok(calibration_batches):
             k_dict = {n: self._get_proj(n)["kernel"] for n in names}
             try:
-                return self._fused_dense_sweep(split, k_dict, calibration_batches)
+                return self._fused_dense_sweep(split, k_dict, calibration_batches,
+                                               after_dispatch)
             except Exception as e:  # pragma: no cover - compiler-dependent
                 # the axon remote compiler is known to 500 on some large scan
                 # graphs — the per-batch loop below computes the identical
@@ -1203,6 +1213,8 @@ class GraspEngine:
                 _force_done(totals)
                 self._stage("grad_first_batch", time.time() - t_stage)
                 first_batch = False
+                if after_dispatch is not None:
+                    after_dispatch()  # sweep under way: overlap transfers
             elif prev_sync is not None:
                 # one-deep pipeline: batch i's prefix upload (issued above,
                 # async) rides the tunnel while batch i-1 computes; syncing on
@@ -2333,30 +2345,36 @@ class GraspEngine:
                     ckey = ("chunk", ".".join(str(lid) for lid, _ in chunk))
                     names = [n for _, nn in chunk for n in nn]
                     if bases is not None:
-                        # kick a bounded window of this chunk's basis uploads
-                        # NOW (async device_put): ~67 MB fp32 per module rides
-                        # the tunnel while the chunk's sweep occupies the
-                        # chip, so selection starts with resident bases
-                        # instead of paying ~1.4 s/module of H2D on the
-                        # critical path (sel_importance was 108.9 s of the
-                        # 612.6 s r4 parallel run). BYTE-BOUNDED: a full
-                        # 2-layer chunk's bases (~0.94 GiB) next to the sweep
-                        # peak (13.41 GiB measured) would graze the ~14.6 GiB
-                        # effective ceiling — default window 0.4 GiB,
-                        # GRASP_BASES_PREFETCH_GB overrides, 0 disables.
-                        pf_budget = float(os.environ.get(
-                            "GRASP_BASES_PREFETCH_GB", 0.4)) * 2**30
-                        for n in names:
-                            if pf_budget <= 0:
-                                break
-                            if n in bases and not isinstance(
-                                    bases[n][0], jax.Array):
-                                s_np, b_np = bases[n]
-                                pf_budget -= s_np.nbytes + b_np.nbytes
-                                bases[n] = (
-                                    jax.device_put(jnp.asarray(s_np)),
-                                    jax.device_put(jnp.asarray(b_np)))
-                        grads = self.get_dense_gradients(names, calibration_batches)
+                        # upload a bounded window of this chunk's bases WHILE
+                        # its sweep is in flight (~67 MB fp32 per module, so
+                        # selection starts with resident bases instead of
+                        # paying ~1.4 s/module of H2D on the critical path —
+                        # sel_importance was 108.9 s of the 612.6 s r4
+                        # parallel run). Issued via after_dispatch: queued
+                        # BEFORE the sweep they delay the sweep's own
+                        # dispatch behind ~1 GiB of transfers (measured:
+                        # grad_sweep 25 s/chunk vs ~10 s clean). BYTE-
+                        # BOUNDED: a full 2-layer chunk's bases (~0.94 GiB)
+                        # next to the sweep peak (13.41 GiB measured) would
+                        # graze the ~14.6 GiB effective ceiling — default
+                        # window 0.4 GiB, GRASP_BASES_PREFETCH_GB overrides,
+                        # 0 disables.
+                        def _prefetch_bases(names=names):
+                            pf_budget = float(os.environ.get(
+                                "GRASP_BASES_PREFETCH_GB", 0.4)) * 2**30
+                            for n in names:
+                                if pf_budget <= 0:
+                                    break
+                                if n in bases and not isinstance(
+                                        bases[n][0], jax.Array):
+                                    s_np, b_np = bases[n]
+                                    pf_budget -= s_np.nbytes + b_np.nbytes
+                                    bases[n] = (
+                                        jax.device_put(jnp.asarray(s_np)),
+                                        jax.device_put(jnp.asarray(b_np)))
+                        grads = self.get_dense_gradients(
+                            names, calibration_batches,
+                            after_dispatch=_prefetch_bases)
                         self._select_compile_from_bases(names, grads, bases, cfg)
                     else:
                         svd_out, grads = self._svd_overlapping_grads(
