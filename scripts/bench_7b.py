@@ -148,6 +148,11 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     wall = time.time() - t0
 
     result["e2e_wall_s"] = round(wall, 1)
+    # tunnel context: the gram-device pipeline moves ~6.6 GB of fp32 bases
+    # host<->device; the tunnel's measured rate (25-75 MB/s observed across
+    # runs) swings those stages by minutes run to run
+    if getattr(engine, "_h2d_bw", None):
+        result["h2d_mb_s_measured"] = round(engine._h2d_bw / 1e6, 1)
     result["stage_times_s"] = summary["stage_times_s"]
     result["stage_counts"] = dict(engine.stage_counts)
     result["redundant_layers"] = summary["redundant_layers"]
