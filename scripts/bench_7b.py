@@ -209,6 +209,10 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
     compiles = st.get("grad_first_batch", 0.0) + st.get("grad_compile", 0.0)
     sweep_total = st.get("grad_sweep", 0.0) + st.get("bi_sweep", 0.0)
     select = st.get("select_compile", 0.0)
+    if mode == "parallel":
+        # the precompute-bases eigh phase runs standalone (before any sweep)
+        # in parallel mode — it belongs to selection, not "other"
+        select += st.get("sel_eigh", 0.0)
     other = max(wall - sweep_total - select, 0.0)
     # Extrapolation: compiles stay serial (one compile service). Sweeps dp-
     # shard over 8 chips. The select/eigh phase fans its per-matrix work
@@ -226,7 +230,10 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
         with open(div_path) as f:
             dv = json.load(f)
         sweep_div = float(dv.get("sweep_flops_division", sweep_div))
-        sel_div = float(dv.get("selection_division_realized", sel_div))
+        sel_key = ("selection_division_parallel" if mode == "parallel"
+                   else "selection_division_realized")
+        sel_div = float(dv.get(sel_key, dv.get("selection_division_realized",
+                                               sel_div)))
         div_src = f"measured (V5E8_DIVISION.json, {dv.get('date', '?')})"
     proj8 = (compiles + (sweep_total - compiles) / sweep_div
              + select / sel_div + other / sweep_div)

@@ -161,6 +161,31 @@ def main():
         "division over the paper plan's 14 rounds — compare against the "
         "projection's /3.5")
 
+    # parallel fast path: ALL 49 modules' grams form shape groups at once
+    # (every 7B gram is 4096^2 — min-dim side), so the eigh stacks shard
+    # across the 8 chips in ceil(width/8) waves
+    all_names = [module_name(lid, p)
+                 for lid in range(cfg7.num_hidden_layers - 1,
+                                  cfg7.num_hidden_layers - 8, -1)
+                 for p in shapes]
+    groups_par = _gram_select_groups(
+        all_names, lambda n: shapes[n.rsplit(".", 1)[-1]], lambda n: 0.0)
+    # merge by shape (the precompute groups by shape only): count matrices
+    by_shape = {}
+    for g_names, shape, _, _ in groups_par:
+        k = tuple(sorted(shape[-2:]))
+        by_shape[k] = by_shape.get(k, 0) + len(g_names)
+    ser = fan = 0.0
+    for shp, cnt in by_shape.items():
+        unit = (min(shp) / 4096.0) ** 3
+        ser += unit * cnt
+        fan += unit * -(-cnt // 8)
+    out["selection_division_parallel"] = round(ser / fan, 2)
+    out["selection_parallel_note"] = (
+        "parallel mode precomputes every module's gram basis in one phase; "
+        "same-gram-shape matrices (all 49 are 4096^2 at 7B) shard across "
+        "the 8 chips in ceil(count/8) eigh waves")
+
     import time
 
     out["date"] = time.strftime("%Y-%m-%d")
