@@ -57,33 +57,42 @@ def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
            "prompt_len": 128, "max_new": max_new, "gamma": gamma,
            "draft": "same model, int8 weights"}
 
-    def timed(make):
-        eng = make()
+    def wave(eng):
+        """Submit one batch wave and drive it to completion on ``eng``."""
         rids = [eng.submit(p, max_new_tokens=max_new) for p in prompts]
         t0 = time.time()
         outs = eng.run()
         dt = time.time() - t0
         n_tok = sum(len(outs[r]) for r in rids)
-        return eng, outs, rids, n_tok, dt
+        return [outs[r] for r in rids], n_tok, dt
 
-    # warmup pass compiles both engines' graphs; timed pass reuses them —
-    # engines are cheap to rebuild but jit caches are global per fn factory,
-    # so rebuild per pass for clean page pools
+    # ONE engine per config: the jits live per instance, so the warmup wave
+    # must run on the same engine that is timed — a fresh engine in the timed
+    # region would recompile every prefill/decode/draft/verify graph inside
+    # the measurement (minutes/shape through the axon remote-compile tunnel)
+    # and the artifact would measure compilation. Pages free as sequences
+    # finish, so a second wave on the same engine starts from a clean pool.
+    results = {}
     for label, make in (
         ("plain", lambda: ServingEngine(params, config, plan=plan, **kw)),
         ("spec", lambda: SpeculativeServingEngine(
             params, config, q8, config, plan=plan, draft_plan=plan,
             gamma=gamma, **kw)),
     ):
-        timed(make)  # compile
-        eng, outs, rids, n_tok, dt = timed(make)
+        eng = make()
+        wave(eng)  # warmup: compiles all graphs on this engine
+        if label == "spec":
+            # acceptance_rate must cover only the measured wave
+            eng.last_stats = {"chunks": 0, "drafted": 0, "accepted": 0}
+        outs, n_tok, dt = wave(eng)
+        results[label] = outs
         out[f"{label}_tok_s_aggregate"] = round(n_tok / dt, 1)
         out[f"{label}_wall_s"] = round(dt, 2)
-        out[f"{label}_outputs"] = [outs[r] for r in rids]
         if label == "spec":
             out["acceptance_rate"] = round(eng.acceptance_rate, 3)
+        del eng
 
-    out["outputs_identical"] = out.pop("plain_outputs") == out.pop("spec_outputs")
+    out["outputs_identical"] = results["plain"] == results["spec"]
     out["speedup"] = round(out["spec_tok_s_aggregate"] / out["plain_tok_s_aggregate"], 2)
     out["date"] = time.strftime("%Y-%m-%d")
     return out
