@@ -50,6 +50,10 @@ def main():
 
     details = {"backend": jax.default_backend()}
 
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        details.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
+
     config = ModelConfig.tinyllama_1_1b()
     config = dataclasses.replace(config, dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(0), config)

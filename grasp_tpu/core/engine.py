@@ -313,6 +313,7 @@ class GraspEngine:
         self._done_rounds: set = set()   # crash-resume bookkeeping (run())
         self._resume_dir: Optional[str] = None
         self._h2d_bw: Optional[float] = None  # measured once, _h2d_bandwidth
+        self._d2h_bw: Optional[float] = None  # measured once, _d2h_bandwidth
         self._set_prefix(0, "off")
 
     def _stage(self, name: str, dt: float) -> None:
@@ -1102,6 +1103,26 @@ class GraspEngine:
             logger.info("measured h2d bandwidth: %.1f MB/s", self._h2d_bw / 2**20)
         return self._h2d_bw
 
+    def _d2h_bandwidth(self) -> float:
+        """Measured device->host bandwidth in bytes/s (one 8 MiB probe,
+        cached). NOT the mirror of _h2d_bandwidth: through this container's
+        tunnel the two directions are INDEPENDENTLY sick — measured h2d
+        389 MB/s while d2h read 1.7 MB/s in the same minute (2026-08-20),
+        which turned the parallel path's ~3.2 GB gram-basis host-parking
+        into the critical path. 8 MiB keeps the probe itself cheap when the
+        direction is sick (~5 s at 1.7 MB/s vs ~19 s for 32 MiB)."""
+        if self._d2h_bw is None:
+            probe = jax.device_put(np.zeros((8 << 20,), np.uint8))
+            warm = jax.device_put(np.zeros((1 << 20,), np.uint8))
+            np.asarray(jax.device_get(warm))  # warm the d2h path
+            del warm
+            t0 = time.time()
+            np.asarray(jax.device_get(probe))
+            self._d2h_bw = probe.nbytes / max(time.time() - t0, 1e-9)
+            del probe
+            logger.info("measured d2h bandwidth: %.1f MB/s", self._d2h_bw / 2**20)
+        return self._d2h_bw
+
     def _choose_prefix_cache(self, batches, p_min: int = 0) -> str:
         """Pick the prefix mode for prefix="auto" by where the boundary
         activations fit AND what they cost to move: on device ("cache" —
@@ -1138,8 +1159,15 @@ class GraspEngine:
                 # steady-state cost per sweep batch: re-upload (cache_host)
                 # vs prefix forward (recompute), at a conservative 40% MFU
                 batch_rows = int(batches[0]["input_ids"].shape[0])
-                upload_s = batch_rows * seq * self.config.hidden_size * itemsize \
-                    / self._h2d_bandwidth()
+                boundary_bytes = batch_rows * seq * self.config.hidden_size * itemsize
+                upload_s = boundary_bytes / self._h2d_bandwidth()
+                # cache_host also pays a ONE-TIME d2h capture of every
+                # boundary, amortized over the sweep passes that reuse it
+                # (>=4 everywhere: 4+ chunks parallel, 14 rounds sequential).
+                # The d2h direction is independently sick on this tunnel
+                # (1.7 MB/s measured against 389 MB/s h2d) — at that rate the
+                # capture alone is ~19 s/batch and recompute must win.
+                capture_s = boundary_bytes / self._d2h_bandwidth() / 4.0
                 p_prefix = sum(
                     int(np.prod(a.shape)) for lp in self.params["layers"][:p_min]
                     for a in jax.tree.leaves(lp)
@@ -1147,9 +1175,10 @@ class GraspEngine:
                 prefix_flops = 2.0 * p_prefix * batch_rows * seq
                 recompute_s = prefix_flops / (0.4 * 197e12)
                 logger.info(
-                    "prefix auto: upload %.3fs vs recompute %.3fs per batch",
-                    upload_s, recompute_s)
-                if upload_s < recompute_s:
+                    "prefix auto: upload %.3fs + amortized capture %.3fs vs "
+                    "recompute %.3fs per batch", upload_s, capture_s,
+                    recompute_s)
+                if upload_s + capture_s < recompute_s:
                     return "cache_host"
         except Exception as e:  # pragma: no cover - backend quirks
             logger.debug("prefix auto sizing failed: %s", e)
@@ -1579,6 +1608,43 @@ class GraspEngine:
             pass
         return float(os.environ.get("GRASP_HBM_GIB", 15.75)) * 2**30
 
+    def _should_park_bases(self, names: List[str]) -> bool:
+        """Park gram bases in host RAM (parallel fast path) or keep selection
+        on-device per chunk?
+
+        Parking buys arena-friendly ordering (every eigh runs before any grad
+        accumulator exists) at the price of a full basis round-trip over the
+        tunnel (~3.2 GB fp32 at 7B). The d2h leg hides behind the remaining
+        eighs and the h2d leg behind the sweeps — but ONLY if the tunnel can
+        carry it: the two directions are independently sick here (h2d
+        389 MB/s with d2h 1.7 MB/s measured in the same minute), and at
+        single-digit MB/s the parking legs dwarf everything they were meant
+        to overlap. Rule: park iff the d2h leg fits inside ~1.5x the eigh
+        phase it overlaps. GRASP_PARK_BASES=1/0 overrides.
+        """
+        env = os.environ.get("GRASP_PARK_BASES")
+        if env is not None:
+            return env != "0"
+        if jax.default_backend() != "tpu":
+            return True  # virtual CPU meshes: host RAM, transfers are memcpy
+        bases_bytes = 0.0
+        eigh_s = 0.0
+        for n in names:
+            shape = self._get_proj(n)["kernel"].shape
+            m = int(min(shape[-2:]))
+            lead = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+            bases_bytes += lead * (m * m + m) * 4
+            # ~4.4 s per 4096^2 fp32 QDWH eigh measured on this v5e; the
+            # iteration count is dim-independent so cost scales ~m^3
+            eigh_s += lead * 4.4 * (m / 4096.0) ** 3
+        d2h_s = bases_bytes / self._d2h_bandwidth()
+        park = d2h_s < 1.5 * eigh_s + 30.0
+        logger.info(
+            "bases parking: d2h leg %.0fs vs eigh phase ~%.0fs -> %s",
+            d2h_s, eigh_s, "park on host" if park else "select on device",
+        )
+        return park
+
     def _precompute_gram_bases(self, names: List[str]) -> Dict[str, tuple]:
         """Stacked gram eighs for every target BEFORE any sweep; bases parked
         in host RAM.
@@ -1721,10 +1787,24 @@ class GraspEngine:
             # per-matrix working set is ~4 gram-sized fp32 buffers — the
             # summed grads can stay on device (no host offload round-trip,
             # which cost 176 s through this container's tunnel at 7B).
+            hbm_free = None
+            if jax.default_backend() == "tpu":
+                # the chunk's unconsumed grad accumulators are resident next
+                # to the QDWH arena here (the r4 G=2-with-grads OOM) — cap
+                # eigh stacks by the MEASURED headroom, not the static budget
+                try:
+                    from grasp_tpu.perf import device_memory
+
+                    hbm_free = (self._hbm_limit_bytes()
+                                - device_memory()["bytes_in_use"]
+                                - 1.3 * 2**30)
+                except Exception:  # pragma: no cover - telemetry quirks
+                    pass
             sel_groups = _gram_select_groups(
                 names,
                 lambda n: self._get_proj(n)["kernel"].shape,
                 lambda n: self.module_ratios.get(n, cfg.compression_ratio),
+                hbm_free=hbm_free,
             )
             for g_names, _, _, stacked in sel_groups:
                 t_m = time.time()
@@ -2338,9 +2418,15 @@ class GraspEngine:
                 if self.svd_method == "gram_device" and todo:
                     # all 49 eighs run BEFORE any sweep (bases depend only on
                     # the original kernels; no grad accumulators resident
-                    # next to the QDWH arena) — see _precompute_gram_bases
-                    bases = self._precompute_gram_bases(
-                        [n for c in todo for _, nn in c for n in nn])
+                    # next to the QDWH arena) — see _precompute_gram_bases.
+                    # Parking the bases in host RAM moves ~3.2 GB over the
+                    # tunnel though, and the d2h direction has been measured
+                    # 200x sicker than h2d in the same minute — when it is,
+                    # per-chunk after-sweep selection (everything stays on
+                    # device) beats parking even at its tighter eigh arena.
+                    all_names = [n for c in todo for _, nn in c for n in nn]
+                    if self._should_park_bases(all_names):
+                        bases = self._precompute_gram_bases(all_names)
                 for chunk in todo:
                     ckey = ("chunk", ".".join(str(lid) for lid, _ in chunk))
                     names = [n for _, nn in chunk for n in nn]
@@ -2376,6 +2462,12 @@ class GraspEngine:
                             names, calibration_batches,
                             after_dispatch=_prefetch_bases)
                         self._select_compile_from_bases(names, grads, bases, cfg)
+                    elif self.svd_method == "gram_device":
+                        # parking rejected (sick d2h): per-chunk U-free
+                        # selection with grads and bases on device throughout
+                        grads = self.get_dense_gradients(
+                            names, calibration_batches)
+                        self._select_compile_after_sweep(names, grads, cfg)
                     else:
                         svd_out, grads = self._svd_overlapping_grads(
                             names, calibration_batches)

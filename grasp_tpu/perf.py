@@ -179,6 +179,33 @@ def reset_hbm_peak() -> None:
     _hbm_peak_bytes = 0
 
 
+def tunnel_health(probe_mib: int = 32) -> Dict[str, float]:
+    """Measure host->device transfer health for bench provenance.
+
+    This container reaches its one TPU chip through an HTTP tunnel whose
+    bandwidth swings wildly between runs (measured 73 -> 3 MB/s over four
+    hours); a wall-clock number recorded without the tunnel state alongside
+    it cannot be compared across runs. Every bench artifact should therefore
+    carry ``h2d_mb_s_measured`` — call this once near the run and merge the
+    dict into the artifact. Cheap: one warm-up + one ``probe_mib`` upload.
+    """
+    probe = np.zeros((probe_mib << 20,), np.uint8)
+    jax.block_until_ready(jax.device_put(probe[: 1 << 20]))  # warm the path
+    t0 = time.time()
+    dev = jax.device_put(probe)
+    jax.block_until_ready(dev)
+    dt = max(time.time() - t0, 1e-9)
+    out = {"h2d_mb_s_measured": round(probe.nbytes / dt / 2**20, 1)}
+    # d2h moves the gram bases / grad offloads; its health is INDEPENDENT of
+    # h2d through this tunnel (one direction has been seen sick while the
+    # other measured healthy), so record both.
+    t0 = time.time()
+    np.asarray(jax.device_get(dev))
+    out["d2h_mb_s_measured"] = round(
+        probe.nbytes / max(time.time() - t0, 1e-9) / 2**20, 1)
+    return out
+
+
 def executable_memory(compiled) -> Dict[str, int]:
     """XLA-reported memory footprint of a compiled executable.
 

@@ -111,6 +111,10 @@ def main(micro_bs=None, seq=None, steps=(2, 6), reps=3):
         "trainable_pct": round(100 * n_train / n_total, 2),
     }
 
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        out.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
+
     times = {}
     for k in steps:
         log.info("compile chain k=%d ...", k)

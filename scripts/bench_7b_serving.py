@@ -156,15 +156,20 @@ def paged_decode_slope(params, config, plan, batch=8, page_size=128,
         except Exception as e:
             log.info("slope prime failed (%s) — falling back to dispatch", e)
 
-    times = {}
+    # Interleave the reps across chain lengths and take each length's MIN:
+    # the timing floor is the estimator robust to this 1-core host's
+    # scheduler noise — a median over back-to-back reps measured a 6-step
+    # chain "faster" than a 2-step one at tiny scale (negative slope,
+    # caught by tests/test_bench_moe_smoke.py).
+    ts = {k: [] for k in ks}
     for k in ks:
         float(runs[k](params, toks0, kp, vp, tables, pos0, live))  # warm
-        ts = []
-        for _ in range(reps):
+    for _ in range(reps):
+        for k in ks:
             t0 = time.perf_counter()
             float(runs[k](params, toks0, kp, vp, tables, pos0, live))
-            ts.append(time.perf_counter() - t0)
-        times[k] = float(np.median(ts))
+            ts[k].append(time.perf_counter() - t0)
+    times = {k: float(np.min(v)) for k, v in ts.items()}
     k1, k2 = min(ks), max(ks)
     step_s = (times[k2] - times[k1]) / (k2 - k1)
     details = {f"chain_{k}_s": round(times[k], 4) for k in ks}
@@ -242,6 +247,10 @@ def main():
                  "7B serving possible."),
         "configs": {},
     }
+
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        out.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
 
     dense_plan = default_plan(config)
 

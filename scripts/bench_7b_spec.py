@@ -115,6 +115,10 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
                  "~(accepted+1) tokens/row, the plain engine 1 per token."),
     }
 
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        out.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
+
     def wave(eng):
         """Submit one batch wave and drive it to completion on ``eng``."""
         rids = [eng.submit(p, max_new_tokens=max_new) for p in prompts]

@@ -93,6 +93,10 @@ def main(tiny=None):
                    "seq_len": seq_len, "batch": batch},
     }
 
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        out.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
+
     reset_hbm_peak()
     params = init_params(jax.random.PRNGKey(0), config)
     jax.block_until_ready(params)
@@ -133,7 +137,7 @@ def main(tiny=None):
             engine.params, config, engine.plan, batch=batch,
             page_size=16 if tiny else 128,
             pages_per_seq=2, prefix_len=4 if tiny else 128,
-            ks=(2, 6) if tiny else (8, 40))
+            ks=(2, 10) if tiny else (8, 40))
         dec["decode_ms_per_step_device"] = round(step_s * 1e3, 2)
         dec["decode_tok_s_aggregate_device"] = round(agg, 1)
         dec.update(det)

@@ -49,6 +49,10 @@ def main():
            "backend": jax.default_backend(),
            "prompt_tokens": int(PAGES * PS - 1), "page_size": PS}
 
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        out.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
+
     def timed_admit(srv, prompt):
         rid = srv.submit(prompt, 2)
         t0 = time.perf_counter()

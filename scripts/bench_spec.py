@@ -57,6 +57,10 @@ def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
            "prompt_len": 128, "max_new": max_new, "gamma": gamma,
            "draft": "same model, int8 weights"}
 
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        out.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
+
     def wave(eng):
         """Submit one batch wave and drive it to completion on ``eng``."""
         rids = [eng.submit(p, max_new_tokens=max_new) for p in prompts]

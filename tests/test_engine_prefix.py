@@ -127,6 +127,41 @@ def test_parallel_precomputed_bases_match_sequential_single_round(tiny):
                 err_msg=f"mlp.{proj}")
 
 
+def test_parallel_no_parking_matches_parked(tiny, monkeypatch):
+    """GRASP_PARK_BASES=0 forces the parallel fast path's sick-d2h fallback:
+    per-chunk after-sweep U-free selection with grads and bases on device
+    (engine._should_park_bases) instead of host-parked precomputed bases.
+    Same sweeps, same eigh math — indices and factors must be BIT-identical
+    to the parked path. (On TPU the engine picks between them by MEASURED
+    d2h bandwidth: the tunnel's directions are independently sick.)"""
+    config, params = tiny
+
+    def run(park):
+        monkeypatch.setenv("GRASP_PARK_BASES", park)
+        engine = GraspEngine(jax.tree.map(jnp.array, params), config,
+                             svd_method="gram_device")
+        cfg = GraspConfig(layers_id=[5, 4], compression_ratio=0.5,
+                          metric="taylor", grad_mode="dense", sweep="parallel")
+        engine.run(_batches(config), cfg)
+        return engine
+
+    parked, onchip = run("1"), run("0")
+    assert parked.rank_dict == onchip.rank_dict
+    assert set(parked.indices_log) == set(onchip.indices_log)
+    for name in parked.indices_log:
+        np.testing.assert_array_equal(
+            parked.indices_log[name], onchip.indices_log[name], err_msg=name)
+    for li in (4, 5):
+        for group in ("self_attn", "mlp"):
+            for proj, mod in parked.params["layers"][li][group].items():
+                if "in_kernel" in mod:
+                    other = onchip.params["layers"][li][group][proj]
+                    np.testing.assert_array_equal(
+                        np.asarray(mod["in_kernel"]),
+                        np.asarray(other["in_kernel"]),
+                        err_msg=f"layer {li} {group}.{proj}")
+
+
 def test_gram_stacked_selection_matches_per_matrix(tiny, monkeypatch):
     """Same-(shape, ratio) modules of a round run ONE [G]-batched gram eigh
     (engine._select_compile_group_ufree) instead of G serial ones. Batched
