@@ -40,7 +40,18 @@ def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
     from grasp_tpu.serving.paged import ServingEngine
     from grasp_tpu.serving.spec_paged import SpeculativeServingEngine
 
-    config = ModelConfig.tinyllama_1_1b()
+    tiny = bool(int(os.environ.get("GRASP_BENCH_SPEC_TINY", "0")))
+    if tiny:  # CPU smoke (tests/test_bench_spec_smoke.py): same code path,
+        # toy shapes — must never write the chip artifact.
+        config = ModelConfig.tiny()
+        max_new, batch, prompt_len = 6, 2, 8
+        kw = dict(num_pages=12, page_size=16, max_batch=batch,
+                  max_pages_per_seq=2)
+    else:
+        config = ModelConfig.tinyllama_1_1b()
+        prompt_len = 128
+        kw = dict(num_pages=64, page_size=128, max_batch=batch,
+                  max_pages_per_seq=4)
     config = dataclasses.replace(config, dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(seed), config)
     plan = default_plan(config)
@@ -48,13 +59,13 @@ def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
     jax.block_until_ready((params, q8))
 
     rng = np.random.default_rng(seed)
-    prompts = [rng.integers(1, config.vocab_size, size=128).tolist()
+    prompts = [rng.integers(1, config.vocab_size, size=prompt_len).tolist()
                for _ in range(batch)]
-    kw = dict(num_pages=64, page_size=128, max_batch=batch, max_pages_per_seq=4)
 
-    out = {"model": "tinyllama-1.1b (random init, bf16)",
+    out = {"model": "tiny smoke" if tiny
+           else "tinyllama-1.1b (random init, bf16)",
            "backend": jax.default_backend(), "batch": batch,
-           "prompt_len": 128, "max_new": max_new, "gamma": gamma,
+           "prompt_len": prompt_len, "max_new": max_new, "gamma": gamma,
            "draft": "same model, int8 weights"}
 
     if jax.default_backend() == "tpu":
@@ -96,7 +107,23 @@ def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
             out["acceptance_rate"] = round(eng.acceptance_rate, 3)
         del eng
 
+    # Greedy speculation is target-identical by construction ONLY when the
+    # verify-time logits equal decode-time logits bitwise (pinned on CPU by
+    # tests/test_spec_paged.py). On the MXU the gamma-token chunked verify
+    # forward and the one-token decode forward tile differently, so bf16
+    # accumulation order differs and near-tie argmaxes can flip — same
+    # caveat every production spec-decode stack carries. Quantify it
+    # instead of asserting a boolean: rows identical + where they diverge.
     out["outputs_identical"] = results["plain"] == results["spec"]
+    rows_same = sum(p == s for p, s in zip(results["plain"], results["spec"]))
+    out["rows_identical"] = f"{rows_same}/{len(results['plain'])}"
+    first_div = [
+        next((i for i, (a, b) in enumerate(zip(p, s)) if a != b), len(p))
+        for p, s in zip(results["plain"], results["spec"]) if p != s
+    ]
+    if first_div:
+        out["first_divergence_tok_mean"] = round(
+            sum(first_div) / len(first_div), 1)
     out["speedup"] = round(out["spec_tok_s_aggregate"] / out["plain_tok_s_aggregate"], 2)
     out["date"] = time.strftime("%Y-%m-%d")
     return out
@@ -104,7 +131,8 @@ def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
 
 if __name__ == "__main__":
     res = run_spec_bench()
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_SPEC.json"), "w") as f:
-        json.dump(res, f, indent=1)
+    if not int(os.environ.get("GRASP_BENCH_SPEC_TINY", "0")):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "BENCH_SPEC.json"), "w") as f:
+            json.dump(res, f, indent=1)
     print(json.dumps(res))
