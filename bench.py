@@ -17,7 +17,12 @@ regressions: fwd TFLOP/s + MFU (timed by reducing to a scalar INSIDE jit —
 block_until_ready lies through the axon tunnel), decode tokens/s, and the
 Pallas flash-attention long-sequence forward.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+Prints the full record JSON first (for logs), then a compact (<1 KB)
+headline JSON as the LAST stdout line: {"metric", "value", "unit",
+"vs_baseline", "details": {small provenance subset}}. The driver's tail
+buffer is ~4 KB — BENCH_r03/r04 both came back `parsed: null` because the
+full 11.5 KB record was the last line and got truncated mid-object. The
+full record always lands in BENCH_LAST.json.
 """
 
 import dataclasses
@@ -30,6 +35,39 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_BF16_PEAK_TFLOPS = 197.0  # per chip
+
+
+def _print_result(result):
+    """Full record first (logs / humans), compact headline LAST (driver).
+
+    The driver machine-parses the LAST stdout line from a ~4 KB tail
+    buffer; keep the headline well under 1 KB and make it self-contained
+    (provenance fields included) so `parsed` is a dict again."""
+    print(json.dumps(result))
+    d = result.get("details") or {}
+    small_keys = (
+        "backend", "run_date", "recorded_at", "headline_is_replay",
+        "headline_recorded_at", "e2e_wall_s_this_run", "h2d_mb_s_measured",
+        "d2h_mb_s_measured", "chip_matmul_ms", "fwd_mfu", "fwd_tflops",
+        "decode_tok_s_device", "decode_tok_s_device_int4",
+        "fwd_4k_mfu", "fwd_4k_mfu_hd128", "tpu_kernel_tests",
+        "tpu_unreachable",
+    )
+    headline = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "vs_baseline": result.get("vs_baseline"),
+        "details": {k: d[k] for k in small_keys if k in d},
+    }
+    line = json.dumps(headline)
+    if len(line) > 1000:  # hard guard: drop detail keys until it fits
+        for k in list(headline["details"])[::-1]:
+            del headline["details"][k]
+            line = json.dumps(headline)
+            if len(line) <= 1000:
+                break
+    print(line)
 
 
 def _median_timed(fn, n=5):
@@ -346,7 +384,8 @@ def main():
             pass
         with open(last_path, "w") as f:
             json.dump(rec, f)
-    print(json.dumps(result))
+        result = rec  # print the replay-adjusted headline, not the raw run
+    _print_result(result)
 
 
 def _tpu_reachable(timeout_s: float = 240.0) -> bool:
@@ -383,7 +422,7 @@ if __name__ == "__main__":
                 "axon tunnel down at bench time — REPLAY of the last clean "
                 "full bench run on this machine's chip (see details.recorded_at)"
             )
-            print(json.dumps(rec))
+            _print_result(rec)
         else:
             print(json.dumps({
                 "metric": "tinyllama_1.1b_e2e_compress_wall_clock",

@@ -29,6 +29,21 @@ import numpy as np
 logger = logging.getLogger("grasp_tpu")
 
 
+def _force_platform() -> None:
+    """Honor $JAX_PLATFORMS in CLI subprocesses.
+
+    The axon TPU plugin's sitecustomize pins ``jax_platforms`` at interpreter
+    start, so the env var alone is IGNORED (CLAUDE.md gotcha #1; the only
+    working recipe is ``jax.config.update`` after import — tests/conftest.py
+    does the same). Without this, a smoke run that asked for CPU goes
+    through the remote-compile tunnel and times out."""
+    want = os.environ.get("JAX_PLATFORMS", "").strip()
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def setup_logger(log_file: Optional[str] = None) -> None:
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
@@ -75,7 +90,11 @@ def load_model(name_or_path: str, dtype: str = "float32"):
 
     key = name_or_path.lower()
     if key in _PRESETS:
-        config = getattr(ModelConfig, _PRESETS[key])() if key != "tiny" else ModelConfig.tiny()
+        # the tiny preset pairs with the ByteTokenizer fallback (259 ids);
+        # its default 256-vocab can't embed ids 256-258, which turned the
+        # quality-smoke synthetic PPL into NaN (OOB embedding/label gather)
+        config = (ModelConfig.tiny(vocab_size=260) if key == "tiny"
+                  else getattr(ModelConfig, _PRESETS[key])())
         config = dataclasses.replace(config, dtype=dtype)
         params = init_params(jax.random.PRNGKey(0), config)
         logger.info("preset %s: RANDOM-INIT weights (no local checkpoint given)", key)
@@ -168,6 +187,7 @@ def _compress_parser() -> argparse.ArgumentParser:
 def compress_main(argv=None) -> int:
     args = _compress_parser().parse_args(argv)
     setup_logger(args.log_file)
+    _force_platform()
     from grasp_tpu import enable_compilation_cache
 
     enable_compilation_cache()  # $GRASP_COMPILE_CACHE opt-in
@@ -361,6 +381,7 @@ def evaluate_main(argv=None) -> int:
                    help="write the evaluation results dict to this JSON file")
     args = p.parse_args(argv)
     setup_logger(args.log_file)
+    _force_platform()
     from grasp_tpu import enable_compilation_cache
 
     enable_compilation_cache()  # $GRASP_COMPILE_CACHE opt-in
@@ -448,6 +469,7 @@ def serve_main(argv=None) -> int:
     p.add_argument("--log_file", type=str, default=None)
     args = p.parse_args(argv)
     setup_logger(args.log_file)
+    _force_platform()
     from grasp_tpu import enable_compilation_cache
 
     enable_compilation_cache()

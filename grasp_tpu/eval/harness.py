@@ -144,6 +144,46 @@ class EvalLM:
         return results  # type: ignore[return-value]
 
 
+    def loglikelihood_rolling(self, texts: Sequence[str]) -> List[float]:
+        """lm-eval 0.3.0 ``loglikelihood_rolling`` equivalent: total logprob
+        of each full text, scored in max_length windows so every token is
+        predicted exactly once with at least one token of context (BOS for
+        the first window, the preceding token after — 0.3.0's
+        ``get_rolling_token_windows(context_len=1)`` scheme; our windows
+        predict up to max_length-1 tokens each so the model input never
+        exceeds max_length, a one-token-per-window layout difference that
+        does not change which tokens are scored or on how much context).
+
+        All windows of all texts are batched through the same bucketed
+        ``_score`` path as ordinary loglikelihood requests — one dispatch
+        per bucket, not per window (the axon tunnel charges ~35-40 ms per
+        dispatched call)."""
+        bos = getattr(self.tokenizer, "bos_token_id", None)
+        if bos is None:
+            bos = getattr(self.tokenizer, "eos_token_id", 0)
+        M = self.max_length
+        prepared: List[Tuple[int, List[int], int]] = []
+        owners: List[int] = []  # request index -> text index
+        for ti, text in enumerate(texts):
+            toks = self.tok_encode(text)
+            j = 0
+            while j < len(toks):
+                n = min(len(toks) - j, M - 1)
+                if j == 0:
+                    ids = [bos] + toks[:n]
+                else:
+                    ids = toks[j - 1 : j + n]  # one token of rolled context
+                prepared.append((len(owners), ids, n))
+                owners.append(ti)
+                j += n
+        prepared.sort(key=lambda t: len(t[1]))
+        results: List[Optional[Tuple[float, bool]]] = [None] * len(owners)
+        self._score(prepared, results)
+        totals = [0.0] * len(texts)
+        for i, ti in enumerate(owners):
+            totals[ti] += results[i][0]
+        return totals
+
     # -- generation ----------------------------------------------------------
     @property
     def max_gen_toks(self) -> int:
@@ -467,6 +507,28 @@ def evaluate_tasks(
         if limit and limit > 0:
             docs = docs[:limit]
 
+        if getattr(task, "rolling", False):
+            # loglikelihood_rolling task (wikitext-style): whole-document
+            # logprob, aggregated as 0.3.0's weighted perplexities —
+            # word_perplexity = exp(-sum ll / sum words), byte_perplexity
+            # likewise over UTF-8 bytes, bits_per_byte = -sum ll /
+            # (bytes * ln 2). No acc: rolling tasks don't enter "mean",
+            # matching the reference's acc-only aggregation
+            # (evaluate_grasp.py:231-235). Few-shot context doesn't apply
+            # (0.3.0 scores rolling requests with an empty context).
+            texts = [task.text(doc) for doc in docs]
+            lls = lm.loglikelihood_rolling(texts)
+            total = float(np.sum(lls)) if texts else 0.0
+            words = sum(task.count_words(t) for t in texts)
+            nbytes = sum(task.count_bytes(t) for t in texts)
+            results[task_name] = {
+                "word_perplexity": float(np.exp(-total / max(words, 1))),
+                "byte_perplexity": float(np.exp(-total / max(nbytes, 1))),
+                "bits_per_byte": float(-total / (max(nbytes, 1) * np.log(2))),
+            }
+            logger.info("%s %s (%d docs)", task_name, results[task_name], len(docs))
+            continue
+
         if getattr(task, "generation", False):
             # greedy_until task (declarative spec, eval/task_spec.py): score
             # generations with the task's match rule, report as "acc" so the
@@ -479,7 +541,11 @@ def evaluate_tasks(
                 else:
                     ctxs.append(task.context(doc))
             gens = lm.greedy_until([(c, list(task.stops)) for c in ctxs])
-            hits = sum(bool(task.score(g, doc)) for g, doc in zip(gens, docs))
+            # float() not bool(): spec tasks return booleans (exact/contains
+            # match -> 1.0/0.0, unchanged), wrapped 0.3.0 tasks may return a
+            # fractional per-doc metric (F1, token-level EM) that must
+            # average, not round up
+            hits = sum(float(task.score(g, doc)) for g, doc in zip(gens, docs))
             results[task_name] = {"acc": hits / max(len(docs), 1)}
             logger.info("%s %s (%d docs)", task_name, results[task_name], len(docs))
             continue
@@ -538,6 +604,9 @@ def evaluate_tasks(
             results[task_name]["acc_norm"] = correct_norm / max(len(spans), 1)
         logger.info("%s %s (%d docs)", task_name, results[task_name], len(spans))
 
-    accs = [v["acc"] for v in results.values() if isinstance(v, dict)]
+    # rolling tasks report perplexities, not acc — they don't enter "mean",
+    # matching the reference's acc-only aggregation (evaluate_grasp.py:231-235)
+    accs = [v["acc"] for v in results.values()
+            if isinstance(v, dict) and "acc" in v]
     results["mean"] = float(np.mean(accs)) if accs else 0.0
     return results

@@ -63,6 +63,16 @@ aggregation):
       "context_preprocess": {"text": "drop_last_word"},
       "target": {"field": "text", "preprocess": "last_word", "prefix": " "}
     }
+
+``type: "loglikelihood_rolling"`` is 0.3.0's whole-document scheme
+(wikitext): the full ``text`` field is scored in rolling windows
+(EvalLM.loglikelihood_rolling) and aggregated as word/byte perplexity and
+bits_per_byte:
+
+    {
+      "name": "wikitext_rolling", "type": "loglikelihood_rolling",
+      "text": {"field": "page"}
+    }
 """
 
 from __future__ import annotations
@@ -339,6 +349,40 @@ def make_task(spec: dict):
                 return 0
 
         return LoglikSpecTask()
+
+    if kind == "loglikelihood_rolling":
+        text_spec = spec["text"]
+        x_pre = [PREPROCESS_REGISTRY[n] for n in _as_list(text_spec.get("preprocess"))]
+
+        class RollingSpecTask(Task):
+            name = spec["name"]
+            split_candidates = tuple(spec.get("split_candidates", ("validation", "test")))
+            has_acc_norm = False
+            rolling = True  # whole-document scoring (wikitext family)
+
+            def context(self, doc):  # rolling requests use empty context
+                return ""
+
+            def text(self, doc) -> str:
+                val = str(_resolve(doc, text_spec["field"]))
+                for fn in x_pre:
+                    val = fn(val)
+                return val
+
+            def count_words(self, text: str) -> int:
+                # 0.3.0 wikitext counts whitespace-split words
+                return len(re.split(r"\s+", text))
+
+            def count_bytes(self, text: str) -> int:
+                return len(text.encode("utf-8"))
+
+            def choices(self, doc):  # unused (no MC protocol)
+                return []
+
+            def gold(self, doc):
+                return 0
+
+        return RollingSpecTask()
 
     raise ValueError(f"unknown task spec type {kind!r}")
 

@@ -198,26 +198,44 @@ def tunnel_health(probe_mib: int = 32) -> Dict[str, float]:
     out = {"h2d_mb_s_measured": round(probe.nbytes / dt / 2**20, 1)}
     # d2h moves the gram bases / grad offloads; its health is INDEPENDENT of
     # h2d through this tunnel (one direction has been seen sick while the
-    # other measured healthy), so record both. Probe adaptively: a 1 MiB
-    # pilot first — when d2h is sick (0.2 MB/s measured 2026-08-20) the full
-    # 32 MiB leg alone would cost ~160 s, which this health check must not
-    # add to every bench process. Only widen to the full probe when the
-    # pilot projects it under ~10 s.
+    # other measured healthy), so record both. Probe adaptively: two pilot
+    # sizes (256 KiB + 2 MiB) first — when d2h is sick (0.2 MB/s measured
+    # 2026-08-20) the full 32 MiB leg alone would cost ~160 s, which this
+    # health check must not add to every bench process. Two sizes because
+    # the tunnel charges a fixed ~35-40 ms latency PER CALL: a single tiny
+    # pilot folds that latency into its bandwidth estimate and reads a
+    # healthy 250+ MB/s direction as ~5-7 MB/s, wrongly postponing
+    # transfer-heavy benches (advisor r4). The size delta cancels the
+    # latency. Dedicated device_put pilot arrays, never a slice of a live
+    # device array (eager slicing retains a persistent dispatch copy and
+    # the first call pays a remote slice-compile — both axon traps).
+    p_small = jax.device_put(np.zeros((1 << 18,), np.uint8))  # 256 KiB
+    p_big = jax.device_put(np.zeros((1 << 21,), np.uint8))  # 2 MiB
+    jax.block_until_ready((p_small, p_big))
+    t0 = time.time()
+    np.asarray(jax.device_get(p_small))
+    small_s = max(time.time() - t0, 1e-9)
+    t0 = time.time()
+    np.asarray(jax.device_get(p_big))
+    big_s = max(time.time() - t0, 1e-9)
+    out["d2h_pilot_s"] = [round(small_s, 4), round(big_s, 4)]
+    delta = big_s - small_s
+    if delta > 1e-3:
+        bw = (p_big.nbytes - p_small.nbytes) / delta  # latency-cancelled
+    else:  # delta in timer noise: latency-dominated; whole-call lower bound
+        bw = p_big.nbytes / big_s
+    # Widen to the full probe only when the slope projects it affordable.
     # (A fast pilot does NOT guarantee a fast bulk leg — 2026-08-20 the
     # pilot passed and the 32 MiB get then crawled for minutes. Keep the
-    # widen threshold strict: the pilot must project the full probe well
-    # under the budget, and small payloads ride cheaper tunnel frames.)
-    t0 = time.time()
-    np.asarray(jax.device_get(dev[: 1 << 18]))
-    pilot_s = max(time.time() - t0, 1e-9)
-    if pilot_s * probe_mib * 4 < 2.0:
+    # widen threshold strict; small payloads ride cheaper tunnel frames.)
+    if probe_mib * 2**20 / bw < 2.0:
         t0 = time.time()
         np.asarray(jax.device_get(dev))
         out["d2h_mb_s_measured"] = round(
             probe.nbytes / max(time.time() - t0, 1e-9) / 2**20, 1)
     else:
-        out["d2h_mb_s_measured"] = round(0.25 / pilot_s, 2)
-        out["d2h_probe_mib"] = 0.25
+        out["d2h_mb_s_measured"] = round(bw / 2**20, 2)
+        out["d2h_probe_mib"] = 2.0
     return out
 
 

@@ -117,8 +117,18 @@ def run_spec_bench(max_new: int = 64, batch: int = 8, gamma: int = 4,
     out["outputs_identical"] = results["plain"] == results["spec"]
     rows_same = sum(p == s for p, s in zip(results["plain"], results["spec"]))
     out["rows_identical"] = f"{rows_same}/{len(results['plain'])}"
+    # surface length mismatches explicitly rather than folding them into the
+    # divergence mean (zip() would silently report divergence at the
+    # truncation point of the shorter row)
+    len_mismatch = [
+        (len(p), len(s))
+        for p, s in zip(results["plain"], results["spec"]) if len(p) != len(s)
+    ]
+    if len_mismatch:
+        out["row_length_mismatches"] = len_mismatch
     first_div = [
-        next((i for i, (a, b) in enumerate(zip(p, s)) if a != b), len(p))
+        next((i for i, (a, b) in enumerate(zip(p, s)) if a != b),
+             min(len(p), len(s)))
         for p, s in zip(results["plain"], results["spec"]) if p != s
     ]
     if first_div:
