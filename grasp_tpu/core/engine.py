@@ -1550,42 +1550,72 @@ class GraspEngine:
         return False
 
     def _sweep_chunks(
-        self, layer_names: List[Tuple[int, List[str]]], cfg: GraspConfig
+        self, layer_names: List[Tuple[int, List[str]]], cfg: GraspConfig,
+        park: bool = True,
     ) -> List[List[Tuple[int, List[str]]]]:
         """Split the parallel fast path's layer list into per-sweep chunks.
 
         See GraspConfig.sweep_chunk_layers: int N = N layers per chunk,
         0 = single sweep, None = auto (largest N whose resident grad
         accumulators fit next to live params and the sweep/selection
-        working sets)."""
+        working sets). park: whether selection will run from host-parked
+        bases (grads never meet the eigh arena) or on device (they do —
+        tighter auto budget, see _auto_sweep_chunk).
+
+        Chunks are END-aligned (remainder FIRST: [1,2,2,2] for 7 layers at
+        N=2, not [2,2,2,1]): the first chunk's on-device selection runs its
+        eigh arena next to the FULL uncompressed model, while every later
+        chunk sees already-compressed layers (~90% lighter at typical
+        ratios) — so the first chunk must carry the smallest grad/eigh
+        footprint. Layer order within the list is preserved."""
         n = cfg.sweep_chunk_layers
         if n is None:
-            n = self._auto_sweep_chunk(layer_names)
+            n = self._auto_sweep_chunk(layer_names, park)
         if not n or n <= 0 or n >= len(layer_names):
             return [layer_names]
-        return [layer_names[i:i + n] for i in range(0, len(layer_names), n)]
+        out = []
+        i = len(layer_names)
+        while i > 0:
+            take = min(n, i)
+            out.append(layer_names[i - take:i])
+            i -= take
+        out.reverse()
+        return out
 
-    def _auto_sweep_chunk(self, layer_names: List[Tuple[int, List[str]]]) -> int:
+    def _auto_sweep_chunk(
+        self, layer_names: List[Tuple[int, List[str]]], park: bool = True
+    ) -> int:
         """Largest layers-per-sweep that keeps grad accumulators resident.
 
         The one-sweep fast path holds a kernel-sized (kernel-dtype) grad
         accumulator per target module for the whole sweep, and the post-sweep
         gram selection holds the unconsumed accumulators next to the eigh
-        arena. Budget: HBM limit − live params − reserve (sweep-graph working
-        set ~1.0 GiB measured via executable_memory at 7B, eigh arena
-        ≤ _EIGH_ARENA_BUDGET, ~0.5 GiB slack for axon dispatch copies).
-        0 = everything fits in one sweep (always, off-TPU: virtual CPU
-        devices have host RAM)."""
+        arena. Budget: HBM limit − live params − reserve. 0 = everything
+        fits in one sweep (always, off-TPU: virtual CPU devices have host
+        RAM).
+
+        park=True (host-parked bases): grads coexist with the sweep working
+        set (~1.0 GiB measured at 7B via executable_memory) OR the eigh
+        arena — never both (all eighs run before any sweep) — reserve
+        max(1.0 GiB, arena) + 0.5 GiB slack.
+
+        park=False (on-device after-sweep selection, the TPU default): the
+        chunk's unconsumed grads ARE resident under the QDWH arena, and the
+        chip's EFFECTIVE ceiling is ~1.15 GiB below the nominal limit (the
+        r4 OOM at 14.6 GiB computed demand on a 15.75 GiB chip) — reserve
+        arena + 1.2 GiB. At 7B this yields 1-layer chunks (12.55 params +
+        0.39 grads + 1.36 arena = 14.3 GiB < 14.6): three more ~25 s sweeps
+        than the parked path's 2-layer chunks, in exchange for ZERO tunnel
+        transfer."""
         if jax.default_backend() != "tpu":
             return 0
         limit = self._hbm_limit_bytes()
         params_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params))
-        # accumulators coexist with the sweep graph's working set (~1.0 GiB
-        # measured at 7B via executable_memory) DURING the sweep and with the
-        # eigh arena DURING selection — never both; + slack for axon
-        # dispatch-copy quirks
-        reserve = max(1.0 * 2**30, _EIGH_ARENA_BUDGET) + 0.5 * 2**30
+        if park:
+            reserve = max(1.0 * 2**30, _EIGH_ARENA_BUDGET) + 0.5 * 2**30
+        else:
+            reserve = max(1.0 * 2**30, _EIGH_ARENA_BUDGET) + 1.2 * 2**30
         budget = limit - params_bytes - reserve
         per_layer = max(
             sum(int(np.prod(self._get_proj(n)["kernel"].shape))
@@ -1613,37 +1643,29 @@ class GraspEngine:
         on-device per chunk?
 
         Parking buys arena-friendly ordering (every eigh runs before any grad
-        accumulator exists) at the price of a full basis round-trip over the
-        tunnel (~3.2 GB fp32 at 7B). The d2h leg hides behind the remaining
-        eighs and the h2d leg behind the sweeps — but ONLY if the tunnel can
-        carry it: the two directions are independently sick here (h2d
-        389 MB/s with d2h 1.7 MB/s measured in the same minute), and at
-        single-digit MB/s the parking legs dwarf everything they were meant
-        to overlap. Rule: park iff the d2h leg fits inside ~1.5x the eigh
-        phase it overlaps. GRASP_PARK_BASES=1/0 overrides.
+        accumulator exists, so 2-layer sweep chunks fit at 7B) at the price
+        of a full basis round-trip over the tunnel (~3.2 GB fp32 each way at
+        7B — 108.9 s of sel_importance re-uploads alone in the r4 612.6 s
+        run, and the two tunnel directions fail independently). On-device
+        after-sweep selection moves ZERO bytes: with end-aligned 1-layer
+        chunks (see _auto_sweep_chunk park=False) the chunk grads fit next
+        to the eigh arena under the full model, costing only ~3 extra ~25 s
+        sweeps at 7B — strictly cheaper than the parking legs at any tunnel
+        bandwidth this container has ever measured. TPU default is therefore
+        ON-DEVICE; GRASP_PARK_BASES=1 restores host parking (kept
+        bit-identical by tests/test_engine_prefix.py::
+        test_parallel_no_parking_matches_parked). Off-TPU (virtual CPU
+        meshes) parking stays the default: transfers are host memcpys and
+        the single-chunk sweep keeps test behavior unchanged.
         """
         env = os.environ.get("GRASP_PARK_BASES")
         if env is not None:
             return env != "0"
         if jax.default_backend() != "tpu":
             return True  # virtual CPU meshes: host RAM, transfers are memcpy
-        bases_bytes = 0.0
-        eigh_s = 0.0
-        for n in names:
-            shape = self._get_proj(n)["kernel"].shape
-            m = int(min(shape[-2:]))
-            lead = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
-            bases_bytes += lead * (m * m + m) * 4
-            # ~4.4 s per 4096^2 fp32 QDWH eigh measured on this v5e; the
-            # iteration count is dim-independent so cost scales ~m^3
-            eigh_s += lead * 4.4 * (m / 4096.0) ** 3
-        d2h_s = bases_bytes / self._d2h_bandwidth()
-        park = d2h_s < 1.5 * eigh_s + 30.0
-        logger.info(
-            "bases parking: d2h leg %.0fs vs eigh phase ~%.0fs -> %s",
-            d2h_s, eigh_s, "park on host" if park else "select on device",
-        )
-        return park
+        logger.info("bases parking: off (on-device after-sweep selection; "
+                    "GRASP_PARK_BASES=1 restores host parking)")
+        return False
 
     def _precompute_gram_bases(self, names: List[str]) -> Dict[str, tuple]:
         """Stacked gram eighs for every target BEFORE any sweep; bases parked
@@ -2016,16 +2038,35 @@ class GraspEngine:
         tests/test_svd.py::test_ufree_gram_selection_matches_full.
         grad_kernel: dL/d(kernel) in jax [in, out] layout.
         """
+        from grasp_tpu.ops.svd import ufree_eigh, ufree_gram, ufree_importance
+
         kernel = self._get_proj(n)["kernel"]  # [in, out]
-        s, basis, side, importance = ufree_select(kernel, grad_kernel, cfg.metric)
+        # same three primed jits as ufree_select, opened up so the per-stage
+        # table splits the serial eigh from the importance/truncate matmuls
+        # (the 7B parallel on-device path runs per-matrix here for its
+        # tightest-HBM chunks; _force_done syncs cost ~40 ms/module through
+        # the tunnel — noise against a 4.4 s eigh)
+        t1 = time.time()
+        g = ufree_gram(kernel)
+        s, basis = ufree_eigh(g)
+        del g
+        _force_done(s)
+        self._stage("sel_eigh", time.time() - t1)
+        side = "u" if kernel.shape[-1] <= kernel.shape[-2] else "v"
+        t1 = time.time()
+        importance = ufree_importance(kernel, grad_kernel, s, basis, cfg.metric)
         in_f, out_f = kernel.shape[-2], kernel.shape[-1]
         indices = self._select_indices(
             n, importance, s, in_f, out_f, cfg, indices_dict
         )
+        self._stage("sel_importance", time.time() - t1)
+        t1 = time.time()
         ut, st, vht = ufree_truncate_kernel(
             kernel, s, basis, side, jnp.asarray(indices)
         )
+        del s, basis
         self._compile_truncated(n, ut, st, vht, cfg)
+        self._stage("sel_truncate", time.time() - t1)
 
     def _select_compile_group_ufree(
         self,
@@ -2396,7 +2437,13 @@ class GraspEngine:
             self._set_prefix(p_min, mode, auto=was_auto)
             stop_prefetch = None
             try:
-                chunks = self._sweep_chunks(layer_names, cfg)
+                # parking decision BEFORE chunking: on-device after-sweep
+                # selection holds the chunk grads under the eigh arena, so
+                # its auto chunk size is tighter (1 layer at 7B vs 2 parked)
+                park = (self.svd_method == "gram_device"
+                        and self._should_park_bases(
+                            [n for _, nn in layer_names for n in nn]))
+                chunks = self._sweep_chunks(layer_names, cfg, park=park)
                 if len(chunks) > 1:
                     logger.info(
                         "parallel sweep in %d chunks (HBM-bounded grad "
@@ -2415,18 +2462,16 @@ class GraspEngine:
                         if ("chunk", ".".join(str(lid) for lid, _ in c))
                         not in self._done_rounds]
                 bases = None
-                if self.svd_method == "gram_device" and todo:
-                    # all 49 eighs run BEFORE any sweep (bases depend only on
-                    # the original kernels; no grad accumulators resident
-                    # next to the QDWH arena) — see _precompute_gram_bases.
-                    # Parking the bases in host RAM moves ~3.2 GB over the
-                    # tunnel though, and the d2h direction has been measured
-                    # 200x sicker than h2d in the same minute — when it is,
-                    # per-chunk after-sweep selection (everything stays on
-                    # device) beats parking even at its tighter eigh arena.
+                if park and todo:
+                    # parked mode (GRASP_PARK_BASES=1 / off-TPU): all 49
+                    # eighs run BEFORE any sweep (bases depend only on the
+                    # original kernels; no grad accumulators resident next
+                    # to the QDWH arena) — see _precompute_gram_bases. The
+                    # TPU default is per-chunk after-sweep selection instead
+                    # (everything stays on device, zero tunnel transfer; see
+                    # _should_park_bases).
                     all_names = [n for c in todo for _, nn in c for n in nn]
-                    if self._should_park_bases(all_names):
-                        bases = self._precompute_gram_bases(all_names)
+                    bases = self._precompute_gram_bases(all_names)
                 for chunk in todo:
                     ckey = ("chunk", ".".join(str(lid) for lid, _ in chunk))
                     names = [n for _, nn in chunk for n in nn]

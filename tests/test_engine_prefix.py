@@ -296,3 +296,58 @@ def test_prefix_cache_host_self_demotes(tiny):
     for _ in range(8):
         engine._note_prefix_cost("upload", 0.001)
     assert engine._prefix_mode == "cache_host"
+
+
+def test_sweep_chunks_end_aligned(tiny):
+    """Chunks are END-aligned: the remainder chunk comes FIRST ([1,2,2,2]
+    for 7 layers at N=2), because the first chunk's on-device selection
+    runs its eigh arena next to the FULL uncompressed model (engine
+    _sweep_chunks). Layer order is preserved across the boundary shift."""
+    config, params = tiny
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config)
+    layer_names = [(i, [f"model.layers.{i}.mlp.gate_proj"]) for i in range(7)]
+    cfg = GraspConfig(layers_id=list(range(7)), compression_ratio=0.5,
+                      sweep="parallel", sweep_chunk_layers=2)
+    chunks = engine._sweep_chunks(layer_names, cfg, park=False)
+    assert [len(c) for c in chunks] == [1, 2, 2, 2]
+    assert [lid for c in chunks for lid, _ in c] == list(range(7))
+    # exact division stays full-size; single-sweep and oversize unchanged
+    chunks8 = engine._sweep_chunks(layer_names + [(7, ["x"])], cfg, park=False)
+    assert [len(c) for c in chunks8] == [2, 2, 2, 2]
+    cfg0 = GraspConfig(layers_id=list(range(7)), compression_ratio=0.5,
+                       sweep="parallel", sweep_chunk_layers=0)
+    assert engine._sweep_chunks(layer_names, cfg0, park=False) == [layer_names]
+
+
+def test_parallel_no_parking_multichunk_matches_parked(tiny, monkeypatch):
+    """The TPU-default on-device selection path with MULTIPLE sweep chunks
+    (sweep_chunk_layers=1, the 7B shape of the run) is bit-identical to the
+    host-parked path under the same chunking — same sweeps, same eigh math,
+    different residency only."""
+    config, params = tiny
+
+    def run(park):
+        monkeypatch.setenv("GRASP_PARK_BASES", park)
+        engine = GraspEngine(jax.tree.map(jnp.array, params), config,
+                             svd_method="gram_device")
+        cfg = GraspConfig(layers_id=[5, 4, 3], compression_ratio=0.5,
+                          metric="taylor", grad_mode="dense", sweep="parallel",
+                          sweep_chunk_layers=1)
+        engine.run(_batches(config), cfg)
+        return engine
+
+    parked, onchip = run("1"), run("0")
+    assert parked.rank_dict == onchip.rank_dict
+    assert set(parked.indices_log) == set(onchip.indices_log)
+    for name in parked.indices_log:
+        np.testing.assert_array_equal(
+            parked.indices_log[name], onchip.indices_log[name], err_msg=name)
+    for li in (3, 4, 5):
+        for group in ("self_attn", "mlp"):
+            for proj, mod in parked.params["layers"][li][group].items():
+                if "in_kernel" in mod:
+                    other = onchip.params["layers"][li][group][proj]
+                    np.testing.assert_array_equal(
+                        np.asarray(mod["in_kernel"]),
+                        np.asarray(other["in_kernel"]),
+                        err_msg=f"layer {li} {group}.{proj}")
