@@ -230,6 +230,61 @@ def _gram_select_groups(names, shape_of, ratio_of, hbm_free=None):
     return out
 
 
+def _gram_eigh_batches(names, shape_of, ratio_of, hbm_free=None):
+    """Batch one round's gram EIGHs by GRAM shape, not kernel shape.
+
+    The eigh input is the small-side gram (lead + (m, m)), so modules whose
+    kernels differ only in the LARGE dimension — MoE parts w1/w3 [E, h, f]
+    and w2 [E, f, h], or a dense layer's qkvo [d, d] next to its mlp
+    [d, 4d]/[4d, d] — share ONE [G]-stacked eigh call (row-independent, so
+    per-module results are bit-identical to unbatched calls; pinned by
+    tests/test_engine_prefix.py::test_gram_stacked_selection_matches_per_matrix
+    and test_moe_compress.py). Fewer eigh graphs to compile (the MoE bench
+    was compile-bound: its three same-gram expert parts each paid a separate
+    remote eigh-multi compile) and fewer iteration-bound dispatches at
+    m <= 2048. Per-module gram/importance/truncation matmuls stay per-matrix
+    exactly as in _select_compile_group_ufree.
+
+    Returns [(names, gram_shape, stacked)]. Stacks are chunked by the QDWH
+    arena model (see _EIGH_ARENA_*) and the measured hbm_free cap, same
+    formula as _gram_select_groups. Adaptive-ratio modules (no fixed rank)
+    and GRASP_GRAM_STACK=0 take per-matrix entries."""
+    import os
+
+    by: Dict[Tuple, List[str]] = {}
+    order: List[Tuple] = []
+    for n in names:
+        shape = tuple(shape_of(n))
+        m = int(min(shape[-2:]))
+        key = (shape[:-2] + (m, m), ratio_of(n) is not None)
+        if key not in by:
+            by[key] = []
+            order.append(key)
+        by[key].append(n)
+    allow = os.environ.get("GRASP_GRAM_STACK") != "0"
+    out = []
+    for gshape, stackable in order:
+        group = by[(gshape, stackable)]
+        if not (allow and stackable and len(group) > 1):
+            out.append((group, gshape, False))
+            continue
+        m = gshape[-1]
+        lead = int(np.prod(gshape[:-2], dtype=np.int64)) if len(gshape) > 2 else 1
+        per = lead * m * m * 4
+        cmax = max(
+            1, int((_EIGH_ARENA_BUDGET / per - _EIGH_ARENA_BASE)
+                   // _EIGH_ARENA_SLOPE)
+        )
+        if hbm_free is not None:
+            cmax = max(1, min(cmax, int(
+                (hbm_free / per - _EIGH_ARENA_BASE)
+                // (_EIGH_ARENA_SLOPE + 2.0))))
+        for i in range(0, len(group), cmax):
+            chunk = group[i:i + cmax]
+            out.append((chunk, gshape, len(chunk) > 1))
+    return out
+
+
 def module_name(layer_id: int, proj: str) -> str:
     """Reference-compatible module path, e.g. 'model.layers.3.self_attn.q_proj'.
 
@@ -1362,46 +1417,49 @@ class GraspEngine:
                           partial(_prime_strict, gf, *args)))
 
             # selection/truncation primes (mirroring compress_round's
-            # same-shape stacking) + simulate this round's compression
-            for g_names, shape, ratio, stacked in _gram_select_groups(
+            # gram-shape eigh batching) + simulate this round's compression
+            for g_names, gshape, stacked in _gram_eigh_batches(
                 names,
                 lambda n: k_sds[n].shape,
                 lambda n: self.module_ratios.get(n, cfg.compression_ratio),
             ):
-                in_f, out_f = shape[-2], shape[-1]
-                k = preserve_rank(in_f, out_f, ratio)
-                if self.svd_method == "gram_device" and not cfg.merge:
-                    from grasp_tpu.ops.svd import (
-                        ufree_prime_eigh_multi,
-                        ufree_prime_select,
-                        ufree_prime_truncate,
-                    )
-
-                    kern = sds(shape, k_sds[g_names[0]].dtype)
-                    side = "u" if out_f <= in_f else "v"
-                    idx_shape = shape[:-2] + (k,)
-                    pkey = (shape, str(kern.dtype), k, cfg.metric)
-                    if pkey not in seen_primes:
-                        seen_primes.add(pkey)
-                        tasks.append((
-                            f"ufree {shape} k={k}",
-                            partial(_prime_ufree_pair, ufree_prime_select,
-                                    ufree_prime_truncate, kern, cfg.metric,
-                                    idx_shape, side),
-                        ))
-                    if stacked:
-                        m = min(in_f, out_f)
-                        g_sds = sds(shape[:-2] + (m, m), jnp.float32)
-                        ekey = ("eigh", len(g_names), g_sds.shape)
-                        if ekey not in seen_primes:
-                            seen_primes.add(ekey)
-                            tasks.append((
-                                f"ufree eigh x{len(g_names)} {g_sds.shape}",
-                                partial(ufree_prime_eigh_multi, g_sds,
-                                        len(g_names)),
-                            ))
                 for n in g_names:
+                    shape = tuple(k_sds[n].shape)
+                    in_f, out_f = shape[-2], shape[-1]
+                    ratio = self.module_ratios.get(n, cfg.compression_ratio)
+                    k = preserve_rank(in_f, out_f, ratio)
+                    if self.svd_method == "gram_device" and not cfg.merge:
+                        from grasp_tpu.ops.svd import (
+                            ufree_prime_select,
+                            ufree_prime_truncate,
+                        )
+
+                        kern = sds(shape, k_sds[n].dtype)
+                        side = "u" if out_f <= in_f else "v"
+                        idx_shape = shape[:-2] + (k,)
+                        pkey = (shape, str(kern.dtype), k, cfg.metric)
+                        if pkey not in seen_primes:
+                            seen_primes.add(pkey)
+                            tasks.append((
+                                f"ufree {shape} k={k}",
+                                partial(_prime_ufree_pair, ufree_prime_select,
+                                        ufree_prime_truncate, kern, cfg.metric,
+                                        idx_shape, side),
+                            ))
                     sim, plan = self._sim_compress_shapes(sim, plan, n, k, cfg.merge)
+                if (stacked and self.svd_method == "gram_device"
+                        and not cfg.merge):
+                    from grasp_tpu.ops.svd import ufree_prime_eigh_multi
+
+                    g_sds = sds(gshape, jnp.float32)
+                    ekey = ("eigh", len(g_names), g_sds.shape)
+                    if ekey not in seen_primes:
+                        seen_primes.add(ekey)
+                        tasks.append((
+                            f"ufree eigh x{len(g_names)} {g_sds.shape}",
+                            partial(ufree_prime_eigh_multi, g_sds,
+                                    len(g_names)),
+                        ))
 
         stop = {"flag": False}
 
@@ -1822,13 +1880,13 @@ class GraspEngine:
                                 - 1.3 * 2**30)
                 except Exception:  # pragma: no cover - telemetry quirks
                     pass
-            sel_groups = _gram_select_groups(
+            sel_groups = _gram_eigh_batches(
                 names,
                 lambda n: self._get_proj(n)["kernel"].shape,
                 lambda n: self.module_ratios.get(n, cfg.compression_ratio),
                 hbm_free=hbm_free,
             )
-            for g_names, _, _, stacked in sel_groups:
+            for g_names, _, stacked in sel_groups:
                 t_m = time.time()
                 if stacked:
                     self._select_compile_group_ufree(
@@ -2075,7 +2133,9 @@ class GraspEngine:
         cfg: GraspConfig,
         indices_dict: Dict[str, np.ndarray],
     ) -> None:
-        """Batched-EIGH U-free selection for SAME-shape modules of one round.
+        """Batched-EIGH U-free selection for same-GRAM-shape modules of one
+        round (kernel shapes may differ in the large dimension — the eigh
+        stack only needs equal small-side grams; see _gram_eigh_batches).
 
         Only the eigh — the serial, iteration-bound stage (~9.7 s per 4096^2
         at 7B) — runs [G]-stacked; the gram/saliency/truncation matmuls stay

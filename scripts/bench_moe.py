@@ -111,9 +111,16 @@ def main(tiny=None):
     ]
 
     engine = GraspEngine(params, config, svd_method="gram_device")
+    # parallel fast path by default: ONE multi-layer grad graph instead of
+    # 2*prune per-round graphs — the r4 sequential run was compile-bound
+    # (grad_compile 72 s + serial eigh compiles = 61% of its 318.8 s e2e
+    # through the erratic remote-compile tunnel). GRASP_BENCH_MOE_MODE
+    # restores sequential for reference-faithful comparison.
+    mode = os.environ.get("GRASP_BENCH_MOE_MODE", "parallel")
+    out["config"]["sweep"] = mode
     cfg = GraspConfig(
         num_prune_layers=prune, compression_ratio=0.9, metric="taylor",
-        num_samples=samples, seq_len=seq_len, batch_size=batch,
+        num_samples=samples, seq_len=seq_len, batch_size=batch, sweep=mode,
     )
     t0 = time.time()
     summary = engine.run(batches, cfg)

@@ -244,3 +244,29 @@ def test_recovery_step_trains_compressed_experts(moe_model, batches):
     np.testing.assert_array_equal(
         frozen_before, np.asarray(p["layers"][frozen_li]["moe"]["experts"]["w1"])
     )
+
+
+def test_gram_eigh_batches_group_by_gram_shape():
+    """MoE parts w1/w2/w3 ([E,h,f],[E,f,h],[E,h,f]) share gram [E,h,h] and
+    batch into ONE stacked eigh; adaptive (ratio None) modules stay
+    per-matrix; order is first-seen stable (engine._gram_eigh_batches)."""
+    from grasp_tpu.core.engine import _gram_eigh_batches
+
+    shapes = {
+        "w1": (8, 64, 224), "w2": (8, 224, 64), "w3": (8, 64, 224),
+        "q": (64, 64), "k": (64, 32), "v": (64, 32),
+    }
+    ratios = {n: 0.5 for n in shapes}
+    batches = _gram_eigh_batches(list(shapes), shapes.get, ratios.get)
+    got = [(tuple(ns), gs, st) for ns, gs, st in batches]
+    assert got == [
+        (("w1", "w2", "w3"), (8, 64, 64), True),
+        (("q",), (64, 64), False),
+        (("k", "v"), (32, 32), True),
+    ]
+    # adaptive modules never stack
+    ratios["w2"] = None
+    batches = _gram_eigh_batches(list(shapes), shapes.get, ratios.get)
+    got = [(tuple(ns), st) for ns, _, st in batches]
+    assert (("w2",), False) in got
+    assert (("w1", "w3"), True) in got
