@@ -128,22 +128,27 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
         n_tok = sum(len(outs[r]) for r in rids)
         return [outs[r] for r in rids], n_tok, dt
 
+    gammas = [int(g) for g in os.environ.get(
+        "GRASP_BENCH_SPEC_GAMMAS", str(gamma)).split(",")]
     results = {}
-    for label, make in (
-        ("plain", lambda: ServingEngine(q8, config, plan=cplan, **kw)),
-        ("spec", lambda: SpeculativeServingEngine(
-            q8, config, q4, config, plan=cplan, draft_plan=cplan,
-            gamma=gamma, **kw)),
-    ):
+    configs = [("plain", None)] + [(f"spec_g{g}", g) for g in gammas]
+    for label, g in configs:
         # ONE engine per config: the jits live per instance, so the warmup
         # wave must run on the same engine that is timed — a fresh engine in
         # the timed region would recompile every prefill/decode/draft/verify
         # graph inside the measurement (minutes/shape through the axon
         # remote-compile tunnel) and the artifact would measure compilation.
-        eng = make()
+        # gamma is a SHAPE of the draft/verify graphs, so each gamma is its
+        # own engine + warmup wave.
+        if g is None:
+            eng = ServingEngine(q8, config, plan=cplan, **kw)
+        else:
+            eng = SpeculativeServingEngine(
+                q8, config, q4, config, plan=cplan, draft_plan=cplan,
+                gamma=g, **kw)
         log.info("%s: warmup wave (compiles all graphs)...", label)
         wave(eng)
-        if label == "spec":
+        if g is not None:
             # acceptance_rate must cover only the measured wave
             eng.last_stats = {"chunks": 0, "drafted": 0, "accepted": 0}
         log.info("%s: timed wave (same engine, warm jits)...", label)
@@ -151,19 +156,52 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
         results[label] = outs
         out[f"{label}_tok_s_aggregate_wall"] = round(n_tok / dt, 1)
         out[f"{label}_wall_s"] = round(dt, 2)
-        if label == "spec":
-            out["acceptance_rate"] = round(eng.acceptance_rate, 3)
-            out["draft_bytes_over_target"] = round(_bytes(q4) / _bytes(q8), 2)
+        if g is not None:
+            out[f"{label}_acceptance_rate"] = round(eng.acceptance_rate, 3)
         out[f"hbm_gib_after_{label}"] = round(
             device_memory()["bytes_in_use"] / 2**30, 2)
         del eng
+    out["draft_bytes_over_target"] = round(_bytes(q4) / _bytes(q8), 2)
 
+    # Greedy speculation is target-identical by construction ONLY when the
+    # verify-time logits equal decode-time logits bitwise (pinned on CPU by
+    # tests/test_spec_paged.py). On the MXU the gamma-token chunked verify
+    # forward and the one-token decode forward tile differently, so bf16
+    # accumulation order differs and near-tie argmaxes can flip. Quantify
+    # per gamma: rows identical + where they first diverge; surface length
+    # mismatches explicitly instead of folding them into the stats.
+    best = None
+    for label, g in configs[1:]:
+        plain, spec = results["plain"], results[label]
+        rows_same = sum(p == s for p, s in zip(plain, spec))
+        out[f"{label}_rows_identical"] = f"{rows_same}/{len(plain)}"
+        mism = [(len(p), len(s)) for p, s in zip(plain, spec)
+                if len(p) != len(s)]
+        if mism:
+            out[f"{label}_row_length_mismatches"] = mism
+        first_div = [
+            next((i for i, (a, b) in enumerate(zip(p, s)) if a != b),
+                 min(len(p), len(s)))
+            for p, s in zip(plain, spec) if p != s
+        ]
+        if first_div:
+            out[f"{label}_first_divergence_tok_mean"] = round(
+                float(np.mean(first_div)), 1)
+        sp = round(out[f"{label}_tok_s_aggregate_wall"]
+                   / out["plain_tok_s_aggregate_wall"], 2)
+        out[f"{label}_speedup_wall"] = sp
+        if best is None or sp > best[1]:
+            best = (g, sp)
+    out["best_gamma"], out["speedup_wall"] = best
+    # best-gamma aliases (stable keys for bench.py / the smoke test)
+    bl = f"spec_g{best[0]}"
+    out["acceptance_rate"] = out.get(f"{bl}_acceptance_rate")
+    out["spec_tok_s_aggregate_wall"] = out[f"{bl}_tok_s_aggregate_wall"]
+    out["spec_wall_s"] = out[f"{bl}_wall_s"]
     agree = [sum(a == b for a, b in zip(p, s)) / max(len(p), 1)
-             for p, s in zip(results["plain"], results["spec"])]
+             for p, s in zip(results["plain"], results[bl])]
     out["greedy_agreement_mean"] = round(float(np.mean(agree)), 4)
-    out["outputs_identical"] = results["plain"] == results["spec"]
-    out["speedup_wall"] = round(out["spec_tok_s_aggregate_wall"]
-                                / out["plain_tok_s_aggregate_wall"], 2)
+    out["outputs_identical"] = results["plain"] == results[bl]
     out["date"] = time.strftime("%Y-%m-%d")
 
     if not tiny:  # the smoke mode must never overwrite the chip artifact
