@@ -50,7 +50,8 @@ def _print_result(result):
         "headline_recorded_at", "e2e_wall_s_this_run", "h2d_mb_s_measured",
         "d2h_mb_s_measured", "chip_matmul_ms", "fwd_mfu", "fwd_tflops",
         "decode_tok_s_device", "decode_tok_s_device_int4",
-        "fwd_4k_mfu", "fwd_4k_mfu_hd128", "tpu_kernel_tests",
+        "fwd_4k_mfu", "fwd_4k_mfu_hd128", "fwd_511_mfu_hd128",
+        "tpu_kernel_tests",
         "tpu_unreachable",
     )
     headline = {
@@ -238,6 +239,26 @@ def main():
             details["fwd_4k_flash_b8_ms_hd128"] = round(f4k128_s * 1e3, 2)
             details["fwd_4k_flash_tflops_hd128"] = round(tf128, 1)
             details["fwd_4k_mfu_hd128"] = round(tf128 / V5E_BF16_PEAK_TFLOPS, 3)
+            # short-seq CONTROL for the same hd=128 geometry (r4 verdict #6):
+            # its 511-token MFU is that model's per-chip ceiling — the gap
+            # between this and fwd_4k_mfu_hd128 is what sequence length
+            # (attention share + diagonal-tile masking) actually costs,
+            # separated from any head-geometry effect. Slope method: at
+            # ~60 ms/fwd the ~35-40 ms dispatch tax would inflate a
+            # single-dispatch read by >50% (perf.forward_device_benchmark).
+            from grasp_tpu.perf import forward_device_benchmark
+
+            ids511 = jnp.asarray(
+                rng.integers(0, config.vocab_size, size=(8, 511)))
+            fdb = forward_device_benchmark(p128, cfg128, ids511, plan=plan128,
+                                           k_large=4, reps=3)
+            fl511 = estimate_forward_flops(p128, cfg128, plan128, seq_len=511)
+            tf511 = fl511["flops"] * 8 / fdb["fwd_s_device"] / 1e12
+            details["fwd_511_b8_ms_hd128"] = round(
+                fdb["fwd_s_device"] * 1e3, 2)
+            details["fwd_511_tflops_hd128"] = round(tf511, 1)
+            details["fwd_511_mfu_hd128"] = round(
+                tf511 / V5E_BF16_PEAK_TFLOPS, 3)
             del p128
         except Exception as e:
             details["flash_4k_hd128_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -26,7 +26,11 @@ from grasp_tpu.models.llama import forward, init_params
 from grasp_tpu.ops.pallas_attention import flash_attention
 from grasp_tpu.perf import estimate_forward_flops
 
-S, NH, NKV, HD = 4096, 32, 4, 64  # TinyLlama attention geometry
+# default: TinyLlama geometry; GRASP_SWEEP_HD=128 switches to the
+# LLaMA-2-class head geometry (16 x 128, same hidden size) — the r4 block
+# tables were tuned on hd=64 shapes only (r4 verdict #6)
+HD = int(os.environ.get("GRASP_SWEEP_HD", "64"))
+S, NH, NKV = 4096, 2048 // HD, 4
 rng = np.random.default_rng(0)
 
 # --- isolated op ---
@@ -52,7 +56,8 @@ per_op = (t2 - t1) / 8
 
 # --- full forward at (batch, 4096) ---
 config = dataclasses.replace(ModelConfig.tinyllama_1_1b(), dtype="bfloat16",
-                             use_flash_attention=True)
+                             use_flash_attention=True,
+                             num_attention_heads=NH, num_key_value_heads=NKV)
 params = init_params(jax.random.PRNGKey(0), config)
 ids = jnp.asarray(rng.integers(0, config.vocab_size, (batch, S)), jnp.int32)
 
@@ -93,7 +98,8 @@ def main():
         else:
             print({"bq": bq, "bk": bk, "batch": batch,
                    "error": proc.stderr.strip()[-200:]}, flush=True)
-    with open("/tmp/flash_sweep.json", "w") as f:
+    out_path = os.environ.get("GRASP_SWEEP_OUT", "/tmp/flash_sweep.json")
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 
