@@ -374,3 +374,37 @@ def test_gemma_model_speculates_bit_identical(rng):
     got = _run(spec, prompts, max_new=8)
     for g, w in zip(got, want):
         assert g == w
+
+
+@pytest.mark.skipif(not any(d.platform == "tpu" for d in jax.devices()),
+                    reason="needs a real TPU")
+def test_spec_tpu_greedy_divergence_bounded(rng):
+    """Pin the ON-CHIP greedy divergence that the CPU bit-identity contract
+    above cannot see: the gamma-token chunked verify forward and the
+    one-token decode forward tile differently on the MXU, so bf16
+    accumulation order flips near-tie argmaxes (BENCH_SPEC.json r4:
+    outputs_identical false on chip). Contract on hardware: every row
+    reaches full length, and token agreement stays high — a tie-flip then
+    re-converging chain, not a broken verify. A real verify bug (e.g. an
+    off-by-one in the accepted-prefix scatter) collapses agreement to
+    near-zero after the first accept, far below this bound."""
+    config = ModelConfig.tiny(num_hidden_layers=4, vocab_size=128)
+    import dataclasses
+
+    config = dataclasses.replace(config, dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(0), config)
+    prompts = _prompts(rng)
+
+    plain = ServingEngine(params, config, num_pages=96, page_size=16,
+                          max_batch=4, max_pages_per_seq=8)
+    want = _run(plain, prompts, max_new=12)
+    spec = SpeculativeServingEngine(
+        params, config, params, config, gamma=3,
+        num_pages=96, page_size=16, max_batch=4, max_pages_per_seq=8,
+    )
+    got = _run(spec, prompts, max_new=12)
+
+    assert [len(g) for g in got] == [len(w) for w in want]
+    agree = [sum(a == b for a, b in zip(g, w)) / max(len(w), 1)
+             for g, w in zip(got, want)]
+    assert float(np.mean(agree)) >= 0.7, agree
