@@ -74,6 +74,15 @@ def run_7b_bench(samples=None, batch=None, mode=None, svd_method=None,
         "date": time.strftime("%Y-%m-%d"),
     }
 
+    if jax.default_backend() == "tpu":
+        # provenance (CLAUDE.md protocol) AND the d2h warm-up: a NEW process's
+        # first device_get has been measured at 187-861 s — paying it inside
+        # the probe keeps it out of e2e_wall_s (the on-device selection path
+        # moves almost nothing d2h, but indices/telemetry gets would hit it)
+        from grasp_tpu.perf import tunnel_health
+
+        result["tunnel_health_pre"] = tunnel_health()
+
     reset_hbm_peak()
     t_init = time.time()
     config = dataclasses.replace(ModelConfig.llama2_7b(), dtype="bfloat16")
