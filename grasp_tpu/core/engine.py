@@ -1627,6 +1627,18 @@ class GraspEngine:
         ratios) — so the first chunk must carry the smallest grad/eigh
         footprint. Layer order within the list is preserved."""
         n = cfg.sweep_chunk_layers
+        if n is None and not park and jax.default_backend() == "tpu":
+            # on-device selection: chunk sizes GROW as compression sheds
+            # params ([1,2,3,1] at 7B instead of 7x[1] — each chunk's sweep
+            # pays a ~25 s full-prefix forward, so fewer sweeps is wall-clock)
+            sizes = self._grow_sweep_chunks(layer_names, cfg)
+            if sizes is None:
+                return [layer_names]
+            out, i = [], 0
+            for m in sizes:
+                out.append(layer_names[i:i + m])
+                i += m
+            return out
         if n is None:
             n = self._auto_sweep_chunk(layer_names, park)
         if not n or n <= 0 or n >= len(layer_names):
@@ -1639,6 +1651,59 @@ class GraspEngine:
             i -= take
         out.reverse()
         return out
+
+    def _grow_sweep_chunks(
+        self, layer_names: List[Tuple[int, List[str]]], cfg: GraspConfig,
+        limit_bytes: Optional[float] = None,
+        params_bytes: Optional[float] = None,
+    ) -> Optional[List[int]]:
+        """Growing chunk sizes for the on-device selection path.
+
+        Constraint per chunk (see _auto_sweep_chunk park=False): live params
+        + the chunk's grad accumulators + the QDWH arena must clear the
+        chip's effective ceiling. Live params SHRINK as chunks compile
+        (~90% of a layer's bytes at the paper ratio), so later chunks can
+        sweep more layers per full-prefix forward. Shed is estimated from
+        preserve_rank per module (0 for merge mode — merged modules keep
+        their dense shape — and for adaptive ratios, whose rank is unknown
+        upfront: both degenerate to fixed-size chunks). Returns chunk sizes
+        front-to-back, or None when one sweep holds everything."""
+        limit = limit_bytes if limit_bytes is not None else self._hbm_limit_bytes()
+        params_now = params_bytes if params_bytes is not None else sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params))
+        reserve = max(1.0 * 2**30, _EIGH_ARENA_BUDGET) + 1.2 * 2**30
+        grads_b, shed_b = [], []
+        for _, nn in layer_names:
+            g = s = 0.0
+            for n in nn:
+                kern = self._get_proj(n)["kernel"]
+                in_f, out_f = int(kern.shape[-2]), int(kern.shape[-1])
+                lead = int(np.prod(kern.shape[:-2], dtype=np.int64)) if len(
+                    kern.shape) > 2 else 1
+                kb = float(kern.size * kern.dtype.itemsize)
+                g += kb
+                ratio = self.module_ratios.get(n, cfg.compression_ratio)
+                if ratio is not None and not cfg.merge:
+                    k = preserve_rank(in_f, out_f, ratio)
+                    kept = lead * (in_f * k + k * out_f) * kern.dtype.itemsize
+                    s += max(kb - kept, 0.0)
+            grads_b.append(g)
+            shed_b.append(s)
+        if limit - params_now - reserve >= sum(grads_b):
+            return None  # one sweep holds everything
+        sizes: List[int] = []
+        i = 0
+        while i < len(layer_names):
+            budget = limit - params_now - reserve
+            m, acc = 0, 0.0
+            while i + m < len(layer_names) and (
+                    m == 0 or acc + grads_b[i + m] <= budget):
+                acc += grads_b[i + m]
+                m += 1
+            params_now -= sum(shed_b[i:i + m])
+            sizes.append(m)
+            i += m
+        return sizes
 
     def _auto_sweep_chunk(
         self, layer_names: List[Tuple[int, List[str]]], park: bool = True

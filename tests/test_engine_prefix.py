@@ -351,3 +351,48 @@ def test_parallel_no_parking_multichunk_matches_parked(tiny, monkeypatch):
                         np.asarray(mod["in_kernel"]),
                         np.asarray(other["in_kernel"]),
                         err_msg=f"layer {li} {group}.{proj}")
+
+
+def test_grow_sweep_chunks_sizes(tiny):
+    """On-device selection chunk sizes grow as compiled layers shed bytes:
+    with a synthetic limit that fits exactly one layer's grads next to the
+    full model, later chunks absorb the shed params (engine
+    _grow_sweep_chunks). merge mode sheds nothing -> fixed sizes."""
+    config, params = tiny
+    engine = GraspEngine(jax.tree.map(jnp.array, params), config)
+    layer_names = [
+        (i, [f"model.layers.{i}.{g}.{p}"
+             for g, p in (("self_attn", "q_proj"), ("self_attn", "k_proj"),
+                          ("self_attn", "v_proj"), ("self_attn", "o_proj"),
+                          ("mlp", "gate_proj"), ("mlp", "up_proj"),
+                          ("mlp", "down_proj"))])
+        for i in range(6)
+    ]
+    cfg = GraspConfig(layers_id=list(range(6)), compression_ratio=0.9,
+                      sweep="parallel")
+    per_layer = sum(
+        engine._get_proj(n)["kernel"].size
+        * engine._get_proj(n)["kernel"].dtype.itemsize
+        for n in layer_names[0][1])
+    params_b = sum(x.size * x.dtype.itemsize
+                   for x in jax.tree.leaves(engine.params))
+    from grasp_tpu.core.engine import _EIGH_ARENA_BUDGET
+    reserve = max(1.0 * 2**30, _EIGH_ARENA_BUDGET) + 1.2 * 2**30
+    # limit: full model + reserve + exactly 1.2 layers of grads
+    limit = params_b + reserve + 1.2 * per_layer
+    sizes = engine._grow_sweep_chunks(layer_names, cfg, limit_bytes=limit,
+                                      params_bytes=params_b)
+    assert sizes is not None and sizes[0] == 1
+    assert sum(sizes) == 6
+    assert sizes == sorted(sizes) or max(sizes) > 1  # monotone growth overall
+    assert len(sizes) < 6  # fewer sweeps than per-layer chunks
+    # merge mode sheds nothing: every chunk stays at the initial size
+    cfg_m = GraspConfig(layers_id=list(range(6)), compression_ratio=0.9,
+                        sweep="parallel", merge=True)
+    sizes_m = engine._grow_sweep_chunks(layer_names, cfg_m, limit_bytes=limit,
+                                        params_bytes=params_b)
+    assert sizes_m == [1] * 6
+    # roomy limit -> single sweep
+    assert engine._grow_sweep_chunks(layer_names, cfg,
+                                     limit_bytes=params_b + reserve + 7 * per_layer,
+                                     params_bytes=params_b) is None
