@@ -158,6 +158,7 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
         out[f"{label}_wall_s"] = round(dt, 2)
         if g is not None:
             out[f"{label}_acceptance_rate"] = round(eng.acceptance_rate, 3)
+            out[f"{label}_chunks"] = int(eng.last_stats.get("chunks", 0))
         out[f"hbm_gib_after_{label}"] = round(
             device_memory()["bytes_in_use"] / 2**30, 2)
         del eng
@@ -193,6 +194,45 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
         if best is None or sp > best[1]:
             best = (g, sp)
     out["best_gamma"], out["speedup_wall"] = best
+
+    # ---- regime map: where does speculation WIN on this hardware? -------
+    # Per macro-step the engine pays T_macro(g) = g*d + v wall (fused
+    # g-token draft + chunked verify, 2 dispatches incl. tunnel tax) for
+    # E(alpha, g) = (1 - alpha^(g+1)) / (1 - alpha) expected tokens/row
+    # (standard greedy-speculation yield). Speedup = E * T_plain_step /
+    # T_macro. With >=2 gammas, fit (d, v) from the measured macro-step
+    # times and solve the crossover acceptance alpha* per gamma — the
+    # random-init acceptance (int4 draft vs int8 target near-tie argmax
+    # flips) sits well below alpha*; real weights' peaked logits sit above
+    # it, which is exactly what this map quantifies.
+    try:
+        t_plain_step = out["plain_wall_s"] / max_new
+        meas = []
+        for label, g in configs[1:]:
+            ch = out.get(f"{label}_chunks")
+            if ch:
+                meas.append((g, out[f"{label}_wall_s"] / ch))
+        if len(meas) >= 2:
+            A = np.array([[g, 1.0] for g, _ in meas])
+            y = np.array([t for _, t in meas])
+            (d_fit, v_fit), *_ = np.linalg.lstsq(A, y, rcond=None)
+            grid = np.arange(0.30, 0.991, 0.05)
+            rm = {"draft_ms_per_token_fit": round(float(d_fit) * 1e3, 2),
+                  "verify_ms_per_macro_fit": round(float(v_fit) * 1e3, 2),
+                  "plain_ms_per_step": round(t_plain_step * 1e3, 2)}
+            for g in sorted({g for g, _ in meas}):
+                t_macro = g * d_fit + v_fit
+                su = [(round(float(a), 2),
+                       round(float((1 - a ** (g + 1)) / (1 - a)
+                                   * t_plain_step / t_macro), 2))
+                      for a in grid]
+                rm[f"speedup_vs_alpha_g{g}"] = su
+                cross = next((a for a, s in su if s >= 1.0), None)
+                rm[f"crossover_alpha_g{g}"] = cross
+            out["regime_map"] = rm
+    except Exception as e:  # the map must never sink the artifact
+        out["regime_map_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # best-gamma aliases (stable keys for bench.py / the smoke test)
     bl = f"spec_g{best[0]}"
     out["acceptance_rate"] = out.get(f"{bl}_acceptance_rate")
