@@ -85,7 +85,10 @@ def main():
     results = []
     combos = [(256, 256), (512, 512), (128, 512), (512, 1024), (1024, 512),
               (256, 1024)]
-    for (bq, bk), batch in itertools.product(combos, (1, 4)):
+    quick = os.environ.get("GRASP_SWEEP_QUICK") == "1"
+    if quick:  # bounded pass for tunnel-budgeted sessions
+        combos = [(256, 256), (512, 512), (512, 1024), (1024, 512)]
+    for (bq, bk), batch in itertools.product(combos, (1,) if quick else (1, 4)):
         env = {**os.environ, "GRASP_FLASH_BQ": str(bq), "GRASP_FLASH_BK": str(bk)}
         proc = subprocess.run([sys.executable, "-u", "-c", WORKER,
                                str(bq), str(bk), str(batch)],
