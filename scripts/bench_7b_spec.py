@@ -81,6 +81,13 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
     # both times caps peak HBM at bf16 + ONE quantized tree (~13.1 GiB bf16+int4
     # co-residency left no headroom for jit temporaries on the 16 GiB chip).
     nprune = 1 if tiny else 7
+    probe = {}
+    if jax.default_backend() == "tpu":
+        from grasp_tpu.perf import tunnel_health
+        log.info("tunnel probe (pays the per-process d2h warm-up)...")
+        probe = tunnel_health()  # BEFORE the chip fills: its pilot
+        # device_puts OOMed when issued next to q4+q8 residency
+        log.info("tunnel: %s", probe)
     log.info("build compressed model (paper plan)...")
     cp, cplan, target_layers = synthetic_compressed_7b(
         config, jax.random.PRNGKey(1), num_prune_layers=nprune)
@@ -88,6 +95,8 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
     q4 = quantize_model_weights(cp, bits=4, consume=True)
     del cp
     jax.block_until_ready(q4)
+    log.info("live after draft int4: %.2f GiB",
+             device_memory()["bytes_in_use"] / 2**30)
     log.info("rebuild bf16 source (same key)...")
     cp, _, _ = synthetic_compressed_7b(
         config, jax.random.PRNGKey(1), num_prune_layers=nprune)
@@ -96,6 +105,9 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
     del cp
     jax.block_until_ready(q8)
 
+    if jax.default_backend() == "tpu":
+        log.info("live after target int8: %.2f GiB",
+                 device_memory()["bytes_in_use"] / 2**30)
     rng = np.random.default_rng(seed)
     prompts = [rng.integers(1, config.vocab_size, size=prompt_len).tolist()
                for _ in range(batch)]
@@ -115,9 +127,7 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
                  "~(accepted+1) tokens/row, the plain engine 1 per token."),
     }
 
-    if jax.default_backend() == "tpu":
-        from grasp_tpu.perf import tunnel_health
-        out.update(tunnel_health())  # h2d provenance (CLAUDE.md protocol)
+    out.update(probe)  # h2d/d2h provenance (probed before model build)
 
     def wave(eng):
         """Submit one batch wave and drive it to completion on ``eng``."""
