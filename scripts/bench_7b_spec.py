@@ -97,6 +97,17 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
     jax.block_until_ready(q4)
     log.info("live after draft int4: %.2f GiB",
              device_memory()["bytes_in_use"] / 2**30)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # the 12.55 GiB bf16 rebuild next to the resident 2.89 GiB int4
+        # tree OOMed the 16 GiB chip (first on-chip run of this script) —
+        # park the draft in host RAM for the rebuild, one d2h/h2d round
+        # trip OUTSIDE every timed wave (~2.9 GiB; the d2h leg dominates
+        # when that direction is sick — it rides the already-paid warm-up)
+        log.info("park int4 draft on host for the bf16 rebuild...")
+        t_park = time.time()
+        q4 = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), q4)
+        log.info("parked (%.1f s)", time.time() - t_park)
     log.info("rebuild bf16 source (same key)...")
     cp, _, _ = synthetic_compressed_7b(
         config, jax.random.PRNGKey(1), num_prune_layers=nprune)
@@ -104,6 +115,10 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
     q8 = quantize_model_weights(cp, bits=8, consume=True)
     del cp
     jax.block_until_ready(q8)
+    if on_tpu:
+        log.info("restore int4 draft to device...")
+        q4 = jax.tree.map(jax.device_put, q4)
+        jax.block_until_ready(q4)
 
     if jax.default_backend() == "tpu":
         log.info("live after target int8: %.2f GiB",
