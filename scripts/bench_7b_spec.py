@@ -236,7 +236,10 @@ def main(batch=8, prompt_len=128, max_new=64, gamma=4, seed=0):
         for label, g in configs[1:]:
             ch = out.get(f"{label}_chunks")
             if ch:
-                meas.append((g, out[f"{label}_wall_s"] / ch))
+                # last_stats["chunks"] counts ROW-chunks (one per live row
+                # per macro-step; the dispatches themselves are batched) —
+                # batch-wide macro-steps = chunks / batch
+                meas.append((g, out[f"{label}_wall_s"] / (ch / batch)))
         if len(meas) >= 2:
             A = np.array([[g, 1.0] for g, _ in meas])
             y = np.array([t for _, t in meas])
